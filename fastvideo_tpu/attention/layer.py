@@ -1,0 +1,103 @@
+"""Attention layers: SP-aware DistributedAttention and LocalAttention.
+
+Reference: /root/reference/fastvideo/attention/layer.py:38-313. The TPU
+version delegates the Ulysses exchange to
+``fastvideo_tpu.parallel.ulysses_attention`` (shard_map + lax.all_to_all over
+the ``sp`` mesh axis) and applies RoPE BEFORE the exchange: rope is
+per-token, so it commutes with the head/seq redistribution — each device
+rotates only its local tokens, avoiding the reference's post-a2a rope on the
+full gathered sequence.
+"""
+
+from __future__ import annotations
+
+import jax
+from flax import nnx
+
+from fastvideo_tpu.attention.backends.abstract import AttentionMetadata
+from fastvideo_tpu.attention.selector import get_attn_backend
+from fastvideo_tpu.forward_context import get_forward_context
+from fastvideo_tpu.layers.rotary import apply_rotary_emb
+from fastvideo_tpu.parallel import get_sp_size, ulysses_attention
+
+Array = jax.Array
+
+
+class LocalAttention(nnx.Module):
+    """Attention with no SP exchange (cross-attn / single-device self-attn).
+
+    Reference analog: attention/layer.py:243 (LocalAttention).
+    """
+
+    def __init__(self, num_heads: int, head_size: int,
+                 softmax_scale: float | None = None, causal: bool = False,
+                 supported_backends: tuple[str, ...] | None = None, *,
+                 rngs: nnx.Rngs | None = None, **extra):
+        del rngs
+        self.num_heads = num_heads
+        self.head_size = head_size
+        self.backend = get_attn_backend(num_heads, head_size,
+                                        softmax_scale=softmax_scale,
+                                        causal=causal, supported=supported_backends,
+                                        **extra)
+
+    def __call__(self, q: Array, k: Array, v: Array, *,
+                 kv_valid: int | None = None) -> Array:
+        ctx = get_forward_context()
+        metadata = ctx.attn_metadata if ctx is not None else None
+        return self.backend.forward(q, k, v, metadata, kv_valid=kv_valid)
+
+
+class DistributedAttention(nnx.Module):
+    """Full-sequence self-attention over seq-sharded tokens.
+
+    Reference analog: attention/layer.py:38-165 (DistributedAttention): the
+    all-to-all head/seq exchange around the backend kernel. RoPE application
+    (interleaved rotate-half, fp32) happens pre-exchange on local tokens.
+    """
+
+    def __init__(self, num_heads: int, head_size: int,
+                 softmax_scale: float | None = None, causal: bool = False,
+                 supported_backends: tuple[str, ...] | None = None, *,
+                 rngs: nnx.Rngs | None = None, **extra):
+        del rngs
+        self.num_heads = num_heads
+        self.head_size = head_size
+        self.backend = get_attn_backend(num_heads, head_size,
+                                        softmax_scale=softmax_scale,
+                                        causal=causal, supported=supported_backends,
+                                        **extra)
+
+    def __call__(
+        self,
+        q: Array,
+        k: Array,
+        v: Array,
+        *,
+        freqs_cis: tuple[Array, Array] | None = None,
+        kv_valid: int | None = None,
+    ) -> Array:
+        """q/k/v: [B, S(_local logical), H, D]; returns same layout.
+
+        ``freqs_cis``: (cos, sin) tables covering the full (padded) sequence;
+        they are indexed positionally so they must align with the token order
+        of q/k.
+        """
+        if freqs_cis is not None:
+            cos, sin = freqs_cis
+            q = apply_rotary_emb(q, cos, sin)
+            k = apply_rotary_emb(k, cos, sin)
+
+        ctx = get_forward_context()
+        metadata = ctx.attn_metadata if ctx is not None else None
+
+        def local_attn(q, k, v):
+            qkv_proc = self.backend.preprocess_qkv((q, k, v), metadata)
+            q2, k2, v2 = qkv_proc if isinstance(qkv_proc, tuple) else (q, k, v)
+            out = self.backend.forward(q2, k2, v2, metadata,
+                                       kv_valid=kv_valid)
+            return self.backend.postprocess_output(out, metadata)
+
+        if get_sp_size() == 1:
+            return local_attn(q, k, v)
+        return ulysses_attention(local_attn, q, k, v)

@@ -1,0 +1,137 @@
+"""Ulysses-style sequence parallelism on a TPU mesh.
+
+Reference semantics: DiTs shard tokens on the sequence dim after patch-embed
+(/root/reference/fastvideo/models/dits/wanvideo.py:725), attention does
+all-to-all(scatter heads, gather seq) -> full-seq attention on a head shard ->
+reverse all-to-all (/root/reference/fastvideo/attention/layer.py:122,162),
+with pad-aware shard/unpad helpers
+(/root/reference/fastvideo/distributed/communication_op.py:40-93).
+
+TPU-native design: the model body runs under GSPMD with activations
+constrained to ``P(dp, sp, ...)`` on the token dim; the attention exchange is
+an explicit ``shard_map`` region whose ``jax.lax.all_to_all`` lowers onto ICI.
+No communicator objects, no NCCL: XLA owns the collectives.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from fastvideo_tpu.parallel.mesh import (DP_AXIS, SP_AXIS, get_mesh,
+                                         get_sp_size)
+
+Array = jax.Array
+
+
+def pad_to_multiple(x: Array, multiple: int, axis: int) -> tuple[Array, int]:
+    """Zero-pad ``axis`` of ``x`` up to a multiple; returns (padded, orig)."""
+    size = x.shape[axis]
+    if multiple <= 1 or size % multiple == 0:
+        return x, size
+    pad = multiple - size % multiple
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths), size
+
+
+def shard_seq(x: Array, axis: int = 1) -> tuple[Array, int]:
+    """Pad the token dim to a multiple of sp and constrain it to the sp axis.
+
+    Mirrors ``sequence_model_parallel_shard``
+    (/root/reference/fastvideo/distributed/communication_op.py:64) but as a
+    sharding constraint: XLA materializes only the local shard per device.
+    Returns (sharded tensor, original sequence length).
+    """
+    sp = get_sp_size()
+    x, orig = pad_to_multiple(x, sp, axis)
+    if sp > 1:
+        spec = [None] * x.ndim
+        spec[0] = DP_AXIS
+        spec[axis] = SP_AXIS
+        x = jax.lax.with_sharding_constraint(x, P(*spec))
+    return x, orig
+
+
+def unshard_seq(x: Array, original_len: int, axis: int = 1) -> Array:
+    """All-gather the token dim and strip padding.
+
+    Mirrors ``sequence_model_parallel_all_gather_with_unpad``
+    (/root/reference/fastvideo/distributed/communication_op.py:40).
+    """
+    sp = get_sp_size()
+    if sp > 1:
+        spec = [None] * x.ndim
+        spec[0] = DP_AXIS
+        x = jax.lax.with_sharding_constraint(x, P(*spec))
+    if x.shape[axis] != original_len:
+        x = jax.lax.slice_in_dim(x, 0, original_len, axis=axis)
+    return x
+
+
+def ulysses_attention(
+    local_attn: Callable[..., Array],
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    kv_replicated: bool = False,
+) -> Array:
+    """Run full-sequence attention over seq-sharded q/k/v.
+
+    Args:
+      local_attn: per-device attention callable ``(q, k, v) -> o`` operating
+        on ``[B, S, H, D]`` tensors (full sequence, local heads).
+      q, k, v: ``[B, S_local*sp, H, D]`` logically; sharded ``P(dp, sp)`` on
+        (batch, seq). When ``kv_replicated`` is True, k/v carry a replicated
+        context (cross-attention) and no exchange is needed for them.
+
+    The head exchange is the Ulysses all-to-all of the reference
+    (/root/reference/fastvideo/attention/layer.py:122): scatter heads,
+    gather sequence; reversed on the output.
+    """
+    mesh = get_mesh()
+    sp = mesh.shape[SP_AXIS]
+    if sp == 1:
+        return local_attn(q, k, v)
+    if q.shape[2] % sp != 0:
+        raise ValueError(
+            f"num_heads={q.shape[2]} must be divisible by sp={sp}")
+
+    def a2a_heads(x: Array) -> Array:
+        # [B, S/sp, H, D] local -> [B, S, H/sp, D] local.
+        return jax.lax.all_to_all(x, SP_AXIS, split_axis=2, concat_axis=1,
+                                  tiled=True)
+
+    def a2a_seq(x: Array) -> Array:
+        # [B, S, H/sp, D] local -> [B, S/sp, H, D] local.
+        return jax.lax.all_to_all(x, SP_AXIS, split_axis=1, concat_axis=2,
+                                  tiled=True)
+
+    def inner(q: Array, k: Array, v: Array) -> Array:
+        q = a2a_heads(q)
+        if kv_replicated:
+            # Context is replicated across sp: take this rank's head shard.
+            heads_per = k.shape[2] // sp
+            idx = jax.lax.axis_index(SP_AXIS)
+            k_l = jax.lax.dynamic_slice_in_dim(k, idx * heads_per, heads_per,
+                                               axis=2)
+            v_l = jax.lax.dynamic_slice_in_dim(v, idx * heads_per, heads_per,
+                                               axis=2)
+        else:
+            k_l = a2a_heads(k)
+            v_l = a2a_heads(v)
+        o = local_attn(q, k_l, v_l)
+        return a2a_seq(o)
+
+    kv_spec = (P(DP_AXIS) if kv_replicated else P(DP_AXIS, SP_AXIS))
+    return jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(DP_AXIS, SP_AXIS), kv_spec, kv_spec),
+        out_specs=P(DP_AXIS, SP_AXIS),
+        check_vma=False,
+    )(q, k, v)
