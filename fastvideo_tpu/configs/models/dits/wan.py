@@ -38,7 +38,7 @@ WAN_PARAM_NAMES_MAPPING: dict[str, str] = {
     r"^blocks\.(\d+)\.ffn\.net\.0\.proj\.(.*)$": r"blocks.\1.ffn.fc_in.\2",
     r"^blocks\.(\d+)\.ffn\.net\.2\.(.*)$": r"blocks.\1.ffn.fc_out.\2",
     r"^blocks\.(\d+)\.norm2\.(.*)$":
-    r"blocks.\1.self_attn_residual_norm.norm.norm.\2",
+    r"blocks.\1.self_attn_residual_norm.norm.\2",
 }
 
 # Official (non-diffusers) LoRA layer names -> diffusers names, applied

@@ -125,14 +125,27 @@ class ScaleResidualLayerNormScaleShift(nnx.Module):
     def __init__(self, hidden_size: int, norm_type: str = "layer",
                  eps: float = 1e-6, elementwise_affine: bool = True, *,
                  param_dtype: jnp.dtype = jnp.float32, rngs: nnx.Rngs):
-        self.norm = LayerNormScaleShift(hidden_size, norm_type, eps,
-                                        elementwise_affine,
-                                        param_dtype=param_dtype, rngs=rngs)
+        # ``.norm`` holds the norm directly (not nested) so checkpoint paths
+        # match the reference tree (layernorm.py:150-155).
+        if norm_type == "layer":
+            self.norm = FP32LayerNorm(hidden_size, eps, elementwise_affine,
+                                      param_dtype=param_dtype, rngs=rngs)
+        elif norm_type == "rms":
+            self.norm = RMSNorm(hidden_size, eps,
+                                has_weight=elementwise_affine,
+                                param_dtype=param_dtype, rngs=rngs)
+        else:
+            raise ValueError(f"Unknown norm_type {norm_type}")
 
     def __call__(self, residual: Array, x: Array, gate: Array, shift: Array,
                  scale: Array) -> tuple[Array, Array]:
         residual_out = (residual.astype(jnp.float32) +
                         x.astype(jnp.float32) * gate.astype(jnp.float32))
         residual_out = residual_out.astype(residual.dtype)
-        normed = self.norm(residual_out, shift, scale)
+        if isinstance(self.norm, FP32LayerNorm):
+            normed = self.norm._norm_f32(residual_out)
+        else:
+            normed = self.norm(residual_out).astype(jnp.float32)
+        normed = (normed * (1.0 + scale.astype(jnp.float32)) +
+                  shift.astype(jnp.float32)).astype(residual.dtype)
         return normed, residual_out

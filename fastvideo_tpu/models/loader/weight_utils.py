@@ -1,0 +1,112 @@
+"""Checkpoint-tensor -> module-parameter assignment utilities.
+
+Core of the diffusers-format reader (analog of
+/root/reference/fastvideo/models/loader/component_loader.py:50-1370 +
+fsdp_load.py): checkpoint names are rewritten through per-model regex tables
+(``param_names_mapping``), then assigned onto the nnx module tree with the
+torch->JAX layout conversions:
+
+* ``Linear.weight [out, in]``      -> ``kernel [in, out]`` (transpose)
+* ``Conv3d patch-embed weight``    -> flattened matmul kernel
+* norm/bias/tables                 -> as-is
+
+Assignment mutates ``Param.value`` directly (cheap outside jit) so huge
+models never materialize a second copy.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from fastvideo_tpu.layers.linear import Linear
+from fastvideo_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+def apply_param_mapping(name: str, mapping: dict[str, str]) -> str:
+    for pattern, repl in mapping.items():
+        new, n = re.subn(pattern, repl, name)
+        if n:
+            return new
+    return name
+
+
+def _resolve(module, path: list[str]):
+    """Walk attribute path; returns (owner_module, leaf_name)."""
+    obj = module
+    for part in path[:-1]:
+        if part.isdigit():
+            obj = obj[int(part)]
+        else:
+            obj = getattr(obj, part)
+    return obj, path[-1]
+
+
+def assign_param(model: nnx.Module, target_name: str, value: np.ndarray,
+                 *, dtype: jnp.dtype | None = None,
+                 strict: bool = True) -> bool:
+    """Assign one checkpoint tensor to the module tree.
+
+    ``target_name`` uses torch conventions (``...weight``/``...bias``); the
+    layout conversion is inferred from the owning module type.
+    """
+    parts = target_name.split(".")
+    try:
+        owner, leaf = _resolve(model, parts)
+    except (AttributeError, IndexError, KeyError):
+        msg = f"Checkpoint key {target_name!r} has no matching module"
+        if strict:
+            raise KeyError(msg) from None
+        logger.warning(msg)
+        return False
+
+    if isinstance(owner, Linear) and leaf == "weight":
+        param = owner.kernel
+        if value.ndim == 5:
+            # Conv3d patchify weight [out, C, kt, kh, kw] -> [C*kt*kh*kw, out]
+            value = value.reshape(value.shape[0], -1).T
+        elif value.ndim == 2:
+            value = value.T
+        else:
+            raise ValueError(
+                f"Unexpected linear weight rank {value.ndim} for "
+                f"{target_name}")
+    elif isinstance(owner, Linear) and leaf == "bias":
+        param = owner.bias
+    else:
+        param = getattr(owner, leaf, None)
+
+    if not isinstance(param, nnx.Variable):
+        msg = f"{target_name!r} resolved to non-parameter {type(param)}"
+        if strict:
+            raise KeyError(msg)
+        logger.warning(msg)
+        return False
+
+    if tuple(param.value.shape) != tuple(value.shape):
+        raise ValueError(
+            f"Shape mismatch for {target_name}: checkpoint {value.shape} vs "
+            f"model {tuple(param.value.shape)}")
+    target_dtype = dtype if dtype is not None else param.value.dtype
+    param.value = jnp.asarray(value, dtype=target_dtype)
+    return True
+
+
+def load_weights(model: nnx.Module,
+                 weights: Iterator[tuple[str, np.ndarray]],
+                 param_names_mapping: dict[str, str] | None = None,
+                 *, dtype: jnp.dtype | None = None,
+                 strict: bool = True) -> int:
+    count = 0
+    for name, value in weights:
+        target = (apply_param_mapping(name, param_names_mapping)
+                  if param_names_mapping else name)
+        if assign_param(model, target, value, dtype=dtype, strict=strict):
+            count += 1
+    return count

@@ -46,9 +46,9 @@ class MeshConfig:
                     f"num_devices={num_devices} not divisible by "
                     f"sp*tp={sp * tp}")
             dp = num_devices // (sp * tp)
-        if dp * sp * tp != num_devices:
+        if dp * sp * tp > num_devices:
             raise ValueError(
-                f"dp*sp*tp={dp * sp * tp} != num_devices={num_devices}")
+                f"dp*sp*tp={dp * sp * tp} > num_devices={num_devices}")
         return dp, sp, tp
 
 
@@ -71,7 +71,7 @@ def init_mesh(mesh_config: MeshConfig | None = None,
     if devices is None:
         devices = jax.devices()
     dp, sp, tp = mesh_config.resolve(len(devices))
-    dev_array = np.asarray(devices).reshape(dp, sp, tp)
+    dev_array = np.asarray(devices[:dp * sp * tp]).reshape(dp, sp, tp)
     mesh = Mesh(dev_array, AXIS_ORDER)
     _STATE.mesh = mesh
     logger.info("Initialized mesh dp=%d sp=%d tp=%d over %d devices (%s)", dp,
