@@ -74,12 +74,103 @@ _PRE_STUBS = [
 _installed = False
 
 
+def _install_concrete_diffusers_stubs() -> None:
+    """Working mini-implementations of the diffusers pieces the reference
+    schedulers actually exercise (ConfigMixin.register_to_config etc.)."""
+    import enum
+    import functools
+    import types as _t
+
+    cfg_mod = _t.ModuleType("diffusers.configuration_utils")
+
+    class _FrozenConfig(dict):
+        def __getattr__(self, name):
+            try:
+                return self[name]
+            except KeyError:
+                raise AttributeError(name) from None
+
+    class ConfigMixin:
+        config_name = "scheduler_config.json"
+
+        def register_to_config(self, **kwargs):
+            if not hasattr(self, "_internal_dict"):
+                self._internal_dict = _FrozenConfig()
+            self._internal_dict.update(kwargs)
+
+        @property
+        def config(self):
+            return getattr(self, "_internal_dict", _FrozenConfig())
+
+    def register_to_config(init):
+        @functools.wraps(init)
+        def wrapper(self, *args, **kwargs):
+            import inspect
+
+            sig = inspect.signature(init)
+            bound = sig.bind(self, *args, **kwargs)
+            bound.apply_defaults()
+            params = {k: v for k, v in bound.arguments.items()
+                      if k not in ("self", "kwargs")}
+            params.update(bound.arguments.get("kwargs", {}) or {})
+            ConfigMixin.register_to_config(self, **params)
+            init(self, *args, **kwargs)
+
+        return wrapper
+
+    cfg_mod.ConfigMixin = ConfigMixin
+    cfg_mod.register_to_config = register_to_config
+    cfg_mod.FrozenDict = _FrozenConfig
+
+    sched_mod = _t.ModuleType("diffusers.schedulers.scheduling_utils")
+
+    class SchedulerMixin:
+        pass
+
+    class KarrasDiffusionSchedulers(enum.Enum):
+        pass
+
+    sched_mod.SchedulerMixin = SchedulerMixin
+    sched_mod.KarrasDiffusionSchedulers = KarrasDiffusionSchedulers
+    sched_mod.SchedulerOutput = _FrozenConfig
+
+    utils_mod = _t.ModuleType("diffusers.utils")
+    utils_mod.__path__ = []
+    utils_mod.deprecate = lambda *a, **k: None
+    utils_mod.logging = _t.SimpleNamespace(
+        get_logger=lambda *a, **k: __import__("logging").getLogger("stub"))
+
+    class BaseOutput(dict):
+        def __init__(self, **kwargs):
+            super().__init__(**kwargs)
+            for k, v in kwargs.items():
+                setattr(self, k, v)
+
+        def __getitem__(self, k):
+            if isinstance(k, int):
+                return list(self.values())[k]
+            return super().__getitem__(k)
+
+    utils_mod.BaseOutput = BaseOutput
+
+    for name, mod in [
+        ("diffusers.configuration_utils", cfg_mod),
+        ("diffusers.schedulers.scheduling_utils", sched_mod),
+        ("diffusers.utils", utils_mod),
+    ]:
+        sys.modules[name] = mod
+        parent, leaf = name.rsplit(".", 1)
+        _stub(parent)
+        setattr(sys.modules[parent], leaf, mod)
+
+
 def install() -> None:
     global _installed
     if _installed:
         return
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
+    _install_concrete_diffusers_stubs()
     for name in _PRE_STUBS:
         _stub(name)
     # Bare parent package bypassing fastvideo/__init__.py (which imports the

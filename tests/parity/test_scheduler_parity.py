@@ -1,0 +1,85 @@
+"""Scheduler parity: FlowUniPC / FlowMatchEuler vs the reference torch impls."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import ref_loader  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref_mods():
+    try:
+        unipc = ref_loader.import_ref(
+            "fastvideo.models.schedulers.scheduling_flow_unipc_multistep")
+        euler = ref_loader.import_ref(
+            "fastvideo.models.schedulers.scheduling_flow_match_euler_discrete")
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference import failed: {e}")
+    return unipc, euler
+
+
+def _fake_denoise_torch(scheduler, timesteps, x0):
+    import torch
+
+    sample = torch.from_numpy(x0.copy())
+    for t in timesteps:
+        model_output = 0.3 * sample + float(t) * 1e-4
+        sample = scheduler.step(model_output, t, sample,
+                                return_dict=False)[0]
+    return sample.numpy()
+
+
+def _fake_denoise_jax(scheduler, timesteps, x0):
+    import jax.numpy as jnp
+
+    sample = jnp.asarray(x0.copy())
+    for t in timesteps:
+        model_output = 0.3 * sample + float(t) * 1e-4
+        sample = scheduler.step(model_output, t, sample).prev_sample
+    return np.asarray(sample)
+
+
+@pytest.mark.parametrize("shift,steps", [(3.0, 10), (5.0, 7), (8.0, 4)])
+def test_flow_unipc_parity(ref_mods, shift, steps):
+    unipc_mod, _ = ref_mods
+    from fastvideo_tpu.models.schedulers.flow_unipc import (
+        FlowUniPCMultistepScheduler)
+
+    ref = unipc_mod.FlowUniPCMultistepScheduler(shift=1.0)
+    ours = FlowUniPCMultistepScheduler(shift=1.0)
+    ref.set_timesteps(steps, shift=shift)
+    ours.set_timesteps(steps, shift=shift)
+    np.testing.assert_allclose(np.asarray(ref.sigmas), ours.sigmas,
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ref.timesteps), ours.timesteps)
+
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal((1, 4, 2, 4, 4)).astype(np.float32)
+    out_ref = _fake_denoise_torch(ref, [int(t) for t in ref.timesteps], x0)
+    out_jax = _fake_denoise_jax(ours, [int(t) for t in ours.timesteps], x0)
+    np.testing.assert_allclose(out_ref, out_jax, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("shift,steps", [(3.0, 10), (7.0, 5)])
+def test_flow_match_euler_parity(ref_mods, shift, steps):
+    _, euler_mod = ref_mods
+    from fastvideo_tpu.models.schedulers.flow_match_euler import (
+        FlowMatchEulerDiscreteScheduler)
+
+    ref = euler_mod.FlowMatchEulerDiscreteScheduler(shift=shift)
+    ours = FlowMatchEulerDiscreteScheduler(shift=shift)
+    ref.set_timesteps(steps)
+    ours.set_timesteps(steps)
+    np.testing.assert_allclose(np.asarray(ref.sigmas), ours.sigmas,
+                               rtol=1e-6)
+
+    rng = np.random.default_rng(1)
+    x0 = rng.standard_normal((1, 4, 2, 4, 4)).astype(np.float32)
+    out_ref = _fake_denoise_torch(ref, [float(t) for t in ref.timesteps], x0)
+    out_jax = _fake_denoise_jax(ours, [float(t) for t in ours.timesteps], x0)
+    np.testing.assert_allclose(out_ref, out_jax, rtol=2e-5, atol=2e-5)
