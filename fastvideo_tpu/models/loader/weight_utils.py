@@ -25,6 +25,7 @@ from flax import nnx
 
 from fastvideo_tpu.layers.linear import Linear
 from fastvideo_tpu.logger import init_logger
+from fastvideo_tpu.models.vaes.wan import CausalConv3d
 
 logger = init_logger(__name__)
 
@@ -66,7 +67,18 @@ def assign_param(model: nnx.Module, target_name: str, value: np.ndarray,
         logger.warning(msg)
         return False
 
-    if isinstance(owner, Linear) and leaf == "weight":
+    if isinstance(owner, CausalConv3d) and leaf == "weight":
+        param = owner.weight
+        if value.ndim == 5:
+            # torch OIDHW -> DHWIO
+            value = value.transpose(2, 3, 4, 1, 0)
+        elif value.ndim == 4:
+            # torch Conv2d OIHW -> (1)HWIO
+            value = value.transpose(2, 3, 1, 0)[None]
+        else:
+            raise ValueError(
+                f"Unexpected conv weight rank {value.ndim} for {target_name}")
+    elif isinstance(owner, Linear) and leaf == "weight":
         param = owner.kernel
         if value.ndim == 5:
             # Conv3d patchify weight [out, C, kt, kh, kw] -> [C*kt*kh*kw, out]
@@ -89,6 +101,10 @@ def assign_param(model: nnx.Module, target_name: str, value: np.ndarray,
         logger.warning(msg)
         return False
 
+    if (param.value.ndim != value.ndim
+            and param.value.size == value.size):
+        # e.g. WanRMS_norm gamma [C,1,1,(1)] -> [C]
+        value = value.reshape(param.value.shape)
     if tuple(param.value.shape) != tuple(value.shape):
         raise ValueError(
             f"Shape mismatch for {target_name}: checkpoint {value.shape} vs "
