@@ -24,6 +24,10 @@ class ArchConfig:
                         getattr(self, f.name), tuple):
                     val = tuple(val)
                 setattr(self, f.name, val)
+        # re-derive fields computed from the overridden ones
+        post = getattr(self, "__post_init__", None)
+        if post is not None:
+            post()
 
 
 @dataclasses.dataclass

@@ -1,0 +1,175 @@
+"""VideoGenerator: the user-facing façade.
+
+Analog of /root/reference/fastvideo/entrypoints/video_generator.py:149-1327:
+from_pretrained/from_fastvideo_args construction, generate_video with
+SamplingParam/kwargs, latent->pixel postprocess and mp4 writing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any
+
+import numpy as np
+
+from fastvideo_tpu.configs.sample import SamplingParam
+from fastvideo_tpu.fastvideo_args import FastVideoArgs
+from fastvideo_tpu.logger import init_logger
+from fastvideo_tpu.pipelines.batch import ForwardBatch
+from fastvideo_tpu.registry import get_pipeline_config_cls_for_name
+from fastvideo_tpu.worker.executor import Executor
+
+logger = init_logger(__name__)
+
+
+class VideoGenerator:
+    def __init__(self, fastvideo_args: FastVideoArgs, executor: Executor):
+        self.fastvideo_args = fastvideo_args
+        self.executor = executor
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(cls, model_path: str, *, num_gpus: int = 1,
+                        **kwargs) -> "VideoGenerator":
+        config_cls = get_pipeline_config_cls_for_name(model_path)
+        if config_cls is None:
+            from fastvideo_tpu.configs.pipelines.wan import WanT2V480PConfig
+
+            logger.warning("No registered pipeline config for %s; "
+                           "defaulting to Wan T2V", model_path)
+            config_cls = WanT2V480PConfig
+        pipeline_config = config_cls(model_path=model_path)
+        pc_fields = {f.name for f in dataclasses.fields(pipeline_config)}
+        for k in list(kwargs):
+            if k in pc_fields:
+                setattr(pipeline_config, k, kwargs.pop(k))
+        args = FastVideoArgs.from_kwargs(model_path=model_path,
+                                         num_gpus=num_gpus, **kwargs)
+        args.pipeline_config = pipeline_config
+        return cls.from_fastvideo_args(args)
+
+    @classmethod
+    def from_fastvideo_args(cls,
+                            fastvideo_args: FastVideoArgs) -> "VideoGenerator":
+        executor_cls = Executor.get_class(fastvideo_args)
+        return cls(fastvideo_args, executor_cls(fastvideo_args))
+
+    # -- generation --------------------------------------------------------
+
+    def generate_video(
+        self,
+        prompt: str | list[str] | None = None,
+        sampling_param: SamplingParam | None = None,
+        **kwargs,
+    ) -> dict[str, Any] | list[np.ndarray]:
+        t0 = time.perf_counter()
+        param = sampling_param or SamplingParam.from_pretrained(
+            self.fastvideo_args.model_path)
+        if prompt is not None:
+            kwargs["prompt"] = prompt
+        param.update(kwargs)
+
+        pipeline_config = self.fastvideo_args.pipeline_config
+        dmd_steps = None
+        if pipeline_config is not None:
+            dmd_steps = pipeline_config.dmd_denoising_steps
+        if param.dmd_denoising_steps is not None:
+            dmd_steps = param.dmd_denoising_steps
+
+        batch = ForwardBatch(
+            prompt=param.prompt,
+            negative_prompt=param.negative_prompt,
+            output_path=param.output_path,
+            output_video_name=param.output_video_name,
+            image_path=param.image_path,
+            pil_image=param.pil_image,
+            height=param.height,
+            width=param.width,
+            num_frames=param.num_frames,
+            fps=param.fps,
+            seed=param.seed,
+            num_inference_steps=param.num_inference_steps,
+            guidance_scale=param.guidance_scale,
+            guidance_rescale=param.guidance_rescale,
+            dmd_denoising_steps=dmd_steps,
+            save_video=param.save_video,
+            return_frames=param.return_frames,
+            return_trajectory_latents=param.return_trajectory_latents,
+            extra=dict(param.extra),
+        )
+        batch.extra["num_videos_per_prompt"] = param.num_videos_per_prompt
+
+        batch = self.executor.execute_forward(batch, self.fastvideo_args)
+
+        frames = None
+        if batch.output is not None:
+            frames = self._postprocess(np.asarray(batch.output))
+        gen_time = time.perf_counter() - t0
+
+        result: dict[str, Any] = {
+            "prompts": param.prompt,
+            "generation_time": gen_time,
+            "stage_times": batch.logging_info.stage_times,
+        }
+        if batch.return_trajectory_latents:
+            result["trajectory_latents"] = batch.trajectory_latents
+            result["trajectory_timesteps"] = batch.trajectory_timesteps
+        if frames is not None:
+            result["frames"] = frames
+            if param.save_video:
+                path = self._save_video(frames[0], param)
+                result["video_path"] = path
+        result["latents"] = batch.latents
+        logger.info("Generated video in %.2fs (stages: %s)", gen_time,
+                    {k: round(v, 3)
+                     for k, v in batch.logging_info.stage_times.items()})
+        if param.return_frames:
+            return frames
+        return result
+
+    @staticmethod
+    def _postprocess(output: np.ndarray) -> list[np.ndarray]:
+        """[B, C, T, H, W] in [-1, 1] -> list of [T, H, W, C] uint8."""
+        video = ((np.clip(output, -1, 1) + 1) / 2 * 255).round().astype(
+            np.uint8)
+        return [v.transpose(1, 2, 3, 0) for v in video]
+
+    @staticmethod
+    def _write_mp4(path: str, frames: np.ndarray, fps: int) -> bool:
+        try:
+            import imageio.v2 as imageio
+
+            with imageio.get_writer(path, fps=fps,
+                                    macro_block_size=None) as writer:
+                for frame in frames:
+                    writer.append_data(frame)
+            return True
+        except Exception as e:
+            logger.warning("mp4 write failed (%s); writing .npy instead", e)
+            np.save(path + ".npy", frames)
+            return False
+
+    def _save_video(self, frames: np.ndarray, param: SamplingParam) -> str:
+        os.makedirs(param.output_path, exist_ok=True)
+        name = param.output_video_name
+        if not name:
+            prompt_str = (param.prompt if isinstance(param.prompt, str) else
+                          (param.prompt or ["video"])[0])
+            name = "".join(c if c.isalnum() or c in " _-" else ""
+                           for c in prompt_str)[:100].strip() or "video"
+        if not name.endswith(".mp4"):
+            name += ".mp4"
+        path = os.path.join(param.output_path, name)
+        self._write_mp4(path, frames, param.fps or 16)
+        logger.info("Saved video to %s", path)
+        return path
+
+    def set_lora_adapter(self, lora_nickname: str,
+                         lora_path: str | None = None) -> None:
+        self.executor.set_lora_adapter(lora_nickname, lora_path)
+
+    def shutdown(self) -> None:
+        self.executor.shutdown()

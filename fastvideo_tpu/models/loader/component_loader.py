@@ -1,0 +1,150 @@
+"""Per-component checkpoint loaders (diffusers directory layout).
+
+Analog of /root/reference/fastvideo/models/loader/component_loader.py
+(:50,141,705,1023,1370): a pipeline directory contains model_index.json plus
+one subdirectory per component (transformer/, vae/, text_encoder/,
+tokenizer/, scheduler/); each loader reads the HF config.json, builds the
+abstract (meta) module, then streams safetensors into device buffers with
+the model's ``param_names_mapping`` applied.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any
+
+import jax.numpy as jnp
+from flax import nnx
+
+from fastvideo_tpu.logger import init_logger
+from fastvideo_tpu.models.loader.safetensors_io import (iterate_safetensors,
+                                                        load_json_config)
+from fastvideo_tpu.models.loader.weight_utils import load_weights
+from fastvideo_tpu.models.registry import (resolve_model_cls,
+                                           resolve_scheduler_cls)
+
+logger = init_logger(__name__)
+
+PRECISION_TO_DTYPE = {
+    "fp32": jnp.float32,
+    "float32": jnp.float32,
+    "bf16": jnp.bfloat16,
+    "bfloat16": jnp.bfloat16,
+    "fp16": jnp.float16,
+    "float16": jnp.float16,
+}
+
+
+def _build_arch_config(arch_cls, hf_config: dict[str, Any]):
+    arch = arch_cls()
+    arch.update_from_hf(hf_config)
+    if hf_config.get("model_type") == "umt5" and hasattr(arch, "is_umt5"):
+        arch.is_umt5 = True
+    return arch
+
+
+def load_model_component(component_dir: str, *,
+                         precision: str = "bf16",
+                         param_names_mapping: dict[str, str] | None = None,
+                         model_config=None,
+                         extra_init_kwargs: dict | None = None,
+                         strict: bool = True):
+    """Generic diffusers-format component loader (transformer/vae/encoder)."""
+    hf_config = load_json_config(os.path.join(component_dir, "config.json"))
+    class_name = hf_config.get("_class_name") or hf_config.get(
+        "architectures", ["?"])[0]
+    model_cls, arch_cls = resolve_model_cls(class_name)
+    arch = _build_arch_config(arch_cls, hf_config)
+    if model_config is not None:
+        # propagate checkpoint dims to the pipeline config so stages see
+        # the real architecture (latent shape, text_len, ...).
+        model_config.arch_config = arch
+    dtype = PRECISION_TO_DTYPE[precision]
+    if model_config is not None and param_names_mapping is None:
+        param_names_mapping = model_config.param_names_mapping
+    model = model_cls(arch, param_dtype=dtype, rngs=nnx.Rngs(0),
+                      **(extra_init_kwargs or {}))
+    n = load_weights(model, iterate_safetensors(component_dir),
+                     param_names_mapping, dtype=dtype, strict=strict)
+    logger.info("Loaded %d tensors for %s from %s", n, class_name,
+                component_dir)
+    return model
+
+
+def load_scheduler(component_dir: str, pipeline_config=None):
+    cfg = load_json_config(
+        os.path.join(component_dir, "scheduler_config.json"))
+    class_name = cfg.pop("_class_name", "FlowMatchEulerDiscreteScheduler")
+    cfg.pop("_diffusers_version", None)
+    sched_cls = resolve_scheduler_cls(class_name)
+    import inspect
+
+    valid = set(inspect.signature(sched_cls.__init__).parameters)
+    kwargs = {k: v for k, v in cfg.items() if k in valid}
+    scheduler = sched_cls(**kwargs)
+    if pipeline_config is not None and pipeline_config.flow_shift is not None:
+        scheduler.set_shift(pipeline_config.flow_shift)
+    return scheduler
+
+
+def load_tokenizer(component_dir: str):
+    try:
+        from transformers import AutoTokenizer
+
+        return AutoTokenizer.from_pretrained(component_dir)
+    except Exception as e:  # pragma: no cover
+        logger.warning("Tokenizer load failed (%s); text encoding will "
+                       "require pre-tokenized input", e)
+        return None
+
+
+@dataclasses.dataclass
+class LoadedPipelineModules:
+    modules: dict[str, Any]
+
+    def __getitem__(self, key: str):
+        return self.modules[key]
+
+    def get(self, key: str, default=None):
+        return self.modules.get(key, default)
+
+
+class PipelineComponentLoader:
+    """Dispatch table over component types (reference component_loader.py:1370)."""
+
+    @staticmethod
+    def load_module(module_name: str, component_dir: str, pipeline_config,
+                    fastvideo_args=None):
+        if module_name in ("transformer", "transformer_2"):
+            cfg = pipeline_config.dit_config
+            return load_model_component(
+                component_dir, precision=pipeline_config.precision,
+                model_config=cfg)
+        if module_name == "vae":
+            cfg = pipeline_config.vae_config
+            return load_model_component(
+                component_dir, precision=pipeline_config.vae_precision,
+                model_config=cfg)
+        if module_name in ("text_encoder", "text_encoder_2",
+                           "text_encoder_3"):
+            idx = 0 if module_name == "text_encoder" else (
+                int(module_name.rsplit("_", 1)[-1]) - 1)
+            cfgs = pipeline_config.text_encoder_configs
+            cfg = cfgs[idx] if idx < len(cfgs) else None
+            precision = (pipeline_config.text_encoder_precisions[idx]
+                         if idx < len(pipeline_config.text_encoder_precisions)
+                         else "fp32")
+            return load_model_component(component_dir, precision=precision,
+                                        model_config=cfg)
+        if module_name.startswith("tokenizer"):
+            return load_tokenizer(component_dir)
+        if module_name == "scheduler":
+            return load_scheduler(component_dir, pipeline_config)
+        if module_name == "image_encoder":
+            return load_model_component(
+                component_dir, precision="fp32",
+                model_config=pipeline_config.image_encoder_config)
+        if module_name == "image_processor":
+            return None
+        raise ValueError(f"Unknown pipeline module {module_name!r}")

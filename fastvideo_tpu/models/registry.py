@@ -1,0 +1,69 @@
+"""Model registry: HF class names -> (model builder, arch-config class).
+
+Analog of /root/reference/fastvideo/models/registry.py (hardcoded dicts +
+lazy imports resolving ``_class_name`` from diffusers configs).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+_TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
+    # class_name -> (model module, model class, arch config path)
+    "WanTransformer3DModel":
+    ("fastvideo_tpu.models.dits.wan", "WanTransformer3DModel",
+     "fastvideo_tpu.configs.models.dits.wan:WanArchConfig"),
+    "WanModel":
+    ("fastvideo_tpu.models.dits.wan", "WanTransformer3DModel",
+     "fastvideo_tpu.configs.models.dits.wan:WanArchConfig"),
+}
+
+_VAE_REGISTRY: dict[str, tuple[str, str, str]] = {
+    "AutoencoderKLWan":
+    ("fastvideo_tpu.models.vaes.wan", "AutoencoderKLWan",
+     "fastvideo_tpu.configs.models.vaes.wan:WanVAEArchConfig"),
+}
+
+_ENCODER_REGISTRY: dict[str, tuple[str, str, str]] = {
+    "UMT5EncoderModel":
+    ("fastvideo_tpu.models.encoders.t5", "T5EncoderModel",
+     "fastvideo_tpu.configs.models.encoders.t5:T5ArchConfig"),
+    "T5EncoderModel":
+    ("fastvideo_tpu.models.encoders.t5", "T5EncoderModel",
+     "fastvideo_tpu.configs.models.encoders.t5:T5ArchConfig"),
+}
+
+_SCHEDULER_REGISTRY: dict[str, tuple[str, str]] = {
+    "FlowMatchEulerDiscreteScheduler":
+    ("fastvideo_tpu.models.schedulers.flow_match_euler",
+     "FlowMatchEulerDiscreteScheduler"),
+    "UniPCMultistepScheduler":
+    ("fastvideo_tpu.models.schedulers.flow_unipc",
+     "FlowUniPCMultistepScheduler"),
+    "FlowUniPCMultistepScheduler":
+    ("fastvideo_tpu.models.schedulers.flow_unipc",
+     "FlowUniPCMultistepScheduler"),
+}
+
+
+def _import(qualname: str):
+    module, _, attr = qualname.partition(":")
+    return getattr(importlib.import_module(module), attr)
+
+
+def resolve_model_cls(class_name: str) -> tuple[Callable, type]:
+    """Returns (model class, arch config class) for a HF ``_class_name``."""
+    for registry in (_TRANSFORMER_REGISTRY, _VAE_REGISTRY, _ENCODER_REGISTRY):
+        if class_name in registry:
+            mod, cls, cfg = registry[class_name]
+            model_cls = getattr(importlib.import_module(mod), cls)
+            return model_cls, _import(cfg)
+    raise ValueError(f"Unknown model class {class_name!r}")
+
+
+def resolve_scheduler_cls(class_name: str):
+    if class_name not in _SCHEDULER_REGISTRY:
+        raise ValueError(f"Unknown scheduler class {class_name!r}")
+    mod, cls = _SCHEDULER_REGISTRY[class_name]
+    return getattr(importlib.import_module(mod), cls)

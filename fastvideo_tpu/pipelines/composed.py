@@ -1,0 +1,98 @@
+"""ComposedPipelineBase: module loading + stage composition.
+
+Analog of /root/reference/fastvideo/pipelines/composed_pipeline_base.py:31
+(lifecycle: init distributed -> load modules from model_index.json ->
+create_pipeline_stages -> forward iterates stages). On TPU "init
+distributed" is mesh installation; there is no per-rank process fan-out —
+one controller drives the whole mesh.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from fastvideo_tpu.fastvideo_args import FastVideoArgs
+from fastvideo_tpu.logger import init_logger
+from fastvideo_tpu.models.loader.component_loader import (
+    PipelineComponentLoader, load_json_config)
+from fastvideo_tpu.parallel import maybe_init_mesh, mesh_context
+from fastvideo_tpu.pipelines.batch import ForwardBatch
+from fastvideo_tpu.pipelines.stages.base import PipelineStage
+
+logger = init_logger(__name__)
+
+
+class ComposedPipelineBase:
+    # Modules that must exist in the checkpoint for this pipeline
+    # (reference: _required_config_modules, basic/wan/wan_pipeline.py:19-60).
+    _required_config_modules: list[str] = []
+
+    def __init__(self, model_path: str, fastvideo_args: FastVideoArgs,
+                 required_config_modules: list[str] | None = None,
+                 loaded_modules: dict[str, Any] | None = None):
+        self.model_path = model_path
+        self.fastvideo_args = fastvideo_args
+        self.pipeline_config = fastvideo_args.pipeline_config
+        if required_config_modules is not None:
+            self._required_config_modules = required_config_modules
+        self.modules: dict[str, Any] = {}
+        self._stages: list[PipelineStage] = []
+        self._stage_name_mapping: dict[str, PipelineStage] = {}
+
+        self.mesh = maybe_init_mesh(fastvideo_args.mesh_config())
+        with mesh_context(self.mesh):
+            self.load_modules(loaded_modules or {})
+            self.initialize_pipeline(fastvideo_args)
+            self.create_pipeline_stages(fastvideo_args)
+
+    # -- module loading ----------------------------------------------------
+
+    def load_modules(self, loaded_modules: dict[str, Any]) -> None:
+        index_path = os.path.join(self.model_path, "model_index.json")
+        model_index = (load_json_config(index_path)
+                       if os.path.exists(index_path) else {})
+        for name in self._required_config_modules:
+            if name in loaded_modules:
+                self.modules[name] = loaded_modules[name]
+                continue
+            component_dir = os.path.join(self.model_path, name)
+            if not os.path.isdir(component_dir):
+                if name in model_index:
+                    raise FileNotFoundError(
+                        f"Pipeline module dir missing: {component_dir}")
+                logger.warning("Optional module %s not present", name)
+                continue
+            self.modules[name] = PipelineComponentLoader.load_module(
+                name, component_dir, self.pipeline_config,
+                self.fastvideo_args)
+        logger.info("Loaded pipeline modules: %s", sorted(self.modules))
+
+    def get_module(self, name: str, default=None):
+        return self.modules.get(name, default)
+
+    # -- stage composition -------------------------------------------------
+
+    def initialize_pipeline(self, fastvideo_args: FastVideoArgs) -> None:
+        pass
+
+    def create_pipeline_stages(self, fastvideo_args: FastVideoArgs) -> None:
+        raise NotImplementedError
+
+    def add_stage(self, stage_name: str, stage: PipelineStage) -> None:
+        self._stages.append(stage)
+        self._stage_name_mapping[stage_name] = stage
+        setattr(self, stage_name, stage)
+
+    @property
+    def stages(self) -> list[PipelineStage]:
+        return self._stages
+
+    # -- execution ---------------------------------------------------------
+
+    def forward(self, batch: ForwardBatch,
+                fastvideo_args: FastVideoArgs) -> ForwardBatch:
+        with mesh_context(self.mesh):
+            for stage in self._stages:
+                batch = stage(batch, fastvideo_args)
+        return batch

@@ -1,0 +1,37 @@
+"""Pipeline registry: model_index _class_name -> pipeline class.
+
+Analog of /root/reference/fastvideo/pipelines/pipeline_registry.py:25-99.
+"""
+
+from __future__ import annotations
+
+from fastvideo_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+_PIPELINES: dict[str, str] = {
+    # HF diffusers class name -> our pipeline qualname
+    "WanPipeline": "fastvideo_tpu.pipelines.basic.wan.wan_pipeline:WanPipeline",
+    "WanImageToVideoPipeline":
+    "fastvideo_tpu.pipelines.basic.wan.wan_pipeline:WanImageToVideoPipeline",
+    "WanDMDPipeline":
+    "fastvideo_tpu.pipelines.basic.wan.wan_pipeline:WanDMDPipeline",
+}
+
+
+def register_pipeline(class_name: str, qualname: str) -> None:
+    _PIPELINES[class_name] = qualname
+
+
+def resolve_pipeline_cls(class_name: str, workload_type: str = "t2v",
+                         dmd: bool = False):
+    import importlib
+
+    if dmd and class_name == "WanPipeline":
+        class_name = "WanDMDPipeline"
+    if class_name not in _PIPELINES:
+        raise ValueError(
+            f"No pipeline registered for {class_name!r}; known: "
+            f"{sorted(_PIPELINES)}")
+    mod, _, attr = _PIPELINES[class_name].partition(":")
+    return getattr(importlib.import_module(mod), attr)

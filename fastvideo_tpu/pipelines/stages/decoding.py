@@ -1,0 +1,48 @@
+"""VAE decoding stage.
+
+Analog of /root/reference/fastvideo/pipelines/stages/decoding.py:
+denormalize latents by the VAE's per-channel mean/std, decode (bf16 decode
+precision per reference configs/pipelines/wan.py vae_decode_precision), and
+emit pixel frames in [-1, 1].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from fastvideo_tpu.fastvideo_args import FastVideoArgs
+from fastvideo_tpu.pipelines.batch import ForwardBatch
+from fastvideo_tpu.pipelines.stages.base import PipelineStage
+
+
+class DecodingStage(PipelineStage):
+    def __init__(self, vae, pipeline_config=None):
+        self.vae = vae
+        self.pipeline_config = pipeline_config
+        self._decode_fn = None
+
+    def _get_decode_fn(self):
+        if self._decode_fn is None:
+            graphdef, state = nnx.split(self.vae)
+
+            @jax.jit
+            def decode_fn(state, latents):
+                vae = nnx.merge(graphdef, state)
+                z = vae.denormalize_latents(latents)
+                return vae.decode(z)
+
+            self._decode_fn = (decode_fn, state)
+        return self._decode_fn
+
+    def forward(self, batch: ForwardBatch,
+                fastvideo_args: FastVideoArgs) -> ForwardBatch:
+        if batch.extra.get("output_type") == "latent":
+            batch.output = batch.latents
+            return batch
+        decode_fn, state = self._get_decode_fn()
+        batch.output = decode_fn(state, batch.latents.astype(jnp.float32))
+        return batch

@@ -1,0 +1,160 @@
+"""Denoising stage — the hot loop.
+
+Analog of /root/reference/fastvideo/pipelines/stages/denoising.py:48-744.
+Per step: (optional Wan2.2 dual-expert select by boundary timestep) ->
+transformer forward (jitted; Ulysses SP inside) -> CFG combine ->
+scheduler.step in fp32. The transformer step is a single XLA program per
+(shape, expert); the python loop only orchestrates steps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from fastvideo_tpu.fastvideo_args import FastVideoArgs
+from fastvideo_tpu.forward_context import set_forward_context
+from fastvideo_tpu.logger import init_logger
+from fastvideo_tpu.pipelines.batch import ForwardBatch
+from fastvideo_tpu.pipelines.stages.base import PipelineStage
+
+logger = init_logger(__name__)
+
+
+class DenoisingStage(PipelineStage):
+    def __init__(self, transformer, scheduler, pipeline_config=None,
+                 transformer_2=None):
+        self.transformer = transformer
+        self.transformer_2 = transformer_2
+        self.scheduler = scheduler
+        self.pipeline_config = pipeline_config
+        self._step_fns = {}
+
+    def _get_step_fn(self, which: str):
+        """Jitted pure forward for one expert; cached per expert."""
+        if which in self._step_fns:
+            return self._step_fns[which]
+        model = self.transformer if which == "main" else self.transformer_2
+        graphdef, state = nnx.split(model)
+
+        @functools.partial(jax.jit, static_argnames=("image_cond",))
+        def step_fn(state, latents, ctx, t, image_embeds=None,
+                    image_cond: bool = False):
+            m = nnx.merge(graphdef, state)
+            return m(latents, ctx, t,
+                     encoder_hidden_states_image=(image_embeds
+                                                  if image_cond else None))
+
+        self._step_fns[which] = (step_fn, state)
+        return self._step_fns[which]
+
+    def _select_expert(self, t: float, batch: ForwardBatch) -> str:
+        boundary_ratio = None
+        if self.pipeline_config is not None:
+            boundary_ratio = self.pipeline_config.boundary_ratio
+        if boundary_ratio is None or self.transformer_2 is None:
+            return "main"
+        boundary_timestep = boundary_ratio * \
+            self.scheduler.num_train_timesteps
+        # reference: high-noise expert above the boundary
+        # (stages/denoising.py:377-401)
+        return "main" if t >= boundary_timestep else "second"
+
+    def _model_input(self, batch: ForwardBatch, latents):
+        if batch.image_latent is not None:
+            # I2V: concat conditioning latent on channels
+            # (reference stages/denoising.py:404-419).
+            return jnp.concatenate(
+                [latents, batch.image_latent.astype(latents.dtype)], axis=1)
+        return latents
+
+    def forward(self, batch: ForwardBatch,
+                fastvideo_args: FastVideoArgs) -> ForwardBatch:
+        target_dtype = jnp.bfloat16 if (
+            self.pipeline_config is None
+            or self.pipeline_config.precision == "bf16") else jnp.float32
+        latents = batch.latents
+        pos_ctx = batch.prompt_embeds[0].astype(target_dtype)
+        neg_ctx = (batch.negative_prompt_embeds[0].astype(target_dtype)
+                   if batch.negative_prompt_embeds else None)
+        image_embeds = (batch.image_embeds[0].astype(target_dtype)
+                        if batch.image_embeds else None)
+        guidance = batch.guidance_scale
+        do_cfg = batch.do_classifier_free_guidance and neg_ctx is not None
+
+        timesteps = list(batch.timesteps)
+        trajectory = []
+        for i, t in enumerate(timesteps):
+            which = self._select_expert(float(t), batch)
+            step_fn, state = self._get_step_fn(which)
+            t_arr = jnp.full((latents.shape[0],), float(t), jnp.float32)
+            model_in = self._model_input(batch, latents.astype(target_dtype))
+            with set_forward_context(current_timestep=i, forward_batch=batch):
+                noise_pred = step_fn(state, model_in, pos_ctx, t_arr,
+                                     image_embeds,
+                                     image_cond=image_embeds is not None)
+                if do_cfg:
+                    noise_uncond = step_fn(state, model_in, neg_ctx, t_arr,
+                                           image_embeds,
+                                           image_cond=image_embeds
+                                           is not None)
+                    noise_pred = noise_uncond + guidance * (
+                        noise_pred - noise_uncond)
+            latents = self.scheduler.step(
+                noise_pred.astype(jnp.float32), t,
+                latents.astype(jnp.float32)).prev_sample
+            if batch.return_trajectory_latents:
+                trajectory.append(latents)
+
+        batch.latents = latents
+        if batch.return_trajectory_latents:
+            batch.trajectory_latents = jnp.stack(trajectory, axis=1)
+            batch.trajectory_timesteps = timesteps
+        return batch
+
+
+class DmdDenoisingStage(DenoisingStage):
+    """3-step distilled sampling (reference stages/denoising.py:1250).
+
+    Per step: predict x0 via flow update to sigma=0, then renoise to the
+    next timestep's sigma with fresh noise.
+    """
+
+    def forward(self, batch: ForwardBatch,
+                fastvideo_args: FastVideoArgs) -> ForwardBatch:
+        from fastvideo_tpu.pipelines.stages.latent_preparation import (
+            randn_like_reference)
+
+        target_dtype = jnp.bfloat16 if (
+            self.pipeline_config is None
+            or self.pipeline_config.precision == "bf16") else jnp.float32
+        latents = batch.latents
+        pos_ctx = batch.prompt_embeds[0].astype(target_dtype)
+        timesteps = list(batch.timesteps)
+        num_train = self.scheduler.num_train_timesteps
+        sigmas = [float(t) / num_train for t in timesteps]
+
+        step_fn, state = self._get_step_fn("main")
+        for i, t in enumerate(timesteps):
+            t_arr = jnp.full((latents.shape[0],), float(t), jnp.float32)
+            model_in = self._model_input(batch, latents.astype(target_dtype))
+            with set_forward_context(current_timestep=i, forward_batch=batch):
+                flow_pred = step_fn(state, model_in, pos_ctx, t_arr, None,
+                                    image_cond=False)
+            sigma = sigmas[i]
+            x0 = latents.astype(jnp.float32) - sigma * flow_pred.astype(
+                jnp.float32)
+            if i < len(timesteps) - 1:
+                next_sigma = sigmas[i + 1]
+                noise = jnp.asarray(
+                    randn_like_reference(
+                        tuple(latents.shape),
+                        [s + i + 1 for s in (batch.seeds or [0])]))
+                latents = (1.0 - next_sigma) * x0 + next_sigma * noise
+            else:
+                latents = x0
+        batch.latents = latents
+        return batch

@@ -1,0 +1,58 @@
+"""Text encoding stage.
+
+Analog of /root/reference/fastvideo/pipelines/stages/text_encoding.py: runs
+each (tokenizer, encoder) pair, applies the per-family postprocess fn, and
+fills prompt_embeds / negative_prompt_embeds.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from fastvideo_tpu.fastvideo_args import FastVideoArgs
+from fastvideo_tpu.pipelines.batch import ForwardBatch
+from fastvideo_tpu.pipelines.stages.base import PipelineStage
+
+
+class TextEncodingStage(PipelineStage):
+    def __init__(self, text_encoders, tokenizers, postprocess_funcs=(),
+                 max_length: int = 512):
+        self.text_encoders = list(text_encoders)
+        self.tokenizers = list(tokenizers)
+        self.postprocess_funcs = list(postprocess_funcs)
+        self.max_length = max_length
+
+    def _encode_one(self, prompts: list[str], idx: int):
+        tokenizer = self.tokenizers[idx]
+        encoder = self.text_encoders[idx]
+        if tokenizer is None:
+            raise RuntimeError("No tokenizer available for text encoding")
+        enc = tokenizer(prompts, padding="max_length",
+                        max_length=self.max_length, truncation=True,
+                        return_tensors="np")
+        ids = jnp.asarray(np.asarray(enc["input_ids"]))
+        mask = jnp.asarray(np.asarray(enc["attention_mask"]))
+        outputs = encoder(ids, mask)
+        if idx < len(self.postprocess_funcs):
+            embeds = self.postprocess_funcs[idx](outputs)
+        else:
+            embeds = outputs.last_hidden_state
+        return embeds, mask
+
+    def forward(self, batch: ForwardBatch,
+                fastvideo_args: FastVideoArgs) -> ForwardBatch:
+        prompts = batch.prompt if isinstance(batch.prompt,
+                                             list) else [batch.prompt]
+        for i in range(len(self.text_encoders)):
+            embeds, mask = self._encode_one([p or "" for p in prompts], i)
+            batch.prompt_embeds.append(embeds)
+            batch.prompt_attention_mask.append(mask)
+        if batch.do_classifier_free_guidance:
+            neg = batch.negative_prompt or ""
+            negs = [neg] * len(prompts)
+            for i in range(len(self.text_encoders)):
+                embeds, mask = self._encode_one(negs, i)
+                batch.negative_prompt_embeds.append(embeds)
+                batch.negative_attention_mask.append(mask)
+        return batch

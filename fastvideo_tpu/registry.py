@@ -1,0 +1,87 @@
+"""Config registry: model path/name -> (PipelineConfig cls, SamplingParam cls).
+
+Analog of /root/reference/fastvideo/registry.py (resolution priority per
+docs/inference/architecture.md:38-67): exact id match > name-fragment
+detectors > fallback to model_index.json introspection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from collections.abc import Callable
+
+from fastvideo_tpu.configs.pipelines.base import PipelineConfig
+from fastvideo_tpu.configs.sample import SamplingParam
+from fastvideo_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+@dataclasses.dataclass
+class _Entry:
+    detector: Callable[[str], bool]
+    config_cls: type[PipelineConfig]
+    sampling_cls: type[SamplingParam] | None = None
+    priority: int = 0
+
+
+_REGISTRY: list[_Entry] = []
+
+
+def register_config(detector: Callable[[str], bool] | str,
+                    config_cls: type[PipelineConfig],
+                    sampling_cls: type[SamplingParam] | None = None,
+                    priority: int = 0) -> None:
+    if isinstance(detector, str):
+        frag = detector.lower()
+        detector = lambda name, _frag=frag: _frag in name.lower()  # noqa: E731
+    _REGISTRY.append(_Entry(detector, config_cls, sampling_cls, priority))
+    _REGISTRY.sort(key=lambda e: -e.priority)
+
+
+def get_pipeline_config_cls_for_name(
+        model_path: str) -> type[PipelineConfig] | None:
+    name = os.path.basename(os.path.normpath(model_path)) or model_path
+    for entry in _REGISTRY:
+        if entry.detector(name) or entry.detector(model_path):
+            return entry.config_cls
+    return None
+
+
+def get_sampling_param_cls_for_name(
+        model_path: str) -> type[SamplingParam] | None:
+    name = os.path.basename(os.path.normpath(model_path)) or model_path
+    for entry in _REGISTRY:
+        if (entry.detector(name)
+                or entry.detector(model_path)) and entry.sampling_cls:
+            return entry.sampling_cls
+    return None
+
+
+def _register_builtin() -> None:
+    from fastvideo_tpu.configs.pipelines import wan as wan_cfg
+
+    def frag(*frags):
+        def det(name: str) -> bool:
+            low = name.lower()
+            return all(f in low for f in frags)
+
+        return det
+
+    register_config(frag("fastwan2.1", "t2v"), wan_cfg.FastWanT2V480PConfig,
+                    priority=10)
+    register_config(frag("fastwan"), wan_cfg.FastWanT2V480PConfig, priority=9)
+    register_config(frag("wan2.2", "ti2v"), wan_cfg.Wan2_2_TI2V_5B_Config,
+                    priority=8)
+    register_config(frag("wan2.2", "t2v"), wan_cfg.Wan2_2_T2V_A14B_Config,
+                    priority=8)
+    register_config(frag("wan", "i2v", "720"), wan_cfg.WanI2V720PConfig,
+                    priority=6)
+    register_config(frag("wan", "i2v"), wan_cfg.WanI2V480PConfig, priority=5)
+    register_config(frag("wan", "t2v", "14b"), wan_cfg.WanT2V720PConfig,
+                    priority=5)
+    register_config(frag("wan"), wan_cfg.WanT2V480PConfig, priority=1)
+
+
+_register_builtin()

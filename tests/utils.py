@@ -1,0 +1,179 @@
+"""Test fixtures: tiny random-weight diffusers-format checkpoints.
+
+Mirrors the reference test strategy of tiny-config random-weight models
+(/root/reference/fastvideo/tests/distributed/test_sp_wan.py:26-50,
+tests/train/fixtures/*_min.yaml).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+TINY_DIT = dict(num_attention_heads=4, attention_head_dim=16, in_channels=4,
+                out_channels=4, text_dim=32, freq_dim=32, ffn_dim=64,
+                num_layers=2, patch_size=[1, 2, 2], qk_norm="rms_norm_across_heads",
+                cross_attn_norm=True, eps=1e-6)
+TINY_VAE = dict(base_dim=8, z_dim=4, dim_mult=[1, 2], num_res_blocks=1,
+                attn_scales=[], temperal_downsample=[True],
+                latents_mean=[0.0] * 4, latents_std=[1.0] * 4,
+                scale_factor_temporal=2, scale_factor_spatial=2)
+TINY_T5 = dict(vocab_size=128, d_model=32, d_kv=8, d_ff=48, num_layers=2,
+               num_heads=4, relative_attention_num_buckets=8,
+               relative_attention_max_distance=16,
+               feed_forward_proj="gated-gelu", model_type="umt5")
+
+
+def _save_safetensors(path: str, tensors: dict[str, np.ndarray]) -> None:
+    from safetensors.numpy import save_file
+
+    save_file(tensors, path)
+
+
+def _export_torch_layout(model) -> dict[str, np.ndarray]:
+    """Dump an nnx model's params under torch layout conventions."""
+    from flax import nnx
+
+    from fastvideo_tpu.layers.embeddings import PatchEmbed3D
+    from fastvideo_tpu.layers.linear import Linear
+    from fastvideo_tpu.models.vaes.wan import CausalConv3d
+
+    out: dict[str, np.ndarray] = {}
+
+    def walk(mod, prefix: str):
+        for name, child in vars(mod).items():
+            name = str(name)
+            if name.startswith("_"):
+                continue
+            path = f"{prefix}{name}" if prefix else name
+            if isinstance(child, PatchEmbed3D):
+                # emit diffusers-style 5D conv weight for the patch embed
+                k = np.asarray(child.proj.kernel.value)  # [C*pt*ph*pw, O]
+                pt, ph, pw = child.patch_size
+                cin = k.shape[0] // (pt * ph * pw)
+                w = k.T.reshape(-1, cin, pt, ph, pw)
+                out[f"{path}.weight"] = w
+                out[f"{path}.bias"] = np.asarray(child.proj.bias.value)
+            elif isinstance(child, Linear):
+                out[f"{path}.weight"] = np.asarray(child.kernel.value).T
+                if child.bias is not None:
+                    out[f"{path}.bias"] = np.asarray(child.bias.value)
+            elif isinstance(child, CausalConv3d):
+                w = np.asarray(child.weight.value)  # DHWIO
+                out[f"{path}.weight"] = w.transpose(4, 3, 0, 1, 2)
+                out[f"{path}.bias"] = np.asarray(child.bias.value)
+            elif isinstance(child, nnx.Module):
+                walk(child, path + ".")
+            elif isinstance(child, (list, nnx.List)):
+                for i, item in enumerate(child):
+                    if isinstance(item, nnx.Module):
+                        walk(item, f"{path}.{i}.")
+            elif isinstance(child, nnx.Variable):
+                out[path] = np.asarray(child.value)
+    walk(model, "")
+    return out
+
+
+def _make_tokenizer(dir_: str, vocab_size: int = 128) -> None:
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    words = [f"w{i}" for i in range(vocab_size - 4)]
+    vocab = {"<pad>": 0, "</s>": 1, "<unk>": 2, " ": 3}
+    vocab.update({w: i + 4 for i, w in enumerate(words)})
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    os.makedirs(dir_, exist_ok=True)
+    tok.save(os.path.join(dir_, "tokenizer.json"))
+    with open(os.path.join(dir_, "tokenizer_config.json"), "w") as fh:
+        json.dump({
+            "tokenizer_class": "PreTrainedTokenizerFast",
+            "pad_token": "<pad>",
+            "eos_token": "</s>",
+            "unk_token": "<unk>",
+            "model_max_length": 512,
+        }, fh)
+
+
+def make_tiny_wan_checkpoint(root: str, seed: int = 0) -> str:
+    """Write a tiny random-weight Wan T2V checkpoint (diffusers layout)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.dits.wan import WanArchConfig
+    from fastvideo_tpu.configs.models.encoders.t5 import T5ArchConfig
+    from fastvideo_tpu.configs.models.vaes.wan import WanVAEArchConfig
+    from fastvideo_tpu.models.dits.wan import WanTransformer3DModel
+    from fastvideo_tpu.models.encoders.t5 import T5EncoderModel
+    from fastvideo_tpu.models.vaes.wan import AutoencoderKLWan
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump({
+            "_class_name": "WanPipeline",
+            "_diffusers_version": "0.33.0",
+            "scheduler": ["diffusers", "UniPCMultistepScheduler"],
+            "text_encoder": ["transformers", "UMT5EncoderModel"],
+            "tokenizer": ["transformers", "T5TokenizerFast"],
+            "transformer": ["diffusers", "WanTransformer3DModel"],
+            "vae": ["diffusers", "AutoencoderKLWan"],
+        }, fh)
+
+    # transformer
+    tdir = os.path.join(root, "transformer")
+    os.makedirs(tdir, exist_ok=True)
+    dit_cfg = {k: v for k, v in TINY_DIT.items()}
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "WanTransformer3DModel", **dit_cfg}, fh)
+    arch = WanArchConfig(**{
+        **{k: tuple(v) if isinstance(v, list) else v
+           for k, v in dit_cfg.items()}
+    })
+    dit = WanTransformer3DModel(arch, param_dtype=jnp.float32,
+                                rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+
+    # vae
+    vdir = os.path.join(root, "vae")
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "AutoencoderKLWan", **TINY_VAE}, fh)
+    varch = WanVAEArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_VAE.items()
+    })
+    vae = AutoencoderKLWan(varch, param_dtype=jnp.float32,
+                           rngs=nnx.Rngs(seed + 1))
+    _save_safetensors(os.path.join(vdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(vae))
+
+    # text encoder
+    edir = os.path.join(root, "text_encoder")
+    os.makedirs(edir, exist_ok=True)
+    with open(os.path.join(edir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["UMT5EncoderModel"], **TINY_T5}, fh)
+    earch_kwargs = {k: v for k, v in TINY_T5.items() if k != "model_type"}
+    earch = T5ArchConfig(**earch_kwargs, is_umt5=True)
+    enc = T5EncoderModel(earch, param_dtype=jnp.float32,
+                         rngs=nnx.Rngs(seed + 2))
+    _save_safetensors(os.path.join(edir, "model.safetensors"),
+                      _export_torch_layout(enc))
+
+    # tokenizer + scheduler
+    _make_tokenizer(os.path.join(root, "tokenizer"),
+                    TINY_T5["vocab_size"])
+    sdir = os.path.join(root, "scheduler")
+    os.makedirs(sdir, exist_ok=True)
+    with open(os.path.join(sdir, "scheduler_config.json"), "w") as fh:
+        json.dump({
+            "_class_name": "UniPCMultistepScheduler",
+            "num_train_timesteps": 1000,
+            "solver_order": 2,
+        }, fh)
+    return root
