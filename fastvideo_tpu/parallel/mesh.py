@@ -98,12 +98,16 @@ def destroy_mesh() -> None:
 
 @contextlib.contextmanager
 def mesh_context(mesh: Mesh):
-    """Temporarily install ``mesh`` as the global mesh."""
+    """Temporarily install ``mesh`` as the global mesh.
+
+    Only library-level state: sharding helpers use explicit
+    ``NamedSharding(mesh, ...)`` so no jax-global mesh is required (and the
+    context is safe to hold across jit tracing).
+    """
     prev = _STATE.mesh
     _STATE.mesh = mesh
     try:
-        with jax.set_mesh(mesh):
-            yield mesh
+        yield mesh
     finally:
         _STATE.mesh = prev
 

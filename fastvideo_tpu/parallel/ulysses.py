@@ -19,7 +19,7 @@ from collections.abc import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from fastvideo_tpu.parallel.mesh import (DP_AXIS, SP_AXIS, get_mesh,
                                          get_sp_size)
@@ -52,7 +52,8 @@ def shard_seq(x: Array, axis: int = 1) -> tuple[Array, int]:
         spec = [None] * x.ndim
         spec[0] = DP_AXIS
         spec[axis] = SP_AXIS
-        x = jax.lax.with_sharding_constraint(x, P(*spec))
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(get_mesh(), P(*spec)))
     return x, orig
 
 
@@ -66,7 +67,8 @@ def unshard_seq(x: Array, original_len: int, axis: int = 1) -> Array:
     if sp > 1:
         spec = [None] * x.ndim
         spec[0] = DP_AXIS
-        x = jax.lax.with_sharding_constraint(x, P(*spec))
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(get_mesh(), P(*spec)))
     if x.shape[axis] != original_len:
         x = jax.lax.slice_in_dim(x, 0, original_len, axis=axis)
     return x
