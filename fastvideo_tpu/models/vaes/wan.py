@@ -34,6 +34,33 @@ from fastvideo_tpu.configs.models.vaes.wan import WanVAEArchConfig
 Array = jax.Array
 
 
+class StreamCache:
+    """Functional conv-cache bookkeeping for chunked/streaming decode.
+
+    Each temporal conv consumes one entry (its last 2 input frames from the
+    previous chunk, in call order) and emits the updated entry. The entry
+    list is a plain pytree, so a chunk-decode step jits/scans cleanly.
+    Reference analog: the ``feat_cache``/``feat_idx`` lists
+    (wanvae.py:1163-1181) — but threaded functionally instead of mutated.
+    """
+
+    def __init__(self, entries: list[Array] | None):
+        self.entries = entries
+        self.idx = 0
+        self.out: list[Array] = []
+
+    def pop(self) -> Array | None:
+        if self.entries is None:
+            self.idx += 1
+            return None
+        e = self.entries[self.idx]
+        self.idx += 1
+        return e
+
+    def push(self, e: Array) -> None:
+        self.out.append(e)
+
+
 class CausalConv3d(nnx.Module):
     """3D conv, temporally causal (left-pad 2*pt zeros; wanvae.py:157-206).
 
@@ -61,10 +88,32 @@ class CausalConv3d(nnx.Module):
                  param_dtype))
         self.bias = nnx.Param(jnp.zeros((out_channels,), param_dtype))
 
-    def __call__(self, x: Array, *, time_pad: int | None = None) -> Array:
-        """x: [B, T, H, W, C]. ``time_pad`` overrides the causal left pad."""
+    def __call__(self, x: Array, *, time_pad: int | None = None,
+                 ctx: StreamCache | None = None) -> Array:
+        """x: [B, T, H, W, C]. ``time_pad`` overrides the causal left pad.
+
+        With a StreamCache, the causal left context comes from the previous
+        chunk's cached frames instead of zero padding, and the updated cache
+        (last ``2*pt`` input frames) is recorded.
+        """
         pt, ph, pw = self.pad
         tp = 2 * pt if time_pad is None else time_pad
+        if ctx is not None and tp > 0:
+            prev = ctx.pop()
+            if prev is not None:
+                x = jnp.concatenate([prev.astype(x.dtype), x], axis=1)
+                tp = 0
+            # cache = last tp_frames of the (unpadded-right) causal stream;
+            # zero-fill if the chunk is shorter than the context.
+            need = 2 * pt if time_pad is None else time_pad
+            if prev is None:
+                need = 2 * pt
+            tail = x[:, -need:]
+            if tail.shape[1] < need:
+                tail = jnp.pad(
+                    tail, ((0, 0), (need - tail.shape[1], 0), (0, 0), (0, 0),
+                           (0, 0)))
+            ctx.push(tail)
         if tp or ph or pw:
             x = jnp.pad(x, ((0, 0), (tp, 0), (ph, ph), (pw, pw), (0, 0)))
         out = jax.lax.conv_general_dilated(
@@ -88,14 +137,18 @@ class WanRMSNorm(nnx.Module):
             (dim,), param_dtype)) if bias else None
 
     def __call__(self, x: Array) -> Array:
-        # F.normalize: x / max(||x||_2, eps)
-        norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
-                                keepdims=True))
-        out = x.astype(jnp.float32) / jnp.maximum(norm, 1e-12) * self.scale
-        out = out * self.gamma.value.astype(jnp.float32)
+        # F.normalize: x / max(||x||_2, eps). The sum-of-squares reduces in
+        # fp32 but the elementwise rescale stays in the input dtype so no
+        # full-resolution fp32 temps materialize (HBM peak matters: the
+        # decoder touches [T,480,832,96] tensors).
+        sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                     keepdims=True)
+        inv = (self.scale * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))).astype(
+            x.dtype)
+        out = x * inv * self.gamma.value.astype(x.dtype)
         if self.bias is not None:
-            out = out + self.bias.value.astype(jnp.float32)
-        return out.astype(x.dtype)
+            out = out + self.bias.value.astype(x.dtype)
+        return out
 
 
 class WanResidualBlock(nnx.Module):
@@ -113,10 +166,10 @@ class WanResidualBlock(nnx.Module):
                                            param_dtype=param_dtype, rngs=rngs)
                               if in_dim != out_dim else None)
 
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, ctx: "StreamCache | None" = None) -> Array:
         h = self.conv_shortcut(x) if self.conv_shortcut is not None else x
-        x = self.conv1(jax.nn.silu(self.norm1(x)))
-        x = self.conv2(jax.nn.silu(self.norm2(x)))
+        x = self.conv1(jax.nn.silu(self.norm1(x)), ctx=ctx)
+        x = self.conv2(jax.nn.silu(self.norm2(x)), ctx=ctx)
         return x + h
 
 
@@ -160,12 +213,12 @@ class WanMidBlock(nnx.Module):
         self.attentions = nnx.List(attentions)
         self.resnets = nnx.List(resnets)
 
-    def __call__(self, x: Array) -> Array:
-        x = self.resnets[0](x)
+    def __call__(self, x: Array, ctx: "StreamCache | None" = None) -> Array:
+        x = self.resnets[0](x, ctx)
         for attn, resnet in zip(self.attentions, self.resnets[1:],
                                 strict=True):
             x = attn(x)
-            x = resnet(x)
+            x = resnet(x, ctx)
         return x
 
 
@@ -213,7 +266,8 @@ class WanResample(nnx.Module):
         else:
             self.time_conv = None
 
-    def __call__(self, x: Array, first_len: int = 1) -> Array:
+    def __call__(self, x: Array, first_len: int = 1,
+                 ctx: "StreamCache | None" = None) -> Array:
         b, t, h, w, c = x.shape
         if self.mode == "upsample3d":
             x0 = x[:, :first_len]
@@ -221,13 +275,18 @@ class WanResample(nnx.Module):
             if xr.shape[1] > 0:
                 # doubling conv over the rest-stream, frame 0 excluded
                 # (reference "Rep" branch, wanvae.py:336-372).
-                xr = self.time_conv(xr)  # [B, Tr, H, W, 2C]
+                xr = self.time_conv(xr, ctx=ctx)  # [B, Tr, H, W, 2C]
                 tr = xr.shape[1]
                 xr = xr.reshape(b, tr, h, w, 2, c)
                 xr = xr.transpose(0, 1, 4, 2, 3, 5).reshape(b, tr * 2, h, w,
                                                             c)
                 x = jnp.concatenate([x0, xr], axis=1)
             else:
+                # keep the cache-entry ordering stable even when this chunk
+                # carries only the first frame (fresh zero-context stream)
+                if ctx is not None:
+                    ctx.pop()
+                    ctx.push(jnp.zeros((b, 2, h, w, c), x.dtype))
                 x = x0
         if self.mode in ("upsample2d", "upsample3d"):
             x = _nearest_upsample2x(x)
@@ -268,11 +327,12 @@ class WanUpBlock(nnx.Module):
                         rngs=rngs)
         ]) if upsample_mode is not None else None)
 
-    def __call__(self, x: Array, first_len: int = 1) -> Array:
+    def __call__(self, x: Array, first_len: int = 1,
+                 ctx: "StreamCache | None" = None) -> Array:
         for resnet in self.resnets:
-            x = resnet(x)
+            x = resnet(x, ctx)
         if self.upsamplers is not None:
-            x = self.upsamplers[0](x, first_len=first_len)
+            x = self.upsamplers[0](x, first_len=first_len, ctx=ctx)
         return x
 
 
@@ -355,13 +415,14 @@ class WanDecoder3d(nnx.Module):
         self.conv_out = CausalConv3d(dims[-1], out_channels, 3, padding=1,
                                      param_dtype=param_dtype, rngs=rngs)
 
-    def __call__(self, x: Array) -> Array:
-        x = self.conv_in(x)
-        x = self.mid_block(x)
+    def __call__(self, x: Array, first_len: int = 1,
+                 ctx: "StreamCache | None" = None) -> Array:
+        x = self.conv_in(x, ctx=ctx)
+        x = self.mid_block(x, ctx)
         for block in self.up_blocks:
-            x = block(x, first_len=1)
+            x = block(x, first_len=first_len, ctx=ctx)
         x = jax.nn.silu(self.norm_out(x))
-        return self.conv_out(x)
+        return self.conv_out(x, ctx=ctx)
 
 
 class DiagonalGaussianDistribution:
@@ -445,16 +506,81 @@ class AutoencoderKLWan(nnx.Module):
         z = dist.sample(key) if key is not None else dist.mode()
         return z.transpose(0, 4, 1, 2, 3)  # back to NCDHW
 
-    def decode(self, z: Array) -> Array:
-        """z: [B, C, T, H, W] (denormalized) -> pixels [B, 3, T', H', W']."""
+    def decode(self, z: Array, *, chunk_frames: int | None = None) -> Array:
+        """z: [B, C, T, H, W] (denormalized) -> pixels [B, 3, T', H', W'].
+
+        ``chunk_frames``: latent frames per decode chunk. When set (or when
+        the clip is large enough to auto-chunk), the decoder runs as a
+        ``lax.scan`` over chunks with carried conv caches — bit-identical to
+        the full-clip path but with bounded HBM (the reference achieves the
+        same with python-side per-frame streaming, wanvae.py:1254-1272).
+        """
         assert self.decoder is not None
         z = z.transpose(0, 2, 3, 4, 1)  # NDHWC
         x = self.post_quant_conv(z)
-        out = self.decoder(x)
+        if chunk_frames is None:
+            # auto-chunk when the full-res activations would exceed ~2 GB
+            b, t, h, w, _ = x.shape
+            full_elems = b * t * 4 * h * 8 * w * 8 * 96
+            if full_elems > 7e8 and t > 2:
+                chunk_frames = max(1, int(7e8 / (full_elems / t)))
+        if chunk_frames is not None and x.shape[1] > max(chunk_frames, 1):
+            out = self._decode_chunked(x, max(chunk_frames, 1))
+        else:
+            out = self.decoder(x)
         out = out.astype(jnp.float32)
         if self.config.clip_output:
             out = jnp.clip(out, -1.0, 1.0)
         return out.transpose(0, 4, 1, 2, 3)
+
+    def _decode_chunked(self, x: Array, chunk: int) -> Array:
+        dec = self.decoder
+        b = x.shape[0]
+        ctx0 = StreamCache(None)
+        out0 = dec(x[:, :1], first_len=1, ctx=ctx0)
+        cache = ctx0.out
+        rest = x[:, 1:]
+        n_rest = rest.shape[1]
+        outs = [out0]
+        n_full, rem = divmod(n_rest, chunk)
+        if n_full:
+            zc = rest[:, :n_full * chunk]
+            zc = zc.reshape(b, n_full, chunk,
+                            *rest.shape[2:]).transpose(1, 0, 2, 3, 4, 5)
+
+            def body(cache, z_chunk):
+                ctx = StreamCache(cache)
+                out = dec(z_chunk, first_len=0, ctx=ctx)
+                return ctx.out, out
+
+            cache, stacked = jax.lax.scan(body, cache, zc)
+            # [n_full, B, chunk*up, H, W, C] -> [B, n_full*chunk*up, ...]
+            o = stacked.transpose(1, 0, 2, 3, 4, 5)
+            outs.append(o.reshape(b, -1, *stacked.shape[3:]))
+        if rem:
+            ctx = StreamCache(cache)
+            outs.append(dec(rest[:, n_full * chunk:], first_len=0, ctx=ctx))
+            cache = ctx.out
+        return jnp.concatenate(outs, axis=1)
+
+    def streaming_decode(
+        self, z: Array, cache: list[Array] | None,
+        is_first_chunk: bool = False
+    ) -> tuple[Array, list[Array]]:
+        """Causal streaming decode: one chunk in, (pixels, new cache) out.
+
+        Reference analog: AutoencoderKLWan.streaming_decode
+        (wanvae.py:1326-1358) for realtime/self-forcing pipelines.
+        """
+        assert self.decoder is not None
+        z = z.transpose(0, 2, 3, 4, 1)
+        x = self.post_quant_conv(z)
+        ctx = StreamCache(cache)
+        out = self.decoder(x, first_len=1 if is_first_chunk else 0, ctx=ctx)
+        out = out.astype(jnp.float32)
+        if self.config.clip_output:
+            out = jnp.clip(out, -1.0, 1.0)
+        return out.transpose(0, 4, 1, 2, 3), ctx.out
 
 
 EntryClass = AutoencoderKLWan
