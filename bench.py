@@ -69,6 +69,11 @@ def main() -> None:
     ctx = jax.random.normal(jax.random.PRNGKey(1), (1, text_len, text_dim),
                             dtype)
 
+    def _sync(x) -> float:
+        # NOTE: on this platform block_until_ready() is async-no-op; the only
+        # true sync is a host fetch, so we reduce to a scalar and pull it.
+        return float(jnp.sum(x.astype(jnp.float32)))
+
     def run_e2e():
         lat = latents
         sigmas = [t / 1000.0 for t in dmd_steps] + [0.0]
@@ -78,33 +83,35 @@ def main() -> None:
             sigma, nsig = sigmas[i], sigmas[i + 1]
             x0 = lat - sigma * pred.astype(jnp.float32)
             lat = x0 if nsig == 0 else (1 - nsig) * x0 + nsig * latents
-        out = vae_decode(vae_state, lat.astype(jnp.bfloat16))
-        out.block_until_ready()
-        return out
+        return vae_decode(vae_state, lat.astype(jnp.bfloat16))
 
-    # warmup / compile
+    # warmup / compile (+ first execution)
     t0 = time.perf_counter()
-    run_e2e()
+    _sync(run_e2e())
     compile_time = time.perf_counter() - t0
     print(f"# compile+first-run: {compile_time:.1f}s", file=sys.stderr)
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        run_e2e()
+        _sync(run_e2e())
         times.append(time.perf_counter() - t0)
     e2e = min(times)
     print(f"# e2e times: {[round(t, 3) for t in times]}", file=sys.stderr)
 
-    # component timing for the record
+    # component timing (amortize sync latency over N iters)
     t_arr = jnp.full((1,), 1000.0, jnp.float32)
     x = latents.astype(dtype)
-    dit_step(dit_state, x, ctx, t_arr).block_until_ready()
+    _sync(dit_step(dit_state, x, ctx, t_arr))
+    n = 3
     t0 = time.perf_counter()
-    dit_step(dit_state, x, ctx, t_arr).block_until_ready()
-    dit_ms = (time.perf_counter() - t0) * 1000
+    outs = [dit_step(dit_state, x, ctx, t_arr) for _ in range(n)]
+    _sync(sum(jnp.sum(o.astype(jnp.float32)) for o in outs))
+    dit_ms = (time.perf_counter() - t0) * 1000 / n
+    z = latents.astype(jnp.bfloat16)
+    _sync(vae_decode(vae_state, z))
     t0 = time.perf_counter()
-    vae_decode(vae_state, latents.astype(jnp.bfloat16)).block_until_ready()
+    _sync(vae_decode(vae_state, z))
     vae_ms = (time.perf_counter() - t0) * 1000
     print(f"# dit step: {dit_ms:.0f}ms, vae decode: {vae_ms:.0f}ms",
           file=sys.stderr)

@@ -1,0 +1,183 @@
+"""Parquet map-style dataset for precomputed latents + text embeddings.
+
+Analog of /root/reference/fastvideo/dataset/parquet_dataset_map_style.py:
+rows hold VAE latents and text embeddings; ``DPSPBatchSampler`` (:26)
+assigns the SAME batch to every rank of an SP group and DIFFERENT batches
+across DP groups, seeded and resumable. On TPU the "ranks" are mesh
+positions; since one controller feeds the whole mesh, the sampler yields
+per-dp-group batches that the trainer shards over the dp axis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+import numpy as np
+
+from fastvideo_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+def pyarrow_schema_t2v():
+    import pyarrow as pa
+
+    return pa.schema([
+        ("id", pa.string()),
+        ("latents", pa.binary()),
+        ("latents_shape", pa.list_(pa.int32())),
+        ("latents_dtype", pa.string()),
+        ("text_embedding", pa.binary()),
+        ("text_embedding_shape", pa.list_(pa.int32())),
+        ("text_embedding_dtype", pa.string()),
+        ("caption", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("num_frames", pa.int32()),
+        ("fps", pa.float32()),
+        ("duration", pa.float32()),
+    ])
+
+
+def record_from_sample(sample_id: str, latents: np.ndarray,
+                       text_embedding: np.ndarray, caption: str = "",
+                       width: int = 0, height: int = 0, num_frames: int = 0,
+                       fps: float = 0.0, duration: float = 0.0) -> dict:
+    return {
+        "id": sample_id,
+        "latents": latents.tobytes(),
+        "latents_shape": list(latents.shape),
+        "latents_dtype": str(latents.dtype),
+        "text_embedding": text_embedding.tobytes(),
+        "text_embedding_shape": list(text_embedding.shape),
+        "text_embedding_dtype": str(text_embedding.dtype),
+        "caption": caption,
+        "width": width,
+        "height": height,
+        "num_frames": num_frames,
+        "fps": fps,
+        "duration": duration,
+    }
+
+
+def write_parquet_dataset(records: list[dict], out_dir: str,
+                          rows_per_file: int = 256) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    schema = pyarrow_schema_t2v()
+    for i in range(0, len(records), rows_per_file):
+        chunk = records[i:i + rows_per_file]
+        table = pa.Table.from_pylist(chunk, schema=schema)
+        pq.write_table(table,
+                       os.path.join(out_dir, f"data_{i // rows_per_file:05d}.parquet"))
+    logger.info("Wrote %d records to %s", len(records), out_dir)
+
+
+def _decode_field(row: dict, name: str) -> np.ndarray:
+    arr = np.frombuffer(row[name], dtype=np.dtype(row[f"{name}_dtype"]))
+    return arr.reshape(row[f"{name}_shape"]).copy()
+
+
+class LatentsParquetMapStyleDataset:
+    """Random-access dataset over parquet shards (reference :311)."""
+
+    def __init__(self, path: str, text_drop_rate: float = 0.0,
+                 seed: int = 42):
+        import pyarrow.parquet as pq
+
+        self.files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet"))
+        if not self.files:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        self._lens = [pq.ParquetFile(f).metadata.num_rows
+                      for f in self.files]
+        self._offsets = np.cumsum([0, *self._lens])
+        self.text_drop_rate = text_drop_rate
+        self._rng = np.random.default_rng(seed)
+        self._tables: dict[int, object] = {}
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def _table(self, file_idx: int):
+        import pyarrow.parquet as pq
+
+        if file_idx not in self._tables:
+            self._tables[file_idx] = pq.read_table(self.files[file_idx])
+        return self._tables[file_idx]
+
+    def __getitem__(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        file_idx = int(np.searchsorted(self._offsets, idx, "right") - 1)
+        row_idx = idx - int(self._offsets[file_idx])
+        row = {
+            k: v[0]
+            for k, v in self._table(file_idx).slice(
+                row_idx, 1).to_pydict().items()
+        }
+        latents = _decode_field(row, "latents")
+        text = _decode_field(row, "text_embedding")
+        if self.text_drop_rate and self._rng.random() < self.text_drop_rate:
+            text = np.zeros_like(text)  # CFG dropout (reference :380)
+        return latents, text
+
+
+class DPSPBatchSampler:
+    """Seeded, resumable batch sampler; one batch per dp group per step
+    (reference parquet_dataset_map_style.py:26)."""
+
+    def __init__(self, dataset_len: int, batch_size: int, num_dp_groups: int,
+                 dp_group_rank: int = 0, seed: int = 42, drop_last: bool = True):
+        self.dataset_len = dataset_len
+        self.batch_size = batch_size
+        self.num_dp_groups = num_dp_groups
+        self.dp_group_rank = dp_group_rank
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __iter__(self) -> Iterator[list[int]]:
+        rng = np.random.default_rng(self.seed + self.epoch)
+        perm = rng.permutation(self.dataset_len)
+        global_bs = self.batch_size * self.num_dp_groups
+        n_batches = (self.dataset_len // global_bs if self.drop_last else
+                     -(-self.dataset_len // global_bs))
+        for b in range(n_batches):
+            start = b * global_bs + self.dp_group_rank * self.batch_size
+            yield [int(i) for i in perm[start:start + self.batch_size]]
+        self.epoch += 1
+
+    def state_dict(self) -> dict:
+        return {"epoch": self.epoch, "seed": self.seed}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.epoch = state["epoch"]
+        self.seed = state["seed"]
+
+
+def build_parquet_dataloader(path: str, batch_size: int,
+                             num_dp_groups: int = 1,
+                             accum: int = 1, text_drop_rate: float = 0.0,
+                             seed: int = 42):
+    """Yields ([accum, B, ...] latents, [accum, B, L, D] embeds) numpy pairs."""
+    dataset = LatentsParquetMapStyleDataset(path, text_drop_rate, seed)
+    sampler = DPSPBatchSampler(len(dataset), batch_size * num_dp_groups,
+                               1, 0, seed)
+
+    def iterate():
+        micro: list[tuple[np.ndarray, np.ndarray]] = []
+        while True:
+            for batch_indices in sampler:
+                lat = np.stack([dataset[i][0] for i in batch_indices])
+                txt = np.stack([dataset[i][1] for i in batch_indices])
+                micro.append((lat, txt))
+                if len(micro) == accum:
+                    yield (np.stack([m[0] for m in micro]),
+                           np.stack([m[1] for m in micro]))
+                    micro = []
+
+    return iterate()
