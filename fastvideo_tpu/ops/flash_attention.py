@@ -27,6 +27,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
+
+def _use_interpret() -> bool:
+    # Pallas TPU kernels run in interpreter mode on CPU (tests).
+    return jax.default_backend() == "cpu"
+
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _MIN_LANE = 128
 
@@ -131,6 +136,7 @@ def _flash_attention_fwd_bhsd(q: Array, k: Array, v: Array, *, scale: float,
     )
     out = pl.pallas_call(
         kernel,
+        interpret=_use_interpret(),
         out_shape=jax.ShapeDtypeStruct((b, h, q_pad, d), q.dtype),
         grid=(b, h, num_q_blocks, num_kv_blocks),
         in_specs=[

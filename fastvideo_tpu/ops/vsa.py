@@ -1,0 +1,271 @@
+"""Video Sparse Attention (VSA) for TPU.
+
+Re-implements the reference's VSA composition
+(/root/reference/fastvideo-kernel/python/fastvideo_kernel/ops.py:69-145 +
+csrc/attention/block_sparse_h100.cu) the TPU way:
+
+* tokens are permuted into (4,4,4)=64-token video tiles (static gather
+  indices per shape, computed host-side);
+* compression branch: per-tile mean pooled q/k/v -> dense coarse attention
+  over tiles (tiny [nB, nB] problem, plain XLA);
+* top-k tile selection from the coarse scores (jax.lax.top_k);
+* sparse branch: a Pallas kernel where each 64-token query tile attends only
+  its selected kv tiles. KV tiles are fetched via scalar-prefetched gather
+  indices in the BlockSpec index map — the TPU analog of the CUDA kernel's
+  TMA gather. Online softmax over the selected tiles; per-tile valid-token
+  masking handles the padded partial tiles (variable_block_sizes).
+
+out = out_compress * gate + out_sparse (ops.py:141-144).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _use_interpret() -> bool:
+    # Pallas TPU kernels run in interpreter mode on CPU (tests).
+    return jax.default_backend() == "cpu"
+
+VSA_TILE_SIZE = (4, 4, 4)
+TILE_ELEMS = 64
+MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+
+# -- static tile index tables (host numpy, cached per shape) ----------------
+
+
+@functools.lru_cache(maxsize=32)
+def tile_layout(dit_seq_shape: tuple[int, int, int],
+                tile_size: tuple[int, int, int] = VSA_TILE_SIZE):
+    """Returns (scatter_index, gather_back_index, block_sizes, num_tiles).
+
+    ``scatter_index[i]`` = position in the padded tiled buffer of source
+    token i (composing the reference's tile_partition_indices +
+    non_pad_index, video_sparse_attn.py:33-113). ``gather_back_index``
+    inverts it. ``block_sizes[j]`` = valid tokens in tile j.
+    """
+    T, H, W = dit_seq_shape
+    ts, hs, ws = tile_size
+    nt, nh, nw = (math.ceil(T / ts), math.ceil(H / hs), math.ceil(W / ws))
+    elems = ts * hs * ws
+
+    token_ids = np.arange(T * H * W).reshape(T, H, W)
+    scatter = np.zeros(T * H * W, dtype=np.int64)
+    block_sizes = np.zeros(nt * nh * nw, dtype=np.int32)
+    tile_idx = 0
+    for t in range(nt):
+        for h in range(nh):
+            for w in range(nw):
+                blk = token_ids[t * ts:(t + 1) * ts, h * hs:(h + 1) * hs,
+                                w * ws:(w + 1) * ws].reshape(-1)
+                base = tile_idx * elems
+                scatter[blk] = base + np.arange(blk.size)
+                block_sizes[tile_idx] = blk.size
+                tile_idx += 1
+    padded_len = nt * nh * nw * elems
+    gather_back = scatter  # out[..., i] = tiled[..., scatter[i]]
+    return (scatter, gather_back, block_sizes, (nt, nh, nw), padded_len)
+
+
+def tile_tokens(x: Array, dit_seq_shape: tuple[int, int, int]) -> Array:
+    """[B, S, ...] token order -> [B, S_pad, ...] tile-major padded order."""
+    scatter, _, _, _, padded_len = tile_layout(tuple(dit_seq_shape))
+    out_shape = (x.shape[0], padded_len, *x.shape[2:])
+    out = jnp.zeros(out_shape, x.dtype)
+    return out.at[:, jnp.asarray(scatter)].set(x)
+
+
+def untile_tokens(x: Array, dit_seq_shape: tuple[int, int, int]) -> Array:
+    """[B, S_pad, ...] tiled order -> [B, S, ...] original token order."""
+    _, gather_back, _, _, _ = tile_layout(tuple(dit_seq_shape))
+    return x[:, jnp.asarray(gather_back)]
+
+
+def block_mean(x: Array, block_sizes: Array) -> Array:
+    """[B, H, nB*64, D] -> [B, H, nB, D] mean over valid tokens per tile."""
+    b, h, s, d = x.shape
+    nb = s // TILE_ELEMS
+    xs = x.reshape(b, h, nb, TILE_ELEMS, d)
+    sums = jnp.sum(xs.astype(jnp.float32), axis=3)
+    return (sums / block_sizes[None, None, :, None]).astype(x.dtype)
+
+
+# -- Pallas block-sparse kernel --------------------------------------------
+
+
+def _sparse_kernel(idx_ref, sizes_ref, q_ref, k_ref, v_ref, o_ref, m_ref,
+                   l_ref, acc_ref, *, scale: float, topk: int,
+                   block_q: int):
+    kj = pl.program_id(3)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qi = pl.program_id(2)
+    tile = idx_ref[b, h, qi, kj]
+    valid = sizes_ref[tile]
+
+    q = q_ref[0, 0]  # [block_q, D]
+    k = k_ref[0, 0]  # [64, D]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < valid, s, MASK_VALUE)
+
+    m_prev = m_ref[...]
+    l_prev = l_ref[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, :1])
+    l_ref[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    m_ref[...] = m_next
+    v = v_ref[0, 0]
+    pv = jax.lax.dot(p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+
+    @pl.when(kj == topk - 1)
+    def _store():
+        l = l_ref[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+
+
+def block_sparse_attention(q: Array, k: Array, v: Array, indices: Array,
+                           block_sizes: Array, *,
+                           scale: float | None = None) -> Array:
+    """Block-sparse attention over tiled tokens.
+
+    q/k/v: [B, H, nB*64, D] in tile-major padded order.
+    indices: [B, H, nQ, K] int32 — selected kv tile ids per query tile.
+    block_sizes: [nB] int32 valid token counts.
+    """
+    b, h, s, d = q.shape
+    nq = s // TILE_ELEMS
+    topk = indices.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    kernel = functools.partial(_sparse_kernel, scale=scale, topk=topk,
+                               block_q=TILE_ELEMS)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, h, nq, topk),
+        in_specs=[
+            pl.BlockSpec((1, 1, TILE_ELEMS, d),
+                         lambda b, h, qi, kj, idx, sz: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, TILE_ELEMS, d),
+                         lambda b, h, qi, kj, idx, sz:
+                         (b, h, idx[b, h, qi, kj], 0)),
+            pl.BlockSpec((1, 1, TILE_ELEMS, d),
+                         lambda b, h, qi, kj, idx, sz:
+                         (b, h, idx[b, h, qi, kj], 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TILE_ELEMS, d),
+                               lambda b, h, qi, kj, idx, sz: (b, h, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_ELEMS, 128), jnp.float32),
+            pltpu.VMEM((TILE_ELEMS, 128), jnp.float32),
+            pltpu.VMEM((TILE_ELEMS, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        interpret=_use_interpret(),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * topk * TILE_ELEMS * d,
+            bytes_accessed=2 * b * h * s * d * 4,
+            transcendentals=b * h * s * topk * TILE_ELEMS,
+        ),
+    )(indices.astype(jnp.int32), block_sizes.astype(jnp.int32), q, k, v)
+
+
+def _sparse_attention_reference(q, k, v, indices, block_sizes, scale):
+    """Dense-math reference for the sparse branch (tests + VJP fallback)."""
+    b, h, s, d = q.shape
+    nb = s // TILE_ELEMS
+    col_tile = jnp.arange(s) // TILE_ELEMS
+    # allowed[b,h,qtile,kvtile]
+    allowed = jnp.zeros((b, h, nb, nb), bool)
+    allowed = allowed.at[
+        jnp.arange(b)[:, None, None, None],
+        jnp.arange(h)[None, :, None, None],
+        jnp.arange(nb)[None, None, :, None], indices].set(True)
+    tok_allowed = allowed[:, :, :, col_tile]  # [b,h,nq,s_kv] per tile
+    tok_allowed = jnp.repeat(tok_allowed, TILE_ELEMS, axis=2)
+    col_in_tile = jnp.arange(s) % TILE_ELEMS
+    valid = col_in_tile < block_sizes[col_tile]
+    mask = tok_allowed & valid[None, None, None, :]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    scores = jnp.where(mask, scores, MASK_VALUE)
+    p = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p,
+                      v.astype(jnp.float32)).astype(q.dtype)
+
+
+# -- full VSA composition ---------------------------------------------------
+
+
+def video_sparse_attn(
+    q: Array,
+    k: Array,
+    v: Array,
+    block_sizes: Array,
+    topk: int,
+    *,
+    gate_compress: Array | None = None,
+    scale: float | None = None,
+    use_pallas: bool = True,
+) -> Array:
+    """VSA over tiled [B, H, S_pad, D] tensors (reference ops.py:69-145)."""
+    b, h, s, d = q.shape
+    nb = s // TILE_ELEMS
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    topk = max(1, min(topk, nb))
+
+    q_c = block_mean(q, block_sizes)
+    k_c = block_mean(k, block_sizes)
+    v_c = block_mean(v, block_sizes)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q_c.astype(jnp.float32),
+                        k_c.astype(jnp.float32)) * scale
+    attn = jax.nn.softmax(scores, axis=-1)
+    out_c = jnp.einsum("bhqk,bhkd->bhqd", attn,
+                       v_c.astype(jnp.float32)).astype(q.dtype)
+    # broadcast each tile's coarse output to its 64 tokens
+    out_c = jnp.repeat(out_c, TILE_ELEMS, axis=2)
+
+    _, top_idx = jax.lax.top_k(scores, topk)  # [b,h,nq,topk]
+
+    if use_pallas:
+        out_s = block_sparse_attention(q, k, v, top_idx, block_sizes,
+                                       scale=scale)
+    else:
+        out_s = _sparse_attention_reference(q, k, v, top_idx, block_sizes,
+                                            scale)
+
+    if gate_compress is not None:
+        return out_c * gate_compress + out_s
+    return out_c + out_s
