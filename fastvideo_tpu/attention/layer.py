@@ -76,12 +76,14 @@ class DistributedAttention(nnx.Module):
         *,
         freqs_cis: tuple[Array, Array] | None = None,
         kv_valid: int | None = None,
+        grid: tuple[int, int, int] | None = None,
+        gate: Array | None = None,
     ) -> Array:
         """q/k/v: [B, S(_local logical), H, D]; returns same layout.
 
         ``freqs_cis``: (cos, sin) tables covering the full (padded) sequence;
         they are indexed positionally so they must align with the token order
-        of q/k.
+        of q/k. ``grid``/``gate`` feed the sparse video backends (VSA).
         """
         if freqs_cis is not None:
             cos, sin = freqs_cis
@@ -91,13 +93,17 @@ class DistributedAttention(nnx.Module):
         ctx = get_forward_context()
         metadata = ctx.attn_metadata if ctx is not None else None
 
-        def local_attn(q, k, v):
-            qkv_proc = self.backend.preprocess_qkv((q, k, v), metadata)
-            q2, k2, v2 = qkv_proc if isinstance(qkv_proc, tuple) else (q, k, v)
-            out = self.backend.forward(q2, k2, v2, metadata,
-                                       kv_valid=kv_valid)
+        extra_kwargs = {}
+        if self.backend.needs_grid:
+            extra_kwargs["grid"] = grid
+
+        def local_attn(q, k, v, g=None):
+            if g is not None:
+                extra_kwargs["gate"] = g
+            out = self.backend.forward(q, k, v, metadata, kv_valid=kv_valid,
+                                       **extra_kwargs)
             return self.backend.postprocess_output(out, metadata)
 
         if get_sp_size() == 1:
-            return local_attn(q, k, v)
-        return ulysses_attention(local_attn, q, k, v)
+            return local_attn(q, k, v, gate)
+        return ulysses_attention(local_attn, q, k, v, extra=gate)

@@ -33,6 +33,11 @@ def register_backend(cls: type[AttentionBackend]) -> type[AttentionBackend]:
 register_backend(SDPABackend)
 register_backend(FlashAttentionBackend)
 
+from fastvideo_tpu.attention.backends.vsa import (  # noqa: E402
+    VideoSparseAttentionBackend)
+
+register_backend(VideoSparseAttentionBackend)
+
 # Aliases for reference-compatible names.
 _ALIASES = {
     "SDPA": "TORCH_SDPA",

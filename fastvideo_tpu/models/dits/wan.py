@@ -206,9 +206,13 @@ class WanTransformerBlock(nnx.Module):
             jax.random.normal(rngs.params(), (1, 6, dim), jnp.float32) /
             dim**0.5)
 
+    def _gate_compress(self, norm_hidden: Array) -> Array | None:
+        return None
+
     def __call__(self, hidden_states: Array, encoder_hidden_states: Array,
                  temb: Array, freqs_cis: tuple[Array, Array],
-                 kv_valid: int | None = None) -> Array:
+                 kv_valid: int | None = None,
+                 grid: tuple[int, int, int] | None = None) -> Array:
         orig_dtype = hidden_states.dtype
         b = hidden_states.shape[0]
         n, d = self.num_heads, self.dim // self.num_heads
@@ -231,7 +235,9 @@ class WanTransformerBlock(nnx.Module):
         q = self.norm_q(self.to_q(norm_hidden)).reshape(b, -1, n, d)
         k = self.norm_k(self.to_k(norm_hidden)).reshape(b, -1, n, d)
         v = self.to_v(norm_hidden).reshape(b, -1, n, d)
-        attn_out = self.attn1(q, k, v, freqs_cis=freqs_cis, kv_valid=kv_valid)
+        gate = self._gate_compress(norm_hidden)
+        attn_out = self.attn1(q, k, v, freqs_cis=freqs_cis, kv_valid=kv_valid,
+                              grid=grid, gate=gate)
         attn_out = self.to_out(attn_out.reshape(b, -1, self.dim))
 
         zero = jnp.zeros((), jnp.float32)
@@ -248,6 +254,27 @@ class WanTransformerBlock(nnx.Module):
         ff = self.ffn(norm_hidden)
         hidden_states = self.mlp_residual(hidden_states, ff, c_gate)
         return hidden_states.astype(orig_dtype)
+
+
+class WanTransformerBlockVSA(WanTransformerBlock):
+    """VSA block variant: adds the gate_compress projection feeding the
+    compression-branch gate (reference WanTransformerBlock_VSA,
+    wanvideo.py:456-615)."""
+
+    def __init__(self, dim: int, ffn_dim: int, num_heads: int,
+                 qk_norm: str = "rms_norm_across_heads", eps: float = 1e-6,
+                 added_kv_proj_dim: int | None = None, *,
+                 param_dtype: jnp.dtype, rngs: nnx.Rngs):
+        super().__init__(dim, ffn_dim, num_heads, qk_norm, eps,
+                         added_kv_proj_dim, param_dtype=param_dtype,
+                         rngs=rngs)
+        self.to_gate_compress = Linear(dim, dim, param_dtype=param_dtype,
+                                       rngs=rngs)
+
+    def _gate_compress(self, norm_hidden: Array) -> Array:
+        b = norm_hidden.shape[0]
+        n, d = self.num_heads, self.dim // self.num_heads
+        return self.to_gate_compress(norm_hidden).reshape(b, -1, n, d)
 
 
 class WanTransformer3DModel(nnx.Module):
@@ -267,8 +294,16 @@ class WanTransformer3DModel(nnx.Module):
         self.condition_embedder = WanTimeTextImageEmbedding(
             inner_dim, config.freq_dim, config.text_dim, config.image_dim,
             param_dtype=param_dtype, rngs=rngs)
+        from fastvideo_tpu.attention.selector import resolve_backend_name
+
+        block_cls = WanTransformerBlock
+        try:
+            if resolve_backend_name() == "VIDEO_SPARSE_ATTN":
+                block_cls = WanTransformerBlockVSA
+        except ValueError:
+            pass
         self.blocks = nnx.List([
-            WanTransformerBlock(inner_dim, config.ffn_dim,
+            block_cls(inner_dim, config.ffn_dim,
                                 config.num_attention_heads, config.qk_norm,
                                 config.eps, config.added_kv_proj_dim,
                                 param_dtype=param_dtype, rngs=rngs)
@@ -336,7 +371,7 @@ class WanTransformer3DModel(nnx.Module):
         freqs_cis = (cos, sin)
         for block in self.blocks:
             x = block(x, encoder_hidden_states, timestep_proj, freqs_cis,
-                      kv_valid)
+                      kv_valid, grid=(gt, gh, gw))
 
         # Output head (wanvideo.py:781-806).
         if temb.ndim == 3:

@@ -81,6 +81,7 @@ def ulysses_attention(
     v: Array,
     *,
     kv_replicated: bool = False,
+    extra: Array | None = None,
 ) -> Array:
     """Run full-sequence attention over seq-sharded q/k/v.
 
@@ -98,6 +99,8 @@ def ulysses_attention(
     mesh = get_mesh()
     sp = mesh.shape[SP_AXIS]
     if sp == 1:
+        if extra is not None:
+            return local_attn(q, k, v, extra)
         return local_attn(q, k, v)
     if q.shape[2] % sp != 0:
         raise ValueError(
@@ -113,7 +116,7 @@ def ulysses_attention(
         return jax.lax.all_to_all(x, SP_AXIS, split_axis=1, concat_axis=2,
                                   tiled=True)
 
-    def inner(q: Array, k: Array, v: Array) -> Array:
+    def inner(q: Array, k: Array, v: Array, *maybe_extra) -> Array:
         q = a2a_heads(q)
         if kv_replicated:
             # Context is replicated across sp: take this rank's head shard.
@@ -126,14 +129,22 @@ def ulysses_attention(
         else:
             k_l = a2a_heads(k)
             v_l = a2a_heads(v)
-        o = local_attn(q, k_l, v_l)
+        if maybe_extra:
+            g = a2a_heads(maybe_extra[0])
+            o = local_attn(q, k_l, v_l, g)
+        else:
+            o = local_attn(q, k_l, v_l)
         return a2a_seq(o)
 
     kv_spec = (P(DP_AXIS) if kv_replicated else P(DP_AXIS, SP_AXIS))
+    operands = (q, k, v) if extra is None else (q, k, v, extra)
+    in_specs = (P(DP_AXIS, SP_AXIS), kv_spec, kv_spec)
+    if extra is not None:
+        in_specs = (*in_specs, P(DP_AXIS, SP_AXIS))
     return jax.shard_map(
         inner,
         mesh=mesh,
-        in_specs=(P(DP_AXIS, SP_AXIS), kv_spec, kv_spec),
+        in_specs=in_specs,
         out_specs=P(DP_AXIS, SP_AXIS),
         check_vma=False,
-    )(q, k, v)
+    )(*operands)
