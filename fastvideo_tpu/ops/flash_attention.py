@@ -219,8 +219,8 @@ def flash_attention(
     *,
     scale: float | None = None,
     causal: bool = False,
-    block_q: int = 256,
-    block_kv: int = 512,
+    block_q: int = 512,
+    block_kv: int = 1024,
     kv_valid: int | None = None,
 ) -> Array:
     """Flash attention over ``[B, S, H, D]`` tensors (returns same layout).

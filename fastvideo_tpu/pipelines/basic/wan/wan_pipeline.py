@@ -11,6 +11,7 @@ from fastvideo_tpu.fastvideo_args import FastVideoArgs
 from fastvideo_tpu.models.schedulers.flow_unipc import (
     FlowUniPCMultistepScheduler)
 from fastvideo_tpu.pipelines.composed import ComposedPipelineBase
+from fastvideo_tpu.pipelines.lora_pipeline import LoRAPipelineMixin
 from fastvideo_tpu.pipelines.stages.decoding import DecodingStage
 from fastvideo_tpu.pipelines.stages.denoising import (DenoisingStage,
                                                       DmdDenoisingStage)
@@ -23,7 +24,7 @@ from fastvideo_tpu.pipelines.stages.timestep_preparation import (
     TimestepPreparationStage)
 
 
-class WanPipeline(ComposedPipelineBase):
+class WanPipeline(ComposedPipelineBase, LoRAPipelineMixin):
     _required_config_modules = [
         "text_encoder", "tokenizer", "vae", "transformer", "scheduler"
     ]

@@ -57,7 +57,8 @@ def bench_attn() -> None:
 def bench_vsa() -> None:
     from fastvideo_tpu.ops.vsa import (tile_layout, video_sparse_attn)
 
-    dit_shape = (21, 60, 104)
+    # post-patchify token grid for 480x832x81f with patch (1,2,2)
+    dit_shape = (21, 30, 52)
     _, _, sizes, ntiles, padded = tile_layout(dit_shape)
     B, H, D = 1, 12, 128
     print(f"tiles={ntiles} padded_len={padded}")
