@@ -1,0 +1,182 @@
+"""CLIP vision transformer (image encoder for I2V conditioning).
+
+Behavioral reference: /root/reference/fastvideo/models/encoders/clip.py
+(:31-650, itself a vLLM-style HF CLIP reimplementation). Module tree follows
+HF CLIPVisionModel so checkpoints load near-verbatim (including the upstream
+"pre_layrnorm" typo).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from fastvideo_tpu.configs.models.encoders.clip import CLIPVisionArchConfig
+from fastvideo_tpu.layers.activation import get_act_fn
+from fastvideo_tpu.layers.linear import Linear
+from fastvideo_tpu.models.encoders.t5 import BaseEncoderOutput, Embedding
+
+Array = jax.Array
+
+
+class LayerNorm(nnx.Module):
+    """Standard affine LayerNorm (fp32 stats)."""
+
+    def __init__(self, dim: int, eps: float = 1e-5, *,
+                 param_dtype: jnp.dtype = jnp.float32, rngs: nnx.Rngs):
+        del rngs
+        self.eps = eps
+        self.weight = nnx.Param(jnp.ones((dim,), param_dtype))
+        self.bias = nnx.Param(jnp.zeros((dim,), param_dtype))
+
+    def __call__(self, x: Array) -> Array:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        out = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        out = out * self.weight.value.astype(jnp.float32) + \
+            self.bias.value.astype(jnp.float32)
+        return out.astype(x.dtype)
+
+
+class CLIPVisionEmbeddings(nnx.Module):
+    def __init__(self, config: CLIPVisionArchConfig, *,
+                 param_dtype: jnp.dtype, rngs: nnx.Rngs):
+        self.config = config
+        dim = config.hidden_size
+        self.class_embedding = nnx.Param(
+            jax.random.normal(rngs.params(), (dim,), param_dtype))
+        # patch conv as matmul over flattened patches (kernel [P*P*C, dim])
+        patch_in = config.patch_size**2 * config.num_channels
+        self.patch_embedding = Linear(patch_in, dim, bias=False,
+                                      param_dtype=param_dtype, rngs=rngs)
+        num_positions = (config.image_size // config.patch_size)**2 + 1
+        self.position_embedding = Embedding(num_positions, dim,
+                                            param_dtype=param_dtype,
+                                            rngs=rngs)
+
+    def __call__(self, pixel_values: Array) -> Array:
+        """pixel_values: [B, C, H, W] -> [B, 1+P, dim]."""
+        b, c, hh, ww = pixel_values.shape
+        p = self.config.patch_size
+        x = pixel_values.reshape(b, c, hh // p, p, ww // p, p)
+        # HF conv weight [dim, C, p, p] contracts features ordered (C, ph, pw)
+        x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, -1, c * p * p)
+        patches = self.patch_embedding(x)
+        cls = jnp.broadcast_to(
+            self.class_embedding.value.astype(patches.dtype)[None, None],
+            (b, 1, patches.shape[-1]))
+        x = jnp.concatenate([cls, patches], axis=1)
+        pos = self.position_embedding(jnp.arange(x.shape[1]))
+        return x + pos.astype(x.dtype)
+
+
+class CLIPAttention(nnx.Module):
+    def __init__(self, config: CLIPVisionArchConfig, *,
+                 param_dtype: jnp.dtype, rngs: nnx.Rngs):
+        dim = config.hidden_size
+        self.num_heads = config.num_attention_heads
+        self.head_dim = dim // self.num_heads
+        kw = dict(param_dtype=param_dtype, rngs=rngs)
+        self.q_proj = Linear(dim, dim, **kw)
+        self.k_proj = Linear(dim, dim, **kw)
+        self.v_proj = Linear(dim, dim, **kw)
+        self.out_proj = Linear(dim, dim, **kw)
+
+    def __call__(self, x: Array) -> Array:
+        b, s, _ = x.shape
+        n, d = self.num_heads, self.head_dim
+        q = self.q_proj(x).reshape(b, s, n, d)
+        k = self.k_proj(x).reshape(b, s, n, d)
+        v = self.v_proj(x).reshape(b, s, n, d)
+        out = jax.nn.dot_product_attention(q, k, v)
+        return self.out_proj(out.reshape(b, s, -1))
+
+
+class CLIPMLP(nnx.Module):
+    def __init__(self, config: CLIPVisionArchConfig, *,
+                 param_dtype: jnp.dtype, rngs: nnx.Rngs):
+        kw = dict(param_dtype=param_dtype, rngs=rngs)
+        self.fc1 = Linear(config.hidden_size, config.intermediate_size, **kw)
+        self.fc2 = Linear(config.intermediate_size, config.hidden_size, **kw)
+        self.act = get_act_fn(
+            "quick_gelu" if config.hidden_act == "quick_gelu" else
+            config.hidden_act)
+
+    def __call__(self, x: Array) -> Array:
+        return self.fc2(self.act(self.fc1(x)))
+
+
+class CLIPEncoderLayer(nnx.Module):
+    def __init__(self, config: CLIPVisionArchConfig, *,
+                 param_dtype: jnp.dtype, rngs: nnx.Rngs):
+        kw = dict(param_dtype=param_dtype, rngs=rngs)
+        self.self_attn = CLIPAttention(config, **kw)
+        self.layer_norm1 = LayerNorm(config.hidden_size,
+                                     config.layer_norm_eps, **kw)
+        self.mlp = CLIPMLP(config, **kw)
+        self.layer_norm2 = LayerNorm(config.hidden_size,
+                                     config.layer_norm_eps, **kw)
+
+    def __call__(self, x: Array) -> Array:
+        x = x + self.self_attn(self.layer_norm1(x))
+        x = x + self.mlp(self.layer_norm2(x))
+        return x
+
+
+class CLIPVisionTransformer(nnx.Module):
+    def __init__(self, config: CLIPVisionArchConfig, *,
+                 param_dtype: jnp.dtype, rngs: nnx.Rngs):
+        kw = dict(param_dtype=param_dtype, rngs=rngs)
+        self.embeddings = CLIPVisionEmbeddings(config, **kw)
+        self.pre_layrnorm = LayerNorm(config.hidden_size,
+                                      config.layer_norm_eps, **kw)
+        self.layers = nnx.List([
+            CLIPEncoderLayer(config, **kw)
+            for _ in range(config.num_hidden_layers)
+        ])
+        self.post_layernorm = LayerNorm(config.hidden_size,
+                                        config.layer_norm_eps, **kw)
+
+    def __call__(self, pixel_values: Array,
+                 skip_post_norm: bool = False) -> Array:
+        x = self.pre_layrnorm(self.embeddings(pixel_values))
+        for layer in self.layers:
+            x = layer(x)
+        if not skip_post_norm:
+            x = self.post_layernorm(x)
+        return x
+
+
+class CLIPVisionModel(nnx.Module):
+    """HF-layout vision tower (reference clip.py:604-650)."""
+
+    def __init__(self, config: CLIPVisionArchConfig, *,
+                 param_dtype: jnp.dtype = jnp.float32,
+                 rngs: nnx.Rngs | None = None):
+        rngs = rngs or nnx.Rngs(0)
+        self.config = config
+        self.vision_model = CLIPVisionTransformer(config,
+                                                  param_dtype=param_dtype,
+                                                  rngs=rngs)
+
+    def __call__(self, pixel_values: Array, **kwargs) -> BaseEncoderOutput:
+        hidden = self.vision_model(pixel_values)
+        return BaseEncoderOutput(last_hidden_state=hidden)
+
+
+def preprocess_image(pil_image, config: CLIPVisionArchConfig):
+    """PIL -> normalized [1, 3, S, S] fp32 (CLIPImageProcessor semantics)."""
+    import numpy as np
+
+    size = config.image_size
+    img = pil_image.convert("RGB").resize((size, size))
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    mean = np.asarray(config.image_mean, np.float32)
+    std = np.asarray(config.image_std, np.float32)
+    arr = (arr - mean) / std
+    return arr.transpose(2, 0, 1)[None]
+
+
+EntryClass = CLIPVisionModel

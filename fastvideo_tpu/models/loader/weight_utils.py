@@ -80,8 +80,8 @@ def assign_param(model: nnx.Module, target_name: str, value: np.ndarray,
                 f"Unexpected conv weight rank {value.ndim} for {target_name}")
     elif isinstance(owner, Linear) and leaf == "weight":
         param = owner.kernel
-        if value.ndim == 5:
-            # Conv3d patchify weight [out, C, kt, kh, kw] -> [C*kt*kh*kw, out]
+        if value.ndim in (4, 5):
+            # ConvNd patchify weight [out, C, *k] -> [C*prod(k), out]
             value = value.reshape(value.shape[0], -1).T
         elif value.ndim == 2:
             value = value.T

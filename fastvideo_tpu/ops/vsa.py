@@ -103,48 +103,73 @@ def block_mean(x: Array, block_sizes: Array) -> Array:
 # -- Pallas block-sparse kernel --------------------------------------------
 
 
-def _sparse_kernel(idx_ref, sizes_ref, q_ref, k_ref, v_ref, o_ref, m_ref,
-                   l_ref, acc_ref, *, scale: float, topk: int,
-                   block_q: int):
-    kj = pl.program_id(3)
-
-    @pl.when(kj == 0)
-    def _init():
-        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
+def _sparse_kernel(sizes_ref, idx_ref, q_ref, k_hbm, v_hbm, o_ref, acc_ref,
+                   k_buf, v_buf, sems, *, scale: float, topk: int):
+    """Paged-attention-style gather: per query tile, DMA its top-k KV tiles
+    from HBM with double buffering (guide: paged attention / double
+    buffering patterns). Indices arrive as a per-(b,h,qi) SMEM block —
+    SMEM-sized regardless of nQ (the scalar-prefetch formulation overflows
+    SMEM at production tile counts)."""
     b = pl.program_id(0)
     h = pl.program_id(1)
-    qi = pl.program_id(2)
-    tile = idx_ref[b, h, qi, kj]
-    valid = sizes_ref[tile]
 
-    q = q_ref[0, 0]  # [block_q, D]
-    k = k_ref[0, 0]  # [64, D]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < valid, s, MASK_VALUE)
+    def tile_of(j):
+        return idx_ref[0, 0, 0, j]
 
-    m_prev = m_ref[...]
-    l_prev = l_ref[...]
-    m_curr = jnp.max(s, axis=1, keepdims=True)
-    m_next = jnp.maximum(m_prev, m_curr)
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next[:, :1])
-    l_ref[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-    m_ref[...] = m_next
-    v = v_ref[0, 0]
-    pv = jax.lax.dot(p.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
-    acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+    def dma_k(slot, j):
+        t = tile_of(j)
+        return pltpu.make_async_copy(
+            k_hbm.at[b, h, pl.ds(t * TILE_ELEMS, TILE_ELEMS), :],
+            k_buf.at[slot], sems.at[slot, 0])
 
-    @pl.when(kj == topk - 1)
-    def _store():
-        l = l_ref[...][:, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+    def dma_v(slot, j):
+        t = tile_of(j)
+        return pltpu.make_async_copy(
+            v_hbm.at[b, h, pl.ds(t * TILE_ELEMS, TILE_ELEMS), :],
+            v_buf.at[slot], sems.at[slot, 1])
+
+    dma_k(0, 0).start()
+    dma_v(0, 0).start()
+
+    q = q_ref[0, 0]  # [64, D]
+
+    def body(j, carry):
+        m_prev, l_prev = carry
+        slot = jax.lax.rem(j, 2)
+        next_slot = jax.lax.rem(j + 1, 2)
+
+        @pl.when(j + 1 < topk)
+        def _prefetch():
+            dma_k(next_slot, j + 1).start()
+            dma_v(next_slot, j + 1).start()
+
+        dma_k(slot, j).wait()
+        dma_v(slot, j).wait()
+        k = k_buf[slot]
+        v = v_buf[slot]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        valid = sizes_ref[tile_of(j)]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < valid, s, MASK_VALUE)
+
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot(p.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * alpha + pv
+        return m_next, l_next
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    m0 = jnp.full((TILE_ELEMS, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((TILE_ELEMS, 1), jnp.float32)
+    _, l = jax.lax.fori_loop(0, topk, body, (m0, l0))
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
 
 
 def block_sparse_attention(q: Array, k: Array, v: Array, indices: Array,
@@ -158,31 +183,31 @@ def block_sparse_attention(q: Array, k: Array, v: Array, indices: Array,
     """
     b, h, s, d = q.shape
     nq = s // TILE_ELEMS
+    nb = k.shape[2] // TILE_ELEMS
     topk = indices.shape[-1]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
 
-    kernel = functools.partial(_sparse_kernel, scale=scale, topk=topk,
-                               block_q=TILE_ELEMS)
+    kernel = functools.partial(_sparse_kernel, scale=scale, topk=topk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b, h, nq, topk),
+        num_scalar_prefetch=1,  # block_sizes only (tiny)
+        grid=(b, h, nq),
         in_specs=[
+            pl.BlockSpec((1, 1, 1, topk),
+                         lambda b, h, qi, sz: (b, h, qi, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, TILE_ELEMS, d),
-                         lambda b, h, qi, kj, idx, sz: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, TILE_ELEMS, d),
-                         lambda b, h, qi, kj, idx, sz:
-                         (b, h, idx[b, h, qi, kj], 0)),
-            pl.BlockSpec((1, 1, TILE_ELEMS, d),
-                         lambda b, h, qi, kj, idx, sz:
-                         (b, h, idx[b, h, qi, kj], 0)),
+                         lambda b, h, qi, sz: (b, h, qi, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # k stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # v stays in HBM
         ],
         out_specs=pl.BlockSpec((1, 1, TILE_ELEMS, d),
-                               lambda b, h, qi, kj, idx, sz: (b, h, qi, 0)),
+                               lambda b, h, qi, sz: (b, h, qi, 0)),
         scratch_shapes=[
-            pltpu.VMEM((TILE_ELEMS, 128), jnp.float32),
-            pltpu.VMEM((TILE_ELEMS, 128), jnp.float32),
-            pltpu.VMEM((TILE_ELEMS, d), jnp.float32),
+            pltpu.VMEM((TILE_ELEMS, d), jnp.float32),  # acc
+            pltpu.VMEM((2, TILE_ELEMS, d), k.dtype),  # k double buffer
+            pltpu.VMEM((2, TILE_ELEMS, d), v.dtype),  # v double buffer
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     return pl.pallas_call(
@@ -191,14 +216,13 @@ def block_sparse_attention(q: Array, k: Array, v: Array, indices: Array,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s * topk * TILE_ELEMS * d,
             bytes_accessed=2 * b * h * s * d * 4,
             transcendentals=b * h * s * topk * TILE_ELEMS,
         ),
-    )(indices.astype(jnp.int32), block_sizes.astype(jnp.int32), q, k, v)
+    )(block_sizes.astype(jnp.int32), indices.astype(jnp.int32), q, k, v)
 
 
 def _sparse_attention_reference(q, k, v, indices, block_sizes, scale):
