@@ -26,6 +26,12 @@ _VAE_REGISTRY: dict[str, tuple[str, str, str]] = {
 }
 
 _ENCODER_REGISTRY: dict[str, tuple[str, str, str]] = {
+    "CLIPVisionModel":
+    ("fastvideo_tpu.models.encoders.clip", "CLIPVisionModel",
+     "fastvideo_tpu.configs.models.encoders.clip:CLIPVisionArchConfig"),
+    "CLIPVisionModelWithProjection":
+    ("fastvideo_tpu.models.encoders.clip", "CLIPVisionModel",
+     "fastvideo_tpu.configs.models.encoders.clip:CLIPVisionArchConfig"),
     "UMT5EncoderModel":
     ("fastvideo_tpu.models.encoders.t5", "T5EncoderModel",
      "fastvideo_tpu.configs.models.encoders.t5:T5ArchConfig"),

@@ -103,18 +103,25 @@ def block_mean(x: Array, block_sizes: Array) -> Array:
 # -- Pallas block-sparse kernel --------------------------------------------
 
 
-def _sparse_kernel(sizes_ref, idx_ref, q_ref, k_hbm, v_hbm, o_ref, acc_ref,
-                   k_buf, v_buf, sems, *, scale: float, topk: int):
+def _sparse_kernel(sizes_ref, idx_hbm, q_ref, k_hbm, v_hbm, o_ref, acc_ref,
+                   idx_smem, k_buf, v_buf, idx_sem, sems, *, scale: float,
+                   topk: int):
     """Paged-attention-style gather: per query tile, DMA its top-k KV tiles
     from HBM with double buffering (guide: paged attention / double
-    buffering patterns). Indices arrive as a per-(b,h,qi) SMEM block —
-    SMEM-sized regardless of nQ (the scalar-prefetch formulation overflows
-    SMEM at production tile counts)."""
+    buffering patterns). The tile-index row itself is DMA'd HBM->SMEM at
+    kernel start (a scalar-prefetch or SMEM-BlockSpec formulation overflows
+    SMEM / violates block-tiling at production tile counts)."""
     b = pl.program_id(0)
     h = pl.program_id(1)
+    qi = pl.program_id(2)
+
+    idx_dma = pltpu.make_async_copy(idx_hbm.at[b, h, qi, :], idx_smem,
+                                    idx_sem)
+    idx_dma.start()
+    idx_dma.wait()
 
     def tile_of(j):
-        return idx_ref[0, 0, 0, j]
+        return idx_smem[j]
 
     def dma_k(slot, j):
         t = tile_of(j)
@@ -193,9 +200,7 @@ def block_sparse_attention(q: Array, k: Array, v: Array, indices: Array,
         num_scalar_prefetch=1,  # block_sizes only (tiny)
         grid=(b, h, nq),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, topk),
-                         lambda b, h, qi, sz: (b, h, qi, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # indices stay in HBM
             pl.BlockSpec((1, 1, TILE_ELEMS, d),
                          lambda b, h, qi, sz: (b, h, qi, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),  # k stays in HBM
@@ -205,8 +210,10 @@ def block_sparse_attention(q: Array, k: Array, v: Array, indices: Array,
                                lambda b, h, qi, sz: (b, h, qi, 0)),
         scratch_shapes=[
             pltpu.VMEM((TILE_ELEMS, d), jnp.float32),  # acc
+            pltpu.SMEM((topk,), jnp.int32),  # this q-tile's kv indices
             pltpu.VMEM((2, TILE_ELEMS, d), k.dtype),  # k double buffer
             pltpu.VMEM((2, TILE_ELEMS, d), v.dtype),  # v double buffer
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )

@@ -80,5 +80,21 @@ class WanImageToVideoPipeline(WanPipeline):
         "image_encoder", "image_processor"
     ]
 
+    def create_pipeline_stages(self, fastvideo_args: FastVideoArgs) -> None:
+        from fastvideo_tpu.pipelines.stages.image_encoding import (
+            ImageEncodingStage, WanImageVAEEncodingStage)
+
+        super().create_pipeline_stages(fastvideo_args)
+        # insert image conditioning after text encoding
+        img_clip = ImageEncodingStage(self.get_module("image_encoder"))
+        img_vae = WanImageVAEEncodingStage(self.get_module("vae"),
+                                           self.pipeline_config.vae_config)
+        pos = self._stages.index(self.timestep_preparation_stage)
+        self._stages[pos:pos] = [img_clip, img_vae]
+        self._stage_name_mapping["image_encoding_stage"] = img_clip
+        self._stage_name_mapping["image_vae_encoding_stage"] = img_vae
+        self.image_encoding_stage = img_clip
+        self.image_vae_encoding_stage = img_vae
+
 
 EntryClass = [WanPipeline, WanDMDPipeline, WanImageToVideoPipeline]

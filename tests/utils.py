@@ -177,3 +177,55 @@ def make_tiny_wan_checkpoint(root: str, seed: int = 0) -> str:
             "solver_order": 2,
         }, fh)
     return root
+
+
+TINY_CLIP = dict(hidden_size=32, intermediate_size=48, num_hidden_layers=1,
+                 num_attention_heads=2, image_size=28, patch_size=14,
+                 num_channels=3, hidden_act="quick_gelu")
+
+
+def make_tiny_wan_i2v_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny Wan I2V checkpoint: adds image_encoder + I2V DiT channels."""
+    import json as _json
+
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.encoders.clip import CLIPVisionArchConfig
+    from fastvideo_tpu.models.encoders.clip import CLIPVisionModel
+
+    make_tiny_wan_checkpoint(root, seed)
+    # I2V: in = z(4) + mask(tr=2) + cond(4) = 10; image_dim = CLIP hidden
+    tdir = os.path.join(root, "transformer")
+    cfg = _json.load(open(os.path.join(tdir, "config.json")))
+    cfg.update(in_channels=10, image_dim=TINY_CLIP["hidden_size"],
+               added_kv_proj_dim=TINY_DIT["num_attention_heads"] *
+               TINY_DIT["attention_head_dim"])
+    _json.dump(cfg, open(os.path.join(tdir, "config.json"), "w"))
+    from fastvideo_tpu.configs.models.dits.wan import WanArchConfig
+    from fastvideo_tpu.models.dits.wan import WanTransformer3DModel
+
+    arch_kwargs = {k: tuple(v) if isinstance(v, list) else v
+                   for k, v in cfg.items() if k != "_class_name"}
+    arch = WanArchConfig(**arch_kwargs)
+    dit = WanTransformer3DModel(arch, param_dtype=jnp.float32,
+                                rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+
+    # image encoder
+    idir = os.path.join(root, "image_encoder")
+    os.makedirs(idir, exist_ok=True)
+    _json.dump({"architectures": ["CLIPVisionModelWithProjection"],
+                **TINY_CLIP}, open(os.path.join(idir, "config.json"), "w"))
+    clip = CLIPVisionModel(CLIPVisionArchConfig(**TINY_CLIP),
+                           param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 5))
+    _save_safetensors(os.path.join(idir, "model.safetensors"),
+                      _export_torch_layout(clip))
+
+    index = _json.load(open(os.path.join(root, "model_index.json")))
+    index["_class_name"] = "WanImageToVideoPipeline"
+    index["image_encoder"] = ["transformers", "CLIPVisionModelWithProjection"]
+    _json.dump(index, open(os.path.join(root, "model_index.json"), "w"))
+    return root
