@@ -1,0 +1,175 @@
+"""StreamingVideoGenerator: interactive block-by-block generation.
+
+Analog of /root/reference/fastvideo/entrypoints/streaming_generator.py
+(:23-267): reset(prompt) -> step() yields frames per block -> finalize().
+Built on the causal Wan rolling KV caches and the VAE streaming decode; the
+mp4 writer appends in the background.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from fastvideo_tpu.layers.rotary import get_rotary_pos_embed_wan
+from fastvideo_tpu.logger import init_logger
+from fastvideo_tpu.pipelines.stages.latent_preparation import (
+    randn_like_reference)
+
+logger = init_logger(__name__)
+
+
+class IncrementalVideoWriter:
+    """Background mp4 appender (reference streaming_generator.py:38-100)."""
+
+    def __init__(self, path: str, fps: int = 16):
+        self.path = path
+        self.fps = fps
+        self._q: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        frames = []
+        while True:
+            item = self._q.get()
+            if item is None:
+                break
+            frames.append(item)
+        if frames:
+            try:
+                import imageio.v2 as imageio
+
+                os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+                with imageio.get_writer(self.path, fps=self.fps,
+                                        macro_block_size=None) as w:
+                    for chunk in frames:
+                        for f in chunk:
+                            w.append_data(f)
+            except Exception as e:  # pragma: no cover
+                logger.warning("mp4 write failed: %s", e)
+                np.save(self.path + ".npy", np.concatenate(frames))
+
+    def add_frames(self, frames: np.ndarray) -> None:
+        self._q.put(frames)
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._thread.join()
+
+
+class StreamingVideoGenerator:
+    """reset/step/finalize over a causal pipeline (reference :102-217)."""
+
+    def __init__(self, transformer, vae, text_encoder=None, tokenizer=None,
+                 scheduler=None, num_inference_steps: int = 3,
+                 height: int = 480, width: int = 832, seed: int = 1024,
+                 dtype=jnp.bfloat16):
+        self.transformer = transformer
+        self.vae = vae
+        self.text_encoder = text_encoder
+        self.tokenizer = tokenizer
+        self.scheduler = scheduler
+        self.num_inference_steps = num_inference_steps
+        self.height = height
+        self.width = width
+        self.seed = seed
+        self.dtype = dtype
+        self._writer: IncrementalVideoWriter | None = None
+        self._fwd = None
+        self._reset_state()
+
+    def _reset_state(self) -> None:
+        self.kv_caches = None
+        self.vae_cache = None
+        self.ctx = None
+        self.block_index = 0
+        self.frames_emitted = 0
+
+    def _get_fwd(self):
+        if self._fwd is None:
+            graphdef, state = nnx.split(self.transformer)
+
+            @jax.jit
+            def fwd(state, latents, ctx, t, caches, freqs):
+                m = nnx.merge(graphdef, state)
+                return m.forward_block(latents, ctx, t, caches,
+                                       freqs_cis=freqs)
+
+            self._fwd = (fwd, state)
+        return self._fwd
+
+    def reset(self, prompt: str, output_path: str | None = None) -> None:
+        cfg = self.transformer.config
+        sr = self.vae.config.spatial_compression_ratio
+        self.lat_h = self.height // sr
+        self.lat_w = self.width // sr
+        pt, ph, pw = cfg.patch_size
+        self.frame_seqlen = (self.lat_h // ph) * (self.lat_w // pw)
+        self._reset_state()
+        self.kv_caches = self.transformer.init_caches(1, self.frame_seqlen,
+                                                      self.dtype)
+        if self.text_encoder is not None and self.tokenizer is not None:
+            enc = self.tokenizer([prompt], padding="max_length",
+                                 max_length=512, truncation=True,
+                                 return_tensors="np")
+            out = self.text_encoder(jnp.asarray(enc["input_ids"]),
+                                    jnp.asarray(enc["attention_mask"]))
+            self.ctx = out.last_hidden_state.astype(self.dtype)
+        else:
+            self.ctx = jnp.zeros((1, 512, cfg.text_dim), self.dtype)
+        if output_path:
+            self._writer = IncrementalVideoWriter(output_path)
+
+    def step(self, keyboard_cond=None, mouse_cond=None) -> np.ndarray:
+        """Generate one block of frames; returns [T, H, W, 3] uint8."""
+        cfg = self.transformer.config
+        nfpb = cfg.num_frames_per_block
+        z_dim = self.vae.config.z_dim
+        b = 1
+        noise = randn_like_reference(
+            (b, z_dim, nfpb, self.lat_h, self.lat_w),
+            [self.seed + self.block_index])
+        cur = jnp.asarray(noise)
+        pt = cfg.patch_size[0]
+        s = self.block_index * nfpb
+        freqs = get_rotary_pos_embed_wan(
+            (nfpb // pt, self.lat_h // cfg.patch_size[1],
+             self.lat_w // cfg.patch_size[2]), cfg.attention_head_dim,
+            cfg.rope_theta, start_frame=s)
+        fwd, state = self._get_fwd()
+        self.scheduler.set_timesteps(self.num_inference_steps)
+        for t_cur in self.scheduler.timesteps:
+            t_arr = jnp.full((b,), float(t_cur), jnp.float32)
+            pred, _ = fwd(state, cur.astype(self.dtype), self.ctx, t_arr,
+                          self.kv_caches, freqs)
+            cur = self.scheduler.step(pred.astype(jnp.float32), t_cur,
+                                      cur.astype(jnp.float32)).prev_sample
+        t_ctx = jnp.zeros((b,), jnp.float32)
+        _, self.kv_caches = fwd(state, cur.astype(self.dtype), self.ctx,
+                                t_ctx, self.kv_caches, freqs)
+
+        z = self.vae.denormalize_latents(cur)
+        pixels, self.vae_cache = self.vae.streaming_decode(
+            z.astype(jnp.bfloat16), self.vae_cache,
+            is_first_chunk=self.block_index == 0)
+        self.block_index += 1
+        frames = np.asarray(pixels[0])
+        frames = ((np.clip(frames, -1, 1) + 1) / 2 * 255).round().astype(
+            np.uint8).transpose(1, 2, 3, 0)
+        self.frames_emitted += frames.shape[0]
+        if self._writer is not None:
+            self._writer.add_frames(frames)
+        return frames
+
+    def finalize(self) -> int:
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
+        return self.frames_emitted

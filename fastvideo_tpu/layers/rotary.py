@@ -39,8 +39,9 @@ def get_nd_rotary_pos_embed(
     patch-embed flatten order (wanvideo.py:721-723).
     """
     dtype = np.float64 if use_f64 else np.float32
-    grids = np.meshgrid(*[np.arange(s, dtype=dtype) for s in rope_sizes],
-                        indexing="ij")
+    grids = list(
+        np.meshgrid(*[np.arange(s, dtype=dtype) for s in rope_sizes],
+                    indexing="ij"))
     if start_frame:
         grids[0] = grids[0] + start_frame
     cos_parts, sin_parts = [], []

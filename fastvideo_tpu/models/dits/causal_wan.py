@@ -1,0 +1,253 @@
+"""Causal Wan: block-autoregressive DiT with rolling KV caches (streaming).
+
+Behavioral reference: /root/reference/fastvideo/models/dits/causal_wanvideo.py
+(:44-860) and the self-forcing denoising stage
+(pipelines/stages/causal_denoising.py:437-620).
+
+TPU redesign of the cache (causal_wanvideo.py:149-207 mutates dict caches
+with data-dependent rolls — jit-hostile):
+
+* fixed-size buffers: ``sink`` [B, sink_tokens, H, D] (written while the
+  stream is inside the sink region, then frozen) and a rolling ``window``
+  [B, W, H, D] that shifts left by the (static) block size and appends at
+  the end — all static slices, no dynamic shapes;
+* invalid window slots (before the buffer fills) sit at the FRONT and are
+  masked by a traced valid-count;
+* keys are cached post-RoPE at absolute positions ("absolute" rope policy);
+  rope tables for the whole rollout are precomputed host-side and sliced
+  per block outside jit, so block steps never recompile.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from fastvideo_tpu.configs.models.dits.wan import WanArchConfig
+from fastvideo_tpu.layers.norm import FP32LayerNorm
+from fastvideo_tpu.layers.rotary import apply_rotary_emb, get_rotary_pos_embed_wan
+from fastvideo_tpu.models.dits.wan import (WanTransformer3DModel,
+                                           WanTransformerBlock)
+
+Array = jax.Array
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def init_layer_cache(batch_size: int, window_tokens: int, sink_tokens: int,
+                     num_heads: int, head_dim: int,
+                     dtype=jnp.bfloat16) -> dict:
+    z = lambda n: jnp.zeros((batch_size, n, num_heads, head_dim), dtype)  # noqa: E731
+    return {
+        "k": z(window_tokens), "v": z(window_tokens),
+        "sink_k": z(sink_tokens), "sink_v": z(sink_tokens),
+        "valid": jnp.zeros((), jnp.int32),
+        "global_end": jnp.zeros((), jnp.int32),
+    }
+
+
+def _append_rolling(buf: Array, new: Array) -> Array:
+    """Shift left by len(new), append new at the end (static slices)."""
+    n = new.shape[1]
+    if n >= buf.shape[1]:
+        return new[:, -buf.shape[1]:]
+    return jnp.concatenate([buf[:, n:], new.astype(buf.dtype)], axis=1)
+
+
+def cached_self_attention(q: Array, k: Array, v: Array, cache: dict,
+                          scale: float) -> tuple[Array, dict]:
+    """q/k/v [B, n, H, D] (already roped). Returns (out, new cache)."""
+    n = q.shape[1]
+    window = cache["k"].shape[1]
+    sink_cap = cache["sink_k"].shape[1]
+    global_end = cache["global_end"] + n
+
+    if sink_cap > 0:
+        # write the part of the new tokens that falls inside the sink region
+        start = cache["global_end"]
+        sink_k = jax.lax.dynamic_update_slice(
+            cache["sink_k"], k.astype(cache["sink_k"].dtype),
+            (0, jnp.minimum(start, sink_cap), 0, 0))
+        # only keep writes while start < sink_cap (freeze afterwards)
+        use_new = (start < sink_cap)
+        sink_k = jnp.where(use_new, sink_k, cache["sink_k"])
+        sink_v = jax.lax.dynamic_update_slice(
+            cache["sink_v"], v.astype(cache["sink_v"].dtype),
+            (0, jnp.minimum(start, sink_cap), 0, 0))
+        sink_v = jnp.where(use_new, sink_v, cache["sink_v"])
+    else:
+        sink_k, sink_v = cache["sink_k"], cache["sink_v"]
+
+    new_k = _append_rolling(cache["k"], k)
+    new_v = _append_rolling(cache["v"], v)
+    valid = jnp.minimum(cache["valid"] + n, window)
+
+    # masks: window slots [0, window-valid) are empty; sink slots beyond
+    # min(global_end, sink_cap) are empty.
+    win_pos = jnp.arange(window)
+    win_ok = win_pos >= (window - valid)
+    if sink_cap > 0:
+        sink_ok = jnp.arange(sink_cap) < jnp.minimum(global_end, sink_cap)
+        keys = jnp.concatenate([sink_k, new_k], axis=1)
+        vals = jnp.concatenate([sink_v, new_v], axis=1)
+        ok = jnp.concatenate([sink_ok, win_ok])
+    else:
+        keys, vals, ok = new_k, new_v, win_ok
+
+    bias = jnp.where(ok, 0.0, NEG_INF)[None, None, None, :]
+    out = jax.nn.dot_product_attention(q, keys.astype(q.dtype),
+                                       vals.astype(q.dtype), bias=bias,
+                                       scale=scale)
+    new_cache = dict(cache)
+    new_cache.update(k=new_k, v=new_v, valid=valid, global_end=global_end)
+    return out, new_cache
+
+
+class CausalWanTransformerBlock(WanTransformerBlock):
+    """Wan block with cached causal self-attn + cached cross-attn context."""
+
+    def causal_forward(self, hidden_states: Array,
+                       encoder_hidden_states: Array, temb: Array,
+                       freqs_cis, kv_cache: dict,
+                       crossattn_cache: dict | None):
+        orig_dtype = hidden_states.dtype
+        b = hidden_states.shape[0]
+        n, d = self.num_heads, self.dim // self.num_heads
+
+        e = self.scale_shift_table.value + temb.astype(jnp.float32)
+        mods = [e[:, i:i + 1] for i in range(6)]
+        shift_msa, scale_msa, gate_msa, c_shift, c_scale, c_gate = mods
+
+        norm_hidden = self.norm1._norm_f32(hidden_states)
+        norm_hidden = (norm_hidden * (1.0 + scale_msa) + shift_msa).astype(
+            orig_dtype)
+        q = self.norm_q(self.to_q(norm_hidden)).reshape(b, -1, n, d)
+        k = self.norm_k(self.to_k(norm_hidden)).reshape(b, -1, n, d)
+        v = self.to_v(norm_hidden).reshape(b, -1, n, d)
+        cos, sin = freqs_cis
+        q = apply_rotary_emb(q, cos, sin)
+        k = apply_rotary_emb(k, cos, sin)
+        attn_out, kv_cache = cached_self_attention(q, k, v, kv_cache,
+                                                   scale=d**-0.5)
+        attn_out = self.to_out(attn_out.reshape(b, -1, self.dim))
+
+        zero = jnp.zeros((), jnp.float32)
+        norm_hidden, hidden_states = self.self_attn_residual_norm(
+            hidden_states, attn_out, gate_msa, zero, zero)
+
+        # cross-attention with cached context k/v
+        ca = self.attn2
+        qx = ca.norm_q(ca.to_q(norm_hidden)).reshape(b, -1, n, d)
+        if crossattn_cache is not None and "k" in crossattn_cache:
+            kx, vx = crossattn_cache["k"], crossattn_cache["v"]
+        else:
+            kx = ca.norm_k(ca.to_k(encoder_hidden_states)).reshape(
+                b, -1, n, d)
+            vx = ca.to_v(encoder_hidden_states).reshape(b, -1, n, d)
+            if crossattn_cache is not None:
+                crossattn_cache["k"] = kx
+                crossattn_cache["v"] = vx
+        x_out = jax.nn.dot_product_attention(qx, kx.astype(qx.dtype),
+                                             vx.astype(qx.dtype))
+        attn_out = ca.to_out(x_out.reshape(b, -1, self.dim))
+        one = jnp.ones((), jnp.float32)
+        norm_hidden, hidden_states = self.cross_attn_residual_norm(
+            hidden_states, attn_out, one, c_shift, c_scale)
+
+        ff = self.ffn(norm_hidden)
+        hidden_states = self.mlp_residual(hidden_states, ff, c_gate)
+        return hidden_states.astype(orig_dtype), kv_cache
+
+
+class CausalWanTransformer3DModel(WanTransformer3DModel):
+    """Block-autoregressive Wan (reference causal_wanvideo.py:369-860)."""
+
+    block_cls = CausalWanTransformerBlock
+
+    def __init__(self, config: WanArchConfig, *,
+                 param_dtype: jnp.dtype = jnp.bfloat16,
+                 rngs: nnx.Rngs | None = None):
+        super().__init__(config, param_dtype=param_dtype, rngs=rngs)
+        # rebuild blocks as causal blocks (same params/layout)
+        rngs2 = nnx.Rngs(0)
+        self.blocks = nnx.List([
+            CausalWanTransformerBlock(
+                self.inner_dim, config.ffn_dim, config.num_attention_heads,
+                config.qk_norm, config.eps, config.added_kv_proj_dim,
+                param_dtype=param_dtype, rngs=rngs2)
+            for _ in range(config.num_layers)
+        ])
+
+    # -- caches ------------------------------------------------------------
+
+    def init_caches(self, batch_size: int, frame_seqlen: int,
+                    dtype=jnp.bfloat16) -> list[dict]:
+        cfg = self.config
+        if cfg.local_attn_size != -1:
+            window = cfg.local_attn_size * frame_seqlen
+        else:
+            window = getattr(cfg, "sliding_window_num_frames", 21) * \
+                frame_seqlen
+        sink = cfg.sink_size * frame_seqlen
+        return [
+            init_layer_cache(batch_size, window, sink,
+                             cfg.num_attention_heads,
+                             cfg.attention_head_dim, dtype)
+            for _ in range(cfg.num_layers)
+        ]
+
+    def init_crossattn_caches(self) -> list[dict]:
+        return [{} for _ in range(self.config.num_layers)]
+
+    # -- block forward -----------------------------------------------------
+
+    def forward_block(self, hidden_states: Array,
+                      encoder_hidden_states: Array, timestep: Array,
+                      kv_caches: list[dict],
+                      crossattn_caches: list[dict] | None = None,
+                      start_frame: int = 0,
+                      freqs_cis: tuple[Array, Array] | None = None):
+        """One autoregressive block. hidden_states [B, C, Tb, H, W].
+
+        Returns (pred [B, C, Tb, H, W], new kv_caches). Pass ``freqs_cis``
+        (precomputed for this block's absolute positions) when calling under
+        jit so per-block start offsets don't trigger recompiles.
+        """
+        cfg = self.config
+        b, c, t, h, w = hidden_states.shape
+        pt, ph, pw = cfg.patch_size
+        gt, gh, gw = t // pt, h // ph, w // pw
+        if freqs_cis is not None:
+            cos, sin = freqs_cis
+        else:
+            cos, sin = get_rotary_pos_embed_wan((gt, gh, gw),
+                                                cfg.attention_head_dim,
+                                                cfg.rope_theta,
+                                                start_frame=start_frame)
+        x = self.patch_embedding(hidden_states)
+
+        temb, timestep_proj, ctx, _ = self.condition_embedder(
+            timestep.reshape(-1), encoder_hidden_states, None, None)
+        timestep_proj = timestep_proj.reshape(timestep_proj.shape[0], 6, -1)
+        ctx = ctx.astype(x.dtype)
+
+        new_caches = []
+        for block, cache, ca_cache in zip(
+                self.blocks, kv_caches,
+                crossattn_caches or [None] * len(kv_caches), strict=True):
+            x, cache = block.causal_forward(x, ctx, timestep_proj,
+                                            (cos, sin), cache, ca_cache)
+            new_caches.append(cache)
+
+        e = self.scale_shift_table.value + temb.astype(jnp.float32)[:, None]
+        shift, scale = e[:, 0:1], e[:, 1:2]
+        x = self.norm_out(x, shift, scale)
+        x = self.proj_out(x)
+        from fastvideo_tpu.layers.embeddings import unpatchify
+
+        return unpatchify(x, gt, gh, gw, cfg.patch_size,
+                          cfg.out_channels), new_caches
+
+
+EntryClass = CausalWanTransformer3DModel

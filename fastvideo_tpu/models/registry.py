@@ -14,6 +14,9 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "WanTransformer3DModel":
     ("fastvideo_tpu.models.dits.wan", "WanTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.wan:WanArchConfig"),
+    "CausalWanTransformer3DModel":
+    ("fastvideo_tpu.models.dits.causal_wan", "CausalWanTransformer3DModel",
+     "fastvideo_tpu.configs.models.dits.wan:WanArchConfig"),
     "WanModel":
     ("fastvideo_tpu.models.dits.wan", "WanTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.wan:WanArchConfig"),

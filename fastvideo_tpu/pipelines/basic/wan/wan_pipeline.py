@@ -97,4 +97,28 @@ class WanImageToVideoPipeline(WanPipeline):
         self.image_vae_encoding_stage = img_vae
 
 
-EntryClass = [WanPipeline, WanDMDPipeline, WanImageToVideoPipeline]
+class WanCausalDMDPipeline(WanPipeline):
+    """Self-forcing causal generation (reference wan_causal_dmd_pipeline)."""
+
+    def initialize_pipeline(self, fastvideo_args: FastVideoArgs) -> None:
+        from fastvideo_tpu.models.schedulers.flow_match_euler import (
+            FlowMatchEulerDiscreteScheduler)
+
+        self.modules["scheduler"] = FlowMatchEulerDiscreteScheduler(
+            shift=self.pipeline_config.flow_shift or 5.0)
+
+    def create_pipeline_stages(self, fastvideo_args: FastVideoArgs) -> None:
+        from fastvideo_tpu.pipelines.stages.causal_denoising import (
+            CausalDenoisingStage)
+
+        super().create_pipeline_stages(fastvideo_args)
+        causal = CausalDenoisingStage(self.get_module("transformer"),
+                                      self.get_module("scheduler"),
+                                      self.pipeline_config)
+        self._stages[self._stages.index(self.denoising_stage)] = causal
+        self.denoising_stage = causal
+        self._stage_name_mapping["denoising_stage"] = causal
+
+
+EntryClass = [WanPipeline, WanDMDPipeline, WanImageToVideoPipeline,
+              WanCausalDMDPipeline]

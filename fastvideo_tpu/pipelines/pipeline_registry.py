@@ -16,6 +16,10 @@ _PIPELINES: dict[str, str] = {
     "fastvideo_tpu.pipelines.basic.wan.wan_pipeline:WanImageToVideoPipeline",
     "WanDMDPipeline":
     "fastvideo_tpu.pipelines.basic.wan.wan_pipeline:WanDMDPipeline",
+    "WanCausalDMDPipeline":
+    "fastvideo_tpu.pipelines.basic.wan.wan_pipeline:WanCausalDMDPipeline",
+    "CausalWanPipeline":
+    "fastvideo_tpu.pipelines.basic.wan.wan_pipeline:WanCausalDMDPipeline",
 }
 
 
