@@ -103,25 +103,21 @@ def block_mean(x: Array, block_sizes: Array) -> Array:
 # -- Pallas block-sparse kernel --------------------------------------------
 
 
-def _sparse_kernel(sizes_ref, idx_hbm, q_ref, k_hbm, v_hbm, o_ref, acc_ref,
-                   idx_smem, k_buf, v_buf, idx_sem, sems, *, scale: float,
-                   topk: int):
+def _sparse_kernel(sizes_ref, idx_ref, q_ref, k_hbm, v_hbm, o_ref, acc_ref,
+                   k_buf, v_buf, sems, *, scale: float, topk: int):
     """Paged-attention-style gather: per query tile, DMA its top-k KV tiles
     from HBM with double buffering (guide: paged attention / double
-    buffering patterns). The tile-index row itself is DMA'd HBM->SMEM at
-    kernel start (a scalar-prefetch or SMEM-BlockSpec formulation overflows
-    SMEM / violates block-tiling at production tile counts)."""
+    buffering patterns). Indices arrive as an (8, topk_pad128)-aligned SMEM
+    block covering 8 query tiles — a full scalar-prefetch array overflows
+    SMEM at production tile counts, and unaligned per-row DMA violates
+    Mosaic's (8, 128) slice tiling."""
     b = pl.program_id(0)
     h = pl.program_id(1)
     qi = pl.program_id(2)
-
-    idx_dma = pltpu.make_async_copy(idx_hbm.at[b, h, qi, :], idx_smem,
-                                    idx_sem)
-    idx_dma.start()
-    idx_dma.wait()
+    row = jax.lax.rem(qi, 8)
 
     def tile_of(j):
-        return idx_smem[j]
+        return idx_ref[0, 0, row, j]
 
     def dma_k(slot, j):
         t = tile_of(j)
@@ -190,17 +186,25 @@ def block_sparse_attention(q: Array, k: Array, v: Array, indices: Array,
     """
     b, h, s, d = q.shape
     nq = s // TILE_ELEMS
-    nb = k.shape[2] // TILE_ELEMS
     topk = indices.shape[-1]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
+
+    # align the index array to Mosaic's (8, 128) SMEM block tiling; padded
+    # entries are never read (the kv loop bound stays at the true topk).
+    nq_pad = math.ceil(nq / 8) * 8
+    topk_pad = math.ceil(topk / 128) * 128
+    idx = jnp.zeros((b, h, nq_pad, topk_pad), jnp.int32)
+    idx = idx.at[:, :, :nq, :topk].set(indices.astype(jnp.int32))
 
     kernel = functools.partial(_sparse_kernel, scale=scale, topk=topk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # block_sizes only (tiny)
         grid=(b, h, nq),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # indices stay in HBM
+            pl.BlockSpec((1, 1, 8, topk_pad),
+                         lambda b, h, qi, sz: (b, h, qi // 8, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, TILE_ELEMS, d),
                          lambda b, h, qi, sz: (b, h, qi, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),  # k stays in HBM
@@ -210,10 +214,8 @@ def block_sparse_attention(q: Array, k: Array, v: Array, indices: Array,
                                lambda b, h, qi, sz: (b, h, qi, 0)),
         scratch_shapes=[
             pltpu.VMEM((TILE_ELEMS, d), jnp.float32),  # acc
-            pltpu.SMEM((topk,), jnp.int32),  # this q-tile's kv indices
             pltpu.VMEM((2, TILE_ELEMS, d), k.dtype),  # k double buffer
             pltpu.VMEM((2, TILE_ELEMS, d), v.dtype),  # v double buffer
-            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -229,7 +231,7 @@ def block_sparse_attention(q: Array, k: Array, v: Array, indices: Array,
             bytes_accessed=2 * b * h * s * d * 4,
             transcendentals=b * h * s * topk * TILE_ELEMS,
         ),
-    )(block_sizes.astype(jnp.int32), indices.astype(jnp.int32), q, k, v)
+    )(block_sizes.astype(jnp.int32), idx, q, k, v)
 
 
 def _sparse_attention_reference(q, k, v, indices, block_sizes, scale):

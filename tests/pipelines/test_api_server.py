@@ -1,0 +1,52 @@
+"""OpenAI-compatible server: submit job, poll to completion."""
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+from utils import make_tiny_wan_checkpoint  # noqa: E402
+
+
+def _req(port, path, payload=None):
+    url = f"http://127.0.0.1:{port}{path}"
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(url, data=data,
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return json.loads(resp.read())
+
+
+def test_api_server_generate(tmp_path):
+    import fastvideo_tpu.parallel as par
+    from fastvideo_tpu import VideoGenerator
+    from fastvideo_tpu.entrypoints.openai.api_server import VideoAPIServer
+
+    par.destroy_mesh()
+    ckpt = make_tiny_wan_checkpoint(str(tmp_path / "Wan-tiny"))
+    gen = VideoGenerator.from_pretrained(ckpt, num_gpus=1)
+    server = VideoAPIServer(gen, host="127.0.0.1", port=0)
+    server.serve_background()
+    try:
+        assert _req(server.port, "/health")["status"] == "ok"
+        models = _req(server.port, "/v1/models")
+        assert models["data"][0]["object"] == "model"
+
+        job = _req(server.port, "/v1/videos", {
+            "prompt": "w1 w2", "height": 16, "width": 16, "num_frames": 3,
+            "steps": 1, "guidance_scale": 1.0, "seed": 5,
+            "output_path": str(tmp_path / "out"),
+        })
+        assert job["status"] in ("queued", "in_progress")
+        for _ in range(120):
+            job = _req(server.port, f"/v1/videos/{job['id']}")
+            if job["status"] in ("completed", "failed"):
+                break
+            time.sleep(1)
+        assert job["status"] == "completed", job
+        assert job["video_path"]
+    finally:
+        server.shutdown()
