@@ -41,6 +41,10 @@ def main() -> None:
     import jax.numpy as jnp
     from flax import nnx
 
+    from fastvideo_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     num_frames, height, width = 81, 480, 832
     dmd_steps = [1000.0, 757.0, 522.0]
     text_len, text_dim = 512, 4096

@@ -14,8 +14,14 @@ import jax.numpy as jnp
 
 from fastvideo_tpu.attention.backends.abstract import (AttentionBackend,
                                                        AttentionMetadata)
-from fastvideo_tpu.ops.vsa import (TILE_ELEMS, tile_layout, tile_tokens,
-                                   untile_tokens, video_sparse_attn)
+from fastvideo_tpu.ops.vsa import (tile_layout, tile_tokens, untile_tokens,
+                                   video_sparse_attn)
+
+# TPU default: 256-token (4,8,8) tiles — 256-row MXU blocks and 64 KB KV
+# DMAs (the reference's FA4/CuTe fastpath geometry, ops.py:88-90). The
+# 64-token (4,4,4) geometry matches the reference default but starves the
+# MXU on TPU.
+VSA_TPU_TILE = (4, 8, 8)
 
 Array = jax.Array
 
@@ -38,18 +44,22 @@ class VideoSparseAttentionBackend(AttentionBackend):
         if metadata is not None:
             sparsity = float(metadata.extra.get("VSA_sparsity", 0.0))
 
+        tile = VSA_TPU_TILE
+        tile_elems = tile[0] * tile[1] * tile[2]
+
         def prep(x):
-            t = tile_tokens(x[:, :s_tokens], dit_shape)
+            t = tile_tokens(x[:, :s_tokens], dit_shape, tile)
             return t.transpose(0, 2, 1, 3)  # BHSD tiled
 
         qt, kt, vt = prep(q), prep(k), prep(v)
         gt = prep(gate) if gate is not None else None
-        _, _, block_sizes, _, padded = tile_layout(dit_shape)
-        nb = padded // TILE_ELEMS
+        _, _, block_sizes, _, padded = tile_layout(dit_shape, tile)
+        nb = padded // tile_elems
         topk = max(1, min(nb, int(-(-((1.0 - sparsity) * nb) // 1))))
         out = video_sparse_attn(qt, kt, vt, jnp.asarray(block_sizes), topk,
-                                gate_compress=gt, scale=self.softmax_scale)
-        out = untile_tokens(out.transpose(0, 2, 1, 3), dit_shape)
+                                gate_compress=gt, scale=self.softmax_scale,
+                                tile_elems=tile_elems)
+        out = untile_tokens(out.transpose(0, 2, 1, 3), dit_shape, tile)
         if s_in > s_tokens:
             out = jnp.pad(out, ((0, 0), (0, s_in - s_tokens), (0, 0),
                                 (0, 0)))

@@ -77,25 +77,30 @@ def tile_layout(dit_seq_shape: tuple[int, int, int],
     return (scatter, gather_back, block_sizes, (nt, nh, nw), padded_len)
 
 
-def tile_tokens(x: Array, dit_seq_shape: tuple[int, int, int]) -> Array:
+def tile_tokens(x: Array, dit_seq_shape: tuple[int, int, int],
+                tile_size: tuple[int, int, int] = VSA_TILE_SIZE) -> Array:
     """[B, S, ...] token order -> [B, S_pad, ...] tile-major padded order."""
-    scatter, _, _, _, padded_len = tile_layout(tuple(dit_seq_shape))
+    scatter, _, _, _, padded_len = tile_layout(tuple(dit_seq_shape),
+                                               tuple(tile_size))
     out_shape = (x.shape[0], padded_len, *x.shape[2:])
     out = jnp.zeros(out_shape, x.dtype)
     return out.at[:, jnp.asarray(scatter)].set(x)
 
 
-def untile_tokens(x: Array, dit_seq_shape: tuple[int, int, int]) -> Array:
+def untile_tokens(x: Array, dit_seq_shape: tuple[int, int, int],
+                  tile_size: tuple[int, int, int] = VSA_TILE_SIZE) -> Array:
     """[B, S_pad, ...] tiled order -> [B, S, ...] original token order."""
-    _, gather_back, _, _, _ = tile_layout(tuple(dit_seq_shape))
+    _, gather_back, _, _, _ = tile_layout(tuple(dit_seq_shape),
+                                          tuple(tile_size))
     return x[:, jnp.asarray(gather_back)]
 
 
-def block_mean(x: Array, block_sizes: Array) -> Array:
-    """[B, H, nB*64, D] -> [B, H, nB, D] mean over valid tokens per tile."""
+def block_mean(x: Array, block_sizes: Array,
+               tile_elems: int = TILE_ELEMS) -> Array:
+    """[B, H, nB*E, D] -> [B, H, nB, D] mean over valid tokens per tile."""
     b, h, s, d = x.shape
-    nb = s // TILE_ELEMS
-    xs = x.reshape(b, h, nb, TILE_ELEMS, d)
+    nb = s // tile_elems
+    xs = x.reshape(b, h, nb, tile_elems, d)
     sums = jnp.sum(xs.astype(jnp.float32), axis=3)
     return (sums / block_sizes[None, None, :, None]).astype(x.dtype)
 
@@ -104,7 +109,8 @@ def block_mean(x: Array, block_sizes: Array) -> Array:
 
 
 def _sparse_kernel(sizes_ref, idx_ref, q_ref, k_hbm, v_hbm, o_ref, acc_ref,
-                   k_buf, v_buf, sems, *, scale: float, topk: int):
+                   k_buf, v_buf, sems, *, scale: float, topk: int,
+                   tile_elems: int):
     """Paged-attention-style gather: per query tile, DMA its top-k KV tiles
     from HBM with double buffering (guide: paged attention / double
     buffering patterns). Indices arrive as an (8, topk_pad128)-aligned SMEM
@@ -122,13 +128,13 @@ def _sparse_kernel(sizes_ref, idx_ref, q_ref, k_hbm, v_hbm, o_ref, acc_ref,
     def dma_k(slot, j):
         t = tile_of(j)
         return pltpu.make_async_copy(
-            k_hbm.at[b, h, pl.ds(t * TILE_ELEMS, TILE_ELEMS), :],
+            k_hbm.at[b, h, pl.ds(t * tile_elems, tile_elems), :],
             k_buf.at[slot], sems.at[slot, 0])
 
     def dma_v(slot, j):
         t = tile_of(j)
         return pltpu.make_async_copy(
-            v_hbm.at[b, h, pl.ds(t * TILE_ELEMS, TILE_ELEMS), :],
+            v_hbm.at[b, h, pl.ds(t * tile_elems, tile_elems), :],
             v_buf.at[slot], sems.at[slot, 1])
 
     dma_k(0, 0).start()
@@ -168,8 +174,8 @@ def _sparse_kernel(sizes_ref, idx_ref, q_ref, k_hbm, v_hbm, o_ref, acc_ref,
         return m_next, l_next
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    m0 = jnp.full((TILE_ELEMS, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((TILE_ELEMS, 1), jnp.float32)
+    m0 = jnp.full((tile_elems, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((tile_elems, 1), jnp.float32)
     _, l = jax.lax.fori_loop(0, topk, body, (m0, l0))
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
     o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
@@ -177,15 +183,16 @@ def _sparse_kernel(sizes_ref, idx_ref, q_ref, k_hbm, v_hbm, o_ref, acc_ref,
 
 def block_sparse_attention(q: Array, k: Array, v: Array, indices: Array,
                            block_sizes: Array, *,
-                           scale: float | None = None) -> Array:
+                           scale: float | None = None,
+                           tile_elems: int = TILE_ELEMS) -> Array:
     """Block-sparse attention over tiled tokens.
 
-    q/k/v: [B, H, nB*64, D] in tile-major padded order.
+    q/k/v: [B, H, nB*E, D] in tile-major padded order.
     indices: [B, H, nQ, K] int32 — selected kv tile ids per query tile.
     block_sizes: [nB] int32 valid token counts.
     """
     b, h, s, d = q.shape
-    nq = s // TILE_ELEMS
+    nq = s // tile_elems
     topk = indices.shape[-1]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
@@ -197,7 +204,8 @@ def block_sparse_attention(q: Array, k: Array, v: Array, indices: Array,
     idx = jnp.zeros((b, h, nq_pad, topk_pad), jnp.int32)
     idx = idx.at[:, :, :nq, :topk].set(indices.astype(jnp.int32))
 
-    kernel = functools.partial(_sparse_kernel, scale=scale, topk=topk)
+    kernel = functools.partial(_sparse_kernel, scale=scale, topk=topk,
+                               tile_elems=tile_elems)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # block_sizes only (tiny)
         grid=(b, h, nq),
@@ -205,17 +213,17 @@ def block_sparse_attention(q: Array, k: Array, v: Array, indices: Array,
             pl.BlockSpec((1, 1, 8, topk_pad),
                          lambda b, h, qi, sz: (b, h, qi // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, TILE_ELEMS, d),
+            pl.BlockSpec((1, 1, tile_elems, d),
                          lambda b, h, qi, sz: (b, h, qi, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),  # k stays in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),  # v stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, 1, TILE_ELEMS, d),
+        out_specs=pl.BlockSpec((1, 1, tile_elems, d),
                                lambda b, h, qi, sz: (b, h, qi, 0)),
         scratch_shapes=[
-            pltpu.VMEM((TILE_ELEMS, d), jnp.float32),  # acc
-            pltpu.VMEM((2, TILE_ELEMS, d), k.dtype),  # k double buffer
-            pltpu.VMEM((2, TILE_ELEMS, d), v.dtype),  # v double buffer
+            pltpu.VMEM((tile_elems, d), jnp.float32),  # acc
+            pltpu.VMEM((2, tile_elems, d), k.dtype),  # k double buffer
+            pltpu.VMEM((2, tile_elems, d), v.dtype),  # v double buffer
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -227,18 +235,19 @@ def block_sparse_attention(q: Array, k: Array, v: Array, indices: Array,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * s * topk * TILE_ELEMS * d,
+            flops=4 * b * h * s * topk * tile_elems * d,
             bytes_accessed=2 * b * h * s * d * 4,
-            transcendentals=b * h * s * topk * TILE_ELEMS,
+            transcendentals=b * h * s * topk * tile_elems,
         ),
     )(block_sizes.astype(jnp.int32), idx, q, k, v)
 
 
-def _sparse_attention_reference(q, k, v, indices, block_sizes, scale):
+def _sparse_attention_reference(q, k, v, indices, block_sizes, scale,
+                                tile_elems: int = TILE_ELEMS):
     """Dense-math reference for the sparse branch (tests + VJP fallback)."""
     b, h, s, d = q.shape
-    nb = s // TILE_ELEMS
-    col_tile = jnp.arange(s) // TILE_ELEMS
+    nb = s // tile_elems
+    col_tile = jnp.arange(s) // tile_elems
     # allowed[b,h,qtile,kvtile]
     allowed = jnp.zeros((b, h, nb, nb), bool)
     allowed = allowed.at[
@@ -246,8 +255,8 @@ def _sparse_attention_reference(q, k, v, indices, block_sizes, scale):
         jnp.arange(h)[None, :, None, None],
         jnp.arange(nb)[None, None, :, None], indices].set(True)
     tok_allowed = allowed[:, :, :, col_tile]  # [b,h,nq,s_kv] per tile
-    tok_allowed = jnp.repeat(tok_allowed, TILE_ELEMS, axis=2)
-    col_in_tile = jnp.arange(s) % TILE_ELEMS
+    tok_allowed = jnp.repeat(tok_allowed, tile_elems, axis=2)
+    col_in_tile = jnp.arange(s) % tile_elems
     valid = col_in_tile < block_sizes[col_tile]
     mask = tok_allowed & valid[None, None, None, :]
     scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
@@ -271,33 +280,34 @@ def video_sparse_attn(
     gate_compress: Array | None = None,
     scale: float | None = None,
     use_pallas: bool = True,
+    tile_elems: int = TILE_ELEMS,
 ) -> Array:
     """VSA over tiled [B, H, S_pad, D] tensors (reference ops.py:69-145)."""
     b, h, s, d = q.shape
-    nb = s // TILE_ELEMS
+    nb = s // tile_elems
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     topk = max(1, min(topk, nb))
 
-    q_c = block_mean(q, block_sizes)
-    k_c = block_mean(k, block_sizes)
-    v_c = block_mean(v, block_sizes)
+    q_c = block_mean(q, block_sizes, tile_elems)
+    k_c = block_mean(k, block_sizes, tile_elems)
+    v_c = block_mean(v, block_sizes, tile_elems)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q_c.astype(jnp.float32),
                         k_c.astype(jnp.float32)) * scale
     attn = jax.nn.softmax(scores, axis=-1)
     out_c = jnp.einsum("bhqk,bhkd->bhqd", attn,
                        v_c.astype(jnp.float32)).astype(q.dtype)
-    # broadcast each tile's coarse output to its 64 tokens
-    out_c = jnp.repeat(out_c, TILE_ELEMS, axis=2)
+    # broadcast each tile's coarse output to its tokens
+    out_c = jnp.repeat(out_c, tile_elems, axis=2)
 
     _, top_idx = jax.lax.top_k(scores, topk)  # [b,h,nq,topk]
 
     if use_pallas:
         out_s = block_sparse_attention(q, k, v, top_idx, block_sizes,
-                                       scale=scale)
+                                       scale=scale, tile_elems=tile_elems)
     else:
         out_s = _sparse_attention_reference(q, k, v, top_idx, block_sizes,
-                                            scale)
+                                            scale, tile_elems)
 
     if gate_compress is not None:
         return out_c * gate_compress + out_s
