@@ -12,6 +12,7 @@ full gathered sequence.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from flax import nnx
 
 from fastvideo_tpu.attention.backends.abstract import AttentionMetadata
@@ -107,3 +108,74 @@ class DistributedAttention(nnx.Module):
         if get_sp_size() == 1:
             return local_attn(q, k, v, gate)
         return ulysses_attention(local_attn, q, k, v, extra=gate)
+
+    def joint_forward(
+        self,
+        q: Array,
+        k: Array,
+        v: Array,
+        replicated_q: Array,
+        replicated_k: Array,
+        replicated_v: Array,
+        *,
+        freqs_cis: tuple[Array, Array] | None = None,
+        kv_valid: int | None = None,
+    ) -> tuple[Array, Array]:
+        """Joint image+text attention (reference attention/layer.py:136-156).
+
+        Image q/k/v are seq-sharded; the text (replicated_*) tokens are
+        replicated across sp. RoPE applies to the image tokens only. Returns
+        (image_out seq-sharded, text_out replicated).
+        """
+        if freqs_cis is not None:
+            cos, sin = freqs_cis
+            q = apply_rotary_emb(q, cos, sin)
+            k = apply_rotary_emb(k, cos, sin)
+        ctx = get_forward_context()
+        metadata = ctx.attn_metadata if ctx is not None else None
+        txt_len = replicated_q.shape[1]
+
+        def attend(q_, k_, v_, rq, rk, rv):
+            qq = jnp.concatenate([q_, rq.astype(q_.dtype)], axis=1)
+            kk = jnp.concatenate([k_, rk.astype(k_.dtype)], axis=1)
+            vv = jnp.concatenate([v_, rv.astype(v_.dtype)], axis=1)
+            kvv = None if kv_valid is None else kv_valid + txt_len
+            out = self.backend.forward(qq, kk, vv, metadata, kv_valid=kvv)
+            return out[:, :-txt_len], out[:, -txt_len:]
+
+        sp = get_sp_size()
+        if sp == 1:
+            return attend(q, k, v, replicated_q, replicated_k, replicated_v)
+
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from fastvideo_tpu.parallel.mesh import DP_AXIS, SP_AXIS, get_mesh
+
+        mesh = get_mesh()
+
+        def inner(q_, k_, v_, rq, rk, rv):
+            def a2a_heads(x):
+                return jax.lax.all_to_all(x, SP_AXIS, split_axis=2,
+                                          concat_axis=1, tiled=True)
+
+            q_, k_, v_ = a2a_heads(q_), a2a_heads(k_), a2a_heads(v_)
+            heads_per = rq.shape[2] // sp
+            idx = jax.lax.axis_index(SP_AXIS)
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(  # noqa: E731
+                x, idx * heads_per, heads_per, axis=2)
+            img_out, txt_out = attend(q_, k_, v_, sl(rq), sl(rk), sl(rv))
+            img_out = jax.lax.all_to_all(img_out, SP_AXIS, split_axis=1,
+                                         concat_axis=2, tiled=True)
+            txt_out = jax.lax.all_gather(txt_out, SP_AXIS, axis=2,
+                                         tiled=True)
+            return img_out, txt_out
+
+        repl = P(DP_AXIS)
+        return jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(DP_AXIS, SP_AXIS), P(DP_AXIS, SP_AXIS),
+                      P(DP_AXIS, SP_AXIS), repl, repl, repl),
+            out_specs=(P(DP_AXIS, SP_AXIS), repl),
+            check_vma=False,
+        )(q, k, v, replicated_q, replicated_k, replicated_v)

@@ -99,16 +99,23 @@ class ModulateProjection(nnx.Module):
 
 
 def unpatchify(x: Array, t: int, h: int, w: int,
-               patch_size: tuple[int, int, int], channels: int) -> Array:
+               patch_size: tuple[int, int, int], channels: int,
+               feature_order: str = "pthw_c") -> Array:
     """[B, T*H*W, C*pt*ph*pw] -> [B, C, T*pt, H*ph, W*pw].
 
-    Matches WanTransformer3DModel's output reshape
-    (/root/reference/fastvideo/models/dits/wanvideo.py:795-806): feature
-    order within a patch is (pt, ph, pw, C) -> permute to channel-major.
+    ``feature_order`` is the per-patch feature layout of the projection:
+    * "pthw_c": (pt, ph, pw, C) — Wan's output reshape
+      (/root/reference/fastvideo/models/dits/wanvideo.py:795-806);
+    * "c_pthw": (C, pt, ph, pw) — the shared helper used by HunyuanVideo
+      (/root/reference/fastvideo/layers/visual_embedding.py:unpatchify).
     """
     pt, ph, pw = patch_size
     b = x.shape[0]
-    x = x.reshape(b, t, h, w, pt, ph, pw, channels)
-    # [B, C, t, pt, h, ph, w, pw]
-    x = x.transpose(0, 7, 1, 4, 2, 5, 3, 6)
+    if feature_order == "pthw_c":
+        x = x.reshape(b, t, h, w, pt, ph, pw, channels)
+        # [B, C, t, pt, h, ph, w, pw]
+        x = x.transpose(0, 7, 1, 4, 2, 5, 3, 6)
+    else:
+        x = x.reshape(b, t, h, w, channels, pt, ph, pw)
+        x = x.transpose(0, 4, 1, 5, 2, 6, 3, 7)
     return x.reshape(b, channels, t * pt, h * ph, w * pw)

@@ -30,11 +30,23 @@ from fastvideo_tpu.models.vaes.wan import CausalConv3d
 logger = init_logger(__name__)
 
 
-def apply_param_mapping(name: str, mapping: dict[str, str]) -> str:
+def apply_param_mapping(name: str, mapping: dict[str, str]):
+    """Rewrite a checkpoint name through the regex table.
+
+    A mapping value may be ``(replacement, slot, total)`` for fused targets
+    (e.g. separate q/k/v checkpoints merged into one qkv kernel, reference
+    configs/models/dits/hunyuanvideo.py) — then the return value is
+    ``(new_name, slot, total)``.
+    """
     for pattern, repl in mapping.items():
-        new, n = re.subn(pattern, repl, name)
-        if n:
-            return new
+        if isinstance(repl, tuple):
+            new, n = re.subn(pattern, repl[0], name)
+            if n:
+                return (new, repl[1], repl[2])
+        else:
+            new, n = re.subn(pattern, repl, name)
+            if n:
+                return new
     return name
 
 
@@ -120,9 +132,30 @@ def load_weights(model: nnx.Module,
                  *, dtype: jnp.dtype | None = None,
                  strict: bool = True) -> int:
     count = 0
+    pending: dict[str, dict[int, np.ndarray]] = {}
+    pending_total: dict[str, int] = {}
     for name, value in weights:
         target = (apply_param_mapping(name, param_names_mapping)
                   if param_names_mapping else name)
+        if isinstance(target, tuple):
+            # fused slot: stage until all pieces arrive, then concat along
+            # the torch out-dim (dim 0).
+            tname, slot, total = target
+            pending.setdefault(tname, {})[slot] = value
+            pending_total[tname] = total
+            if len(pending[tname]) == total:
+                merged = np.concatenate(
+                    [pending[tname][i] for i in range(total)], axis=0)
+                del pending[tname]
+                if assign_param(model, tname, merged, dtype=dtype,
+                                strict=strict):
+                    count += 1
+            continue
         if assign_param(model, target, value, dtype=dtype, strict=strict):
             count += 1
+    if pending:
+        msg = f"Incomplete fused weights: {sorted(pending)}"
+        if strict:
+            raise KeyError(msg)
+        logger.warning(msg)
     return count
