@@ -17,6 +17,9 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "CausalWanTransformer3DModel":
     ("fastvideo_tpu.models.dits.causal_wan", "CausalWanTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.wan:WanArchConfig"),
+    "HunyuanVideoTransformer3DModel":
+    ("fastvideo_tpu.models.dits.hunyuan", "HunyuanVideoTransformer3DModel",
+     "fastvideo_tpu.configs.models.dits.hunyuan:HunyuanVideoArchConfig"),
     "WanModel":
     ("fastvideo_tpu.models.dits.wan", "WanTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.wan:WanArchConfig"),

@@ -55,25 +55,29 @@ def bench_attn() -> None:
 
 
 def bench_vsa() -> None:
-    from fastvideo_tpu.ops.vsa import (tile_layout, video_sparse_attn)
+    from fastvideo_tpu.ops.vsa import tile_layout, video_sparse_attn
 
     # post-patchify token grid for 480x832x81f with patch (1,2,2)
     dit_shape = (21, 30, 52)
-    _, _, sizes, ntiles, padded = tile_layout(dit_shape)
     B, H, D = 1, 12, 128
-    print(f"tiles={ntiles} padded_len={padded}")
     key = jax.random.PRNGKey(0)
-    q = jax.random.normal(key, (B, H, padded, D), jnp.bfloat16)
-    k = jax.random.normal(key, (B, H, padded, D), jnp.bfloat16)
-    v = jax.random.normal(key, (B, H, padded, D), jnp.bfloat16)
-    sizes_j = jnp.asarray(sizes)
-    nb = padded // 64
-    for sparsity in (0.0, 0.5, 0.875, 0.9375):
-        topk = max(1, int(np.ceil((1 - sparsity) * nb)))
-        f = jax.jit(lambda q, k, v, topk=topk: video_sparse_attn(
-            q, k, v, sizes_j, topk))
-        t = timeit(f, q, k, v, n=3)
-        print(f"vsa sparsity={sparsity} topk={topk}/{nb}: {t*1000:.0f}ms")
+    for tile in ((4, 8, 8),):
+        elems = tile[0] * tile[1] * tile[2]
+        _, _, sizes, ntiles, padded = tile_layout(dit_shape, tile)
+        print(f"tile={tile} tiles={ntiles} padded_len={padded}")
+        q = jax.random.normal(key, (B, H, padded, D), jnp.bfloat16)
+        k = jax.random.normal(key, (B, H, padded, D), jnp.bfloat16)
+        v = jax.random.normal(key, (B, H, padded, D), jnp.bfloat16)
+        sizes_j = jnp.asarray(sizes)
+        nb = padded // elems
+        for sparsity in (0.875, 0.9375):
+            topk = max(1, int(np.ceil((1 - sparsity) * nb)))
+            f = jax.jit(lambda q, k, v, topk=topk, e=elems:
+                        video_sparse_attn(q, k, v, sizes_j, topk,
+                                          tile_elems=e))
+            t = timeit(f, q, k, v, n=3)
+            print(f"vsa tile={tile} sparsity={sparsity} "
+                  f"topk={topk}/{nb}: {t*1000:.0f}ms")
 
 
 def bench_vae() -> None:
