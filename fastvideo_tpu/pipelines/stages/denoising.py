@@ -63,6 +63,18 @@ class DenoisingStage(PipelineStage):
         # (stages/denoising.py:377-401)
         return "main" if t >= boundary_timestep else "second"
 
+    def _build_attn_metadata(self, batch: ForwardBatch,
+                             fastvideo_args: FastVideoArgs):
+        """Per-step sparse-attention metadata (reference
+        stages/denoising.py:469-500): currently the VSA sparsity knob."""
+        sparsity = batch.VSA_sparsity or fastvideo_args.VSA_sparsity
+        if not sparsity:
+            return None
+        from fastvideo_tpu.attention.backends.abstract import (
+            AttentionMetadata)
+
+        return AttentionMetadata(extra={"VSA_sparsity": float(sparsity)})
+
     def _model_input(self, batch: ForwardBatch, latents):
         if batch.image_latent is not None:
             # I2V: concat conditioning latent on channels
@@ -87,12 +99,17 @@ class DenoisingStage(PipelineStage):
 
         timesteps = list(batch.timesteps)
         trajectory = []
+        attn_metadata = self._build_attn_metadata(batch, fastvideo_args)
         for i, t in enumerate(timesteps):
             which = self._select_expert(float(t), batch)
             step_fn, state = self._get_step_fn(which)
             t_arr = jnp.full((latents.shape[0],), float(t), jnp.float32)
             model_in = self._model_input(batch, latents.astype(target_dtype))
-            with set_forward_context(current_timestep=i, forward_batch=batch):
+            if attn_metadata is not None:
+                attn_metadata.current_timestep = i
+            with set_forward_context(current_timestep=i,
+                                     attn_metadata=attn_metadata,
+                                     forward_batch=batch):
                 noise_pred = step_fn(state, model_in, pos_ctx, t_arr,
                                      image_embeds,
                                      image_cond=image_embeds is not None)
