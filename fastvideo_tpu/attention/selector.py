@@ -33,10 +33,13 @@ def register_backend(cls: type[AttentionBackend]) -> type[AttentionBackend]:
 register_backend(SDPABackend)
 register_backend(FlashAttentionBackend)
 
+from fastvideo_tpu.attention.backends.sta import (  # noqa: E402
+    SlidingTileAttentionBackend)
 from fastvideo_tpu.attention.backends.vsa import (  # noqa: E402
     VideoSparseAttentionBackend)
 
 register_backend(VideoSparseAttentionBackend)
+register_backend(SlidingTileAttentionBackend)
 
 # Aliases for reference-compatible names.
 _ALIASES = {

@@ -126,13 +126,13 @@ def _sparse_kernel(sizes_ref, idx_ref, q_ref, k_hbm, v_hbm, o_ref, acc_ref,
         return idx_ref[0, 0, row, j]
 
     def dma_k(slot, j):
-        t = tile_of(j)
+        t = jnp.maximum(tile_of(j), 0)
         return pltpu.make_async_copy(
             k_hbm.at[b, h, pl.ds(t * tile_elems, tile_elems), :],
             k_buf.at[slot], sems.at[slot, 0])
 
     def dma_v(slot, j):
-        t = tile_of(j)
+        t = jnp.maximum(tile_of(j), 0)
         return pltpu.make_async_copy(
             v_hbm.at[b, h, pl.ds(t * tile_elems, tile_elems), :],
             v_buf.at[slot], sems.at[slot, 1])
@@ -159,7 +159,9 @@ def _sparse_kernel(sizes_ref, idx_ref, q_ref, k_hbm, v_hbm, o_ref, acc_ref,
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        valid = sizes_ref[tile_of(j)]
+        t_j = tile_of(j)
+        # sentinel index -1 marks a padded slot (STA ragged windows)
+        valid = jnp.where(t_j >= 0, sizes_ref[jnp.maximum(t_j, 0)], 0)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < valid, s, MASK_VALUE)
 
@@ -248,12 +250,14 @@ def _sparse_attention_reference(q, k, v, indices, block_sizes, scale,
     b, h, s, d = q.shape
     nb = s // tile_elems
     col_tile = jnp.arange(s) // tile_elems
-    # allowed[b,h,qtile,kvtile]
-    allowed = jnp.zeros((b, h, nb, nb), bool)
+    # allowed[b,h,qtile,kvtile]; sentinel (-1) routes to a dummy extra column that is dropped
+    allowed = jnp.zeros((b, h, nb, nb + 1), bool)
     allowed = allowed.at[
         jnp.arange(b)[:, None, None, None],
         jnp.arange(h)[None, :, None, None],
-        jnp.arange(nb)[None, None, :, None], indices].set(True)
+        jnp.arange(nb)[None, None, :, None],
+        jnp.where(indices >= 0, indices, nb)].set(True)
+    allowed = allowed[..., :nb]
     tok_allowed = allowed[:, :, :, col_tile]  # [b,h,nq,s_kv] per tile
     tok_allowed = jnp.repeat(tok_allowed, tile_elems, axis=2)
     col_in_tile = jnp.arange(s) % tile_elems
