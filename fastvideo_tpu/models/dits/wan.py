@@ -320,6 +320,10 @@ class WanTransformer3DModel(nnx.Module):
         self.scale_shift_table = nnx.Param(
             jax.random.normal(rngs.params(), (1, 2, inner_dim), jnp.float32) /
             inner_dim**0.5)
+        # set by the trainer; wraps each block in jax.checkpoint (the remat
+        # analog of the reference's activation checkpointing,
+        # training/activation_checkpoint.py:86)
+        self.gradient_checkpointing = False
 
     def __call__(
         self,
@@ -370,8 +374,16 @@ class WanTransformer3DModel(nnx.Module):
 
         freqs_cis = (cos, sin)
         for block in self.blocks:
-            x = block(x, encoder_hidden_states, timestep_proj, freqs_cis,
-                      kv_valid, grid=(gt, gh, gw))
+            if self.gradient_checkpointing:
+                def run_block(x_, ehs_, tp_, blk=block):
+                    return blk(x_, ehs_, tp_, freqs_cis, kv_valid,
+                               grid=(gt, gh, gw))
+
+                x = jax.checkpoint(run_block)(x, encoder_hidden_states,
+                                              timestep_proj)
+            else:
+                x = block(x, encoder_hidden_states, timestep_proj, freqs_cis,
+                          kv_valid, grid=(gt, gh, gw))
 
         # Output head (wanvideo.py:781-806).
         if temb.ndim == 3:

@@ -94,6 +94,8 @@ class TrainingPipeline:
         self.mesh = mesh or maybe_init_mesh(training_args.mesh_config())
         self.transformer = transformer
         self.scheduler = scheduler
+        if training_args.selective_checkpointing in ("full", "ops"):
+            transformer.gradient_checkpointing = True
         self.graphdef, params = nnx.split(transformer)
         self.tx = build_optimizer(training_args)
         with mesh_context(self.mesh):
