@@ -116,12 +116,27 @@ class CausalConv3d(nnx.Module):
             ctx.push(tail)
         if tp or ph or pw:
             x = jnp.pad(x, ((0, 0), (tp, 0), (ph, ph), (pw, pw), (0, 0)))
-        out = jax.lax.conv_general_dilated(
-            x, self.weight.value.astype(x.dtype),
-            window_strides=self.stride,
-            padding="VALID",
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        )
+        w = self.weight.value.astype(x.dtype)
+        kt = self.kernel_size[0]
+        st, sh, sw = self.stride
+        if kt > 1:
+            # Decompose the temporal kernel into kt taps of (1, kh, kw)
+            # convs: XLA:TPU lowers true 3D convs ~20x slower than the
+            # equivalent sum of 2D convs (measured 1 vs 16 TF/s on v5e).
+            n_out = (x.shape[1] - kt) // st + 1
+            out = None
+            for dt in range(kt):
+                xt = jax.lax.slice_in_dim(x, dt, dt + (n_out - 1) * st + 1,
+                                          stride=st, axis=1)
+                o = jax.lax.conv_general_dilated(
+                    xt, w[dt:dt + 1], window_strides=(1, sh, sw),
+                    padding="VALID",
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+                out = o if out is None else out + o
+        else:
+            out = jax.lax.conv_general_dilated(
+                x, w, window_strides=self.stride, padding="VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
         return out + self.bias.value.astype(out.dtype)
 
 
