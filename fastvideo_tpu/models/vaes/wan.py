@@ -33,6 +33,10 @@ from fastvideo_tpu.configs.models.vaes.wan import WanVAEArchConfig
 
 Array = jax.Array
 
+# See CausalConv3d.__call__; flip to experiment with temporal-tap conv
+# decomposition.
+TEMPORAL_TAP_DECOMPOSE = False
+
 
 class StreamCache:
     """Functional conv-cache bookkeeping for chunked/streaming decode.
@@ -119,10 +123,12 @@ class CausalConv3d(nnx.Module):
         w = self.weight.value.astype(x.dtype)
         kt = self.kernel_size[0]
         st, sh, sw = self.stride
-        if kt > 1:
+        if kt > 1 and TEMPORAL_TAP_DECOMPOSE:
             # Decompose the temporal kernel into kt taps of (1, kh, kw)
-            # convs: XLA:TPU lowers true 3D convs ~20x slower than the
-            # equivalent sum of 2D convs (measured 1 vs 16 TF/s on v5e).
+            # convs. In ISOLATION this is ~24x faster than XLA's 3D conv
+            # lowering (1 vs 16 TF/s measured on v5e), but inside the full
+            # decoder XLA's fusion choices make it slightly slower — kept
+            # opt-in pending a profiler-guided layout fix.
             n_out = (x.shape[1] - kt) // st + 1
             out = None
             for dt in range(kt):
