@@ -180,3 +180,122 @@ def preprocess_image(pil_image, config: CLIPVisionArchConfig):
 
 
 EntryClass = CLIPVisionModel
+
+
+# -- text tower --------------------------------------------------------------
+
+import dataclasses
+
+from fastvideo_tpu.configs.models.base import EncoderArchConfig
+
+
+@dataclasses.dataclass
+class CLIPTextArchConfig(EncoderArchConfig):
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    max_position_embeddings: int = 77
+    hidden_act: str = "quick_gelu"
+    layer_norm_eps: float = 1e-5
+    eos_token_id: int = 49407
+    text_len: int = 77
+
+
+CLIP_TEXT_PARAM_NAMES_MAPPING: dict[str, str] = {
+    r"^text_model\.encoder\.layers\.(.*)$": r"text_model.layers.\1",
+    r"^text_model\.(.*)$": r"text_model.\1",
+}
+
+
+class CLIPTextEmbeddings(nnx.Module):
+    def __init__(self, config: CLIPTextArchConfig, *, param_dtype, rngs):
+        self.token_embedding = Embedding(config.vocab_size,
+                                         config.hidden_size,
+                                         param_dtype=param_dtype, rngs=rngs)
+        self.position_embedding = Embedding(config.max_position_embeddings,
+                                            config.hidden_size,
+                                            param_dtype=param_dtype,
+                                            rngs=rngs)
+
+    def __call__(self, input_ids: Array) -> Array:
+        pos = jnp.arange(input_ids.shape[1])
+        return self.token_embedding(input_ids) + self.position_embedding(pos)
+
+
+class CLIPTextTransformer(nnx.Module):
+    def __init__(self, config: CLIPTextArchConfig, *, param_dtype, rngs):
+        kw = dict(param_dtype=param_dtype, rngs=rngs)
+        # encoder layers are identical to the vision tower's
+        vis_like = CLIPVisionArchConfig(
+            hidden_size=config.hidden_size,
+            intermediate_size=config.intermediate_size,
+            num_hidden_layers=config.num_hidden_layers,
+            num_attention_heads=config.num_attention_heads,
+            hidden_act=config.hidden_act,
+            layer_norm_eps=config.layer_norm_eps)
+        self.embeddings = CLIPTextEmbeddings(config, **kw)
+        self.layers = nnx.List([
+            CLIPEncoderLayer(vis_like, **kw)
+            for _ in range(config.num_hidden_layers)
+        ])
+        self.final_layer_norm = LayerNorm(config.hidden_size,
+                                          config.layer_norm_eps, **kw)
+        self.config = config
+
+    def __call__(self, input_ids: Array,
+                 attention_mask: Array | None = None) -> tuple[Array, Array]:
+        x = self.embeddings(input_ids)
+        s = x.shape[1]
+        causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
+        ok = causal
+        if attention_mask is not None:
+            ok = ok & (attention_mask[:, None, None, :] > 0)
+        bias = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min).astype(x.dtype)
+        for layer in self.layers:
+            # CLIP text uses causal attention
+            residual = x
+            h = layer.layer_norm1(x)
+            b, ss, _ = h.shape
+            n, d = layer.self_attn.num_heads, layer.self_attn.head_dim
+            q = layer.self_attn.q_proj(h).reshape(b, ss, n, d)
+            k = layer.self_attn.k_proj(h).reshape(b, ss, n, d)
+            v = layer.self_attn.v_proj(h).reshape(b, ss, n, d)
+            attn = jax.nn.dot_product_attention(q, k, v, bias=bias)
+            x = residual + layer.self_attn.out_proj(attn.reshape(b, ss, -1))
+            x = x + layer.mlp(layer.layer_norm2(x))
+        x = self.final_layer_norm(x)
+        # pooled = hidden at the EOS token. HF quirk: with the legacy
+        # eos_token_id == 2 configs, CLIPTextModel pools at
+        # input_ids.argmax(-1) (the highest token id); otherwise at the
+        # first EOS occurrence.
+        eos = self.config.eos_token_id
+        if eos == 2:
+            idx = jnp.argmax(input_ids, axis=1)
+        else:
+            idx = jnp.argmax((input_ids == eos).astype(jnp.int32), axis=1)
+        pooled = x[jnp.arange(x.shape[0]), idx]
+        return x, pooled
+
+
+class CLIPTextModel(nnx.Module):
+    """HF-layout CLIP text encoder (reference clip.py:428-530)."""
+
+    def __init__(self, config: CLIPTextArchConfig, *,
+                 param_dtype: jnp.dtype = jnp.float32,
+                 rngs: nnx.Rngs | None = None):
+        rngs = rngs or nnx.Rngs(0)
+        self.config = config
+        self.text_model = CLIPTextTransformer(config,
+                                              param_dtype=param_dtype,
+                                              rngs=rngs)
+
+    def __call__(self, input_ids: Array,
+                 attention_mask: Array | None = None,
+                 **kwargs) -> BaseEncoderOutput:
+        hidden, pooled = self.text_model(input_ids, attention_mask)
+        out = BaseEncoderOutput(last_hidden_state=hidden,
+                                attention_mask=attention_mask)
+        out.pooler_output = pooled
+        return out
