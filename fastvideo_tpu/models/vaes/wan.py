@@ -329,6 +329,157 @@ class WanResample(nnx.Module):
         return x
 
 
+
+
+def pixel_patchify(x: Array, p: int) -> Array:
+    """[B,C,T,H,W] -> [B, C*p*p, T, H/p, W/p] (wanvae.py:1054, order (c,r,q))."""
+    if p == 1:
+        return x
+    b, c, t, h, w = x.shape
+    x = x.reshape(b, c, t, h // p, p, w // p, p)
+    # torch rearrange "b c f (h q) (w r) -> b (c r q) f h w": channel order
+    # (c, r, q) = (c, w-sub, h-sub)
+    x = x.transpose(0, 1, 6, 4, 2, 3, 5)
+    return x.reshape(b, c * p * p, t, h // p, w // p)
+
+
+def pixel_unpatchify(x: Array, p: int) -> Array:
+    if p == 1:
+        return x
+    b, cpp, t, h, w = x.shape
+    c = cpp // (p * p)
+    x = x.reshape(b, c, p, p, t, h, w)  # (c, r, q)
+    x = x.transpose(0, 1, 4, 5, 3, 6, 2)  # [b, c, t, h, q, w, r]
+    return x.reshape(b, c, t, h * p, w * p)
+
+
+class AvgDown3D(nnx.Module):
+    """Space(/time)-to-depth average-pool shortcut (wanvae.py:59-110)."""
+
+    def __init__(self, in_channels: int, out_channels: int, factor_t: int,
+                 factor_s: int = 1, *, rngs: nnx.Rngs | None = None):
+        del rngs
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.factor_t = factor_t
+        self.factor_s = factor_s
+        self.factor = factor_t * factor_s * factor_s
+        assert in_channels * self.factor % out_channels == 0
+        self.group_size = in_channels * self.factor // out_channels
+
+    def __call__(self, x: Array) -> Array:
+        ft, fs = self.factor_t, self.factor_s
+        b, t, h, w, c = x.shape
+        pad_t = (ft - t % ft) % ft
+        if pad_t:
+            x = jnp.pad(x, ((0, 0), (pad_t, 0), (0, 0), (0, 0), (0, 0)))
+            t += pad_t
+        x = x.reshape(b, t // ft, ft, h // fs, fs, w // fs, fs, c)
+        # channel-major (c, ft, sh, sw) ordering as in the torch permute
+        x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6)
+        x = x.reshape(b, t // ft, h // fs, w // fs, c * self.factor)
+        x = x.reshape(*x.shape[:-1], self.out_channels, self.group_size)
+        return jnp.mean(x, axis=-1)
+
+
+class DupUp3D(nnx.Module):
+    """Depth-to-space duplicate upsample shortcut (wanvae.py:112-156)."""
+
+    def __init__(self, in_channels: int, out_channels: int, factor_t: int,
+                 factor_s: int = 1, *, rngs: nnx.Rngs | None = None):
+        del rngs
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.factor_t = factor_t
+        self.factor_s = factor_s
+        self.factor = factor_t * factor_s * factor_s
+        assert out_channels * self.factor % in_channels == 0
+        self.repeats = out_channels * self.factor // in_channels
+
+    def __call__(self, x: Array, first_len: int = 0) -> Array:
+        ft, fs = self.factor_t, self.factor_s
+        b, t, h, w, c = x.shape
+        x = jnp.repeat(x, self.repeats, axis=-1)
+        x = x.reshape(b, t, h, w, self.out_channels, ft, fs, fs)
+        x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)
+        x = x.reshape(b, t * ft, h * fs, w * fs, self.out_channels)
+        if first_len:
+            # first chunk drops the duplicated leading frames
+            # (wanvae.py:151-154)
+            x = x[:, ft - 1:]
+        return x
+
+
+class WanResidualDownBlock(nnx.Module):
+    """Residual encoder block w/ AvgDown3D shortcut (wanvae.py:585-618)."""
+
+    def __init__(self, in_dim: int, out_dim: int, num_res_blocks: int,
+                 temperal_downsample: bool = False, down_flag: bool = False,
+                 *, param_dtype: jnp.dtype = jnp.float32, rngs: nnx.Rngs):
+        self.avg_shortcut = AvgDown3D(in_dim, out_dim,
+                                      factor_t=2 if temperal_downsample else 1,
+                                      factor_s=2 if down_flag else 1)
+        resnets = []
+        cur = in_dim
+        for _ in range(num_res_blocks):
+            resnets.append(WanResidualBlock(cur, out_dim,
+                                            param_dtype=param_dtype,
+                                            rngs=rngs))
+            cur = out_dim
+        self.resnets = nnx.List(resnets)
+        if down_flag:
+            mode = "downsample3d" if temperal_downsample else "downsample2d"
+            self.downsampler = WanResample(out_dim, mode,
+                                           param_dtype=param_dtype, rngs=rngs)
+        else:
+            self.downsampler = None
+
+    def __call__(self, x: Array, ctx: "StreamCache | None" = None) -> Array:
+        shortcut = self.avg_shortcut(x)
+        for resnet in self.resnets:
+            x = resnet(x, ctx)
+        if self.downsampler is not None:
+            x = self.downsampler(x, first_len=1, ctx=ctx)
+        return x + shortcut
+
+
+class WanResidualUpBlock(nnx.Module):
+    """Residual decoder block w/ DupUp3D shortcut (wanvae.py:760-838)."""
+
+    def __init__(self, in_dim: int, out_dim: int, num_res_blocks: int,
+                 temperal_upsample: bool = False, up_flag: bool = False, *,
+                 param_dtype: jnp.dtype = jnp.float32, rngs: nnx.Rngs):
+        self.avg_shortcut = (DupUp3D(in_dim, out_dim,
+                                     factor_t=2 if temperal_upsample else 1,
+                                     factor_s=2) if up_flag else None)
+        resnets = []
+        cur = in_dim
+        for _ in range(num_res_blocks + 1):
+            resnets.append(WanResidualBlock(cur, out_dim,
+                                            param_dtype=param_dtype,
+                                            rngs=rngs))
+            cur = out_dim
+        self.resnets = nnx.List(resnets)
+        if up_flag:
+            mode = "upsample3d" if temperal_upsample else "upsample2d"
+            self.upsampler = WanResample(out_dim, mode,
+                                         upsample_out_dim=out_dim,
+                                         param_dtype=param_dtype, rngs=rngs)
+        else:
+            self.upsampler = None
+
+    def __call__(self, x: Array, first_len: int = 1,
+                 ctx: "StreamCache | None" = None) -> Array:
+        x_copy = x if self.avg_shortcut is not None else None
+        for resnet in self.resnets:
+            x = resnet(x, ctx)
+        if self.upsampler is not None:
+            x = self.upsampler(x, first_len=first_len, ctx=ctx)
+        if self.avg_shortcut is not None:
+            x = x + self.avg_shortcut(x_copy, first_len=first_len)
+        return x
+
+
 class WanUpBlock(nnx.Module):
     """(num_res+1) resblocks + optional upsampler (wanvae.py:839-903)."""
 
@@ -363,7 +514,8 @@ class WanEncoder3d(nnx.Module):
     def __init__(self, in_channels: int, dim: int, z_dim: int,
                  dim_mult: tuple[int, ...], num_res_blocks: int,
                  attn_scales: tuple[float, ...],
-                 temperal_downsample: tuple[bool, ...], *,
+                 temperal_downsample: tuple[bool, ...],
+                 is_residual: bool = False, *,
                  param_dtype: jnp.dtype = jnp.float32, rngs: nnx.Rngs):
         dims = [dim * u for u in [1, *dim_mult]]
         self.conv_in = CausalConv3d(in_channels, dims[0], 3, padding=1,
@@ -372,6 +524,15 @@ class WanEncoder3d(nnx.Module):
         scale = 1.0
         for i, (in_dim, out_dim) in enumerate(zip(dims[:-1], dims[1:],
                                                   strict=True)):
+            if is_residual:
+                # Wan2.2 residual down block (wanvae.py:585-618)
+                blocks.append(WanResidualDownBlock(
+                    in_dim, out_dim, num_res_blocks,
+                    temperal_downsample=temperal_downsample[i]
+                    if i != len(dim_mult) - 1 else False,
+                    down_flag=i != len(dim_mult) - 1,
+                    param_dtype=param_dtype, rngs=rngs))
+                continue
             for _ in range(num_res_blocks):
                 blocks.append(WanResidualBlock(in_dim, out_dim,
                                                param_dtype=param_dtype,
@@ -410,7 +571,8 @@ class WanDecoder3d(nnx.Module):
     def __init__(self, dim: int, z_dim: int, dim_mult: tuple[int, ...],
                  num_res_blocks: int, attn_scales: tuple[float, ...],
                  temperal_upsample: tuple[bool, ...], out_channels: int = 3,
-                 *, param_dtype: jnp.dtype = jnp.float32, rngs: nnx.Rngs):
+                 is_residual: bool = False, *,
+                 param_dtype: jnp.dtype = jnp.float32, rngs: nnx.Rngs):
         dims = [dim * u for u in [dim_mult[-1], *dim_mult[::-1]]]
         self.conv_in = CausalConv3d(z_dim, dims[0], 3, padding=1,
                                     param_dtype=param_dtype, rngs=rngs)
@@ -419,9 +581,16 @@ class WanDecoder3d(nnx.Module):
         up_blocks = []
         for i, (in_dim, out_dim) in enumerate(zip(dims[:-1], dims[1:],
                                                   strict=True)):
-            if i > 0:
+            if i > 0 and not is_residual:
                 in_dim = in_dim // 2
             up_flag = i != len(dim_mult) - 1
+            if is_residual:
+                up_blocks.append(WanResidualUpBlock(
+                    in_dim, out_dim, num_res_blocks,
+                    temperal_upsample=temperal_upsample[i]
+                    if up_flag else False,
+                    up_flag=up_flag, param_dtype=param_dtype, rngs=rngs))
+                continue
             upsample_mode = None
             if up_flag and temperal_upsample[i]:
                 upsample_mode = "upsample3d"
@@ -475,12 +644,14 @@ class AutoencoderKLWan(nnx.Module):
         self.z_dim = config.z_dim
         temperal_upsample = tuple(config.temperal_downsample[::-1])
         decoder_base_dim = config.decoder_base_dim or config.base_dim
+        # NOTE: with patch_size, HF configs already carry the patchified
+        # channel counts (in/out = 3 * p^2).
         if load_encoder:
             self.encoder = WanEncoder3d(
                 config.in_channels, config.base_dim, config.z_dim * 2,
                 config.dim_mult, config.num_res_blocks, config.attn_scales,
-                config.temperal_downsample, param_dtype=param_dtype,
-                rngs=rngs)
+                config.temperal_downsample, config.is_residual,
+                param_dtype=param_dtype, rngs=rngs)
         else:
             self.encoder = None
         self.quant_conv = CausalConv3d(config.z_dim * 2, config.z_dim * 2, 1,
@@ -488,11 +659,13 @@ class AutoencoderKLWan(nnx.Module):
         self.post_quant_conv = CausalConv3d(config.z_dim, config.z_dim, 1,
                                             param_dtype=param_dtype,
                                             rngs=rngs)
+        dec_out = config.out_channels
         if load_decoder:
             self.decoder = WanDecoder3d(
                 decoder_base_dim, config.z_dim, config.dim_mult,
                 config.num_res_blocks, config.attn_scales, temperal_upsample,
-                config.out_channels, param_dtype=param_dtype, rngs=rngs)
+                dec_out, config.is_residual, param_dtype=param_dtype,
+                rngs=rngs)
         else:
             self.decoder = None
 
@@ -517,6 +690,8 @@ class AutoencoderKLWan(nnx.Module):
     def encode(self, x: Array) -> DiagonalGaussianDistribution:
         """x: [B, C, T, H, W] pixels in [-1, 1] -> latent distribution."""
         assert self.encoder is not None
+        if self.config.patch_size:
+            x = pixel_patchify(x, self.config.patch_size)
         x = x.transpose(0, 2, 3, 4, 1)  # NDHWC
         out = self.encoder(x)
         enc = self.quant_conv(out)
@@ -550,9 +725,12 @@ class AutoencoderKLWan(nnx.Module):
         else:
             out = self.decoder(x)
         out = out.astype(jnp.float32)
+        out = out.transpose(0, 4, 1, 2, 3)
+        if self.config.patch_size:
+            out = pixel_unpatchify(out, self.config.patch_size)
         if self.config.clip_output:
             out = jnp.clip(out, -1.0, 1.0)
-        return out.transpose(0, 4, 1, 2, 3)
+        return out
 
     def _decode_chunked(self, x: Array, chunk: int) -> Array:
         dec = self.decoder
