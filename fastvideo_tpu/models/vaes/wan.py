@@ -762,6 +762,114 @@ class AutoencoderKLWan(nnx.Module):
             cache = ctx.out
         return jnp.concatenate(outs, axis=1)
 
+
+    # -- tiled / parallel decode -------------------------------------------
+
+    def spatial_tiled_decode(self, z: Array, *,
+                             tile_latent_min: tuple[int, int] = (32, 32),
+                             tile_latent_stride: tuple[int, int] = (24, 24),
+                             shard_tiles: bool = False) -> Array:
+        """Overlapping spatial tiles, decoded as ONE batched program and
+        crossfade-blended (reference ParallelTiledVAE.spatial_tiled_decode +
+        blend_h/v, common.py:99-175).
+
+        TPU twist: tiles are stacked on the batch dim; with
+        ``shard_tiles=True`` that dim is sharded over the dp x sp mesh so
+        every chip decodes a subset — the analog of the reference's
+        SP-distributed parallel_tiled_decode (common.py:174-311) without
+        gather-side metadata plumbing.
+        """
+        b, c, t, lh, lw = z.shape
+        th, tw = tile_latent_min
+        sh, sw = tile_latent_stride
+        if lh <= th and lw <= tw:
+            return self.decode(z)
+        n_h = max(1, -(-(lh - th) // sh) + 1)
+        n_w = max(1, -(-(lw - tw) // sw) + 1)
+        pad_h = (n_h - 1) * sh + th - lh
+        pad_w = (n_w - 1) * sw + tw - lw
+        zp = jnp.pad(z, ((0, 0), (0, 0), (0, 0), (0, pad_h), (0, pad_w)),
+                     mode="edge")
+
+        tiles = [
+            zp[:, :, :, i * sh:i * sh + th, j * sw:j * sw + tw]
+            for i in range(n_h) for j in range(n_w)
+        ]
+        stacked = jnp.concatenate(tiles, axis=0)  # [n_tiles*B, ...]
+        if shard_tiles:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from fastvideo_tpu.parallel.mesh import get_mesh
+
+            mesh = get_mesh()
+            n_dev = mesh.devices.size
+            n_total = stacked.shape[0]
+            pad_tiles = (-n_total) % n_dev
+            if pad_tiles:
+                stacked = jnp.concatenate(
+                    [stacked, stacked[:pad_tiles]], axis=0)
+            stacked = jax.device_put(
+                stacked, NamedSharding(mesh, P(mesh.axis_names)))
+        dec = self.decode(stacked)
+        if shard_tiles and pad_tiles:
+            dec = dec[:n_h * n_w * b]
+        sr = self.config.spatial_compression_ratio
+        if self.config.patch_size:
+            sr *= self.config.patch_size
+        dec_tiles = [
+            dec[k * b:(k + 1) * b] for k in range(n_h * n_w)
+        ]
+
+        # crossfade blend (vectorized linear ramps)
+        blend_h_ext = (th - sh) * sr
+        blend_w_ext = (tw - sw) * sr
+        stride_h_px = sh * sr
+        stride_w_px = sw * sr
+
+        def blend(a: Array, bb: Array, ext: int, axis: int) -> Array:
+            ext = min(ext, a.shape[axis], bb.shape[axis])
+            if ext <= 0:
+                return bb
+            ramp = jnp.arange(ext, dtype=jnp.float32) / ext
+            shape = [1] * a.ndim
+            shape[axis] = ext
+            ramp = ramp.reshape(shape)
+            a_tail = jax.lax.slice_in_dim(a, a.shape[axis] - ext,
+                                          a.shape[axis], axis=axis)
+            b_head = jax.lax.slice_in_dim(bb, 0, ext, axis=axis)
+            mixed = a_tail * (1 - ramp) + b_head * ramp
+            rest = jax.lax.slice_in_dim(bb, ext, bb.shape[axis], axis=axis)
+            return jnp.concatenate([mixed, rest], axis=axis)
+
+        rows = []
+        for i in range(n_h):
+            row = None
+            for j in range(n_w):
+                tile = dec_tiles[i * n_w + j]
+                if row is None:
+                    row = tile
+                else:
+                    blended = blend(prev_tile, tile, blend_w_ext, 4)
+                    row = jnp.concatenate(
+                        [row[..., :j * stride_w_px], blended], axis=4)
+                prev_tile = tile
+            rows.append(row)
+        out = None
+        for i, row in enumerate(rows):
+            if out is None:
+                out = row
+            else:
+                blended = blend(prev_row, row, blend_h_ext, 3)
+                out = jnp.concatenate(
+                    [out[:, :, :, :i * stride_h_px], blended], axis=3)
+            prev_row = row
+        return out[:, :, :, :lh * sr, :lw * sr]
+
+    def parallel_tiled_decode(self, z: Array, **kwargs) -> Array:
+        """Spatially tiled decode with tiles sharded across the mesh
+        (reference common.py:174)."""
+        return self.spatial_tiled_decode(z, shard_tiles=True, **kwargs)
+
     def streaming_decode(
         self, z: Array, cache: list[Array] | None,
         is_first_chunk: bool = False
