@@ -100,6 +100,8 @@ class DenoisingStage(PipelineStage):
         timesteps = list(batch.timesteps)
         trajectory = []
         attn_metadata = self._build_attn_metadata(batch, fastvideo_args)
+        cfg_cache_interval = int(batch.extra.get("cfg_cache_interval", 1))
+        cfg_delta = None
         for i, t in enumerate(timesteps):
             which = self._select_expert(float(t), batch)
             step_fn, state = self._get_step_fn(which)
@@ -114,12 +116,25 @@ class DenoisingStage(PipelineStage):
                                      image_embeds,
                                      image_cond=image_embeds is not None)
                 if do_cfg:
-                    noise_uncond = step_fn(state, model_in, neg_ctx, t_arr,
-                                           image_embeds,
-                                           image_cond=image_embeds
-                                           is not None)
-                    noise_pred = noise_uncond + guidance * (
-                        noise_pred - noise_uncond)
+                    # TeaCache-style delta caching (reference
+                    # stages/denoising.py:338,527-581): recompute the uncond
+                    # pass only every `cfg_cache_interval` steps (and on the
+                    # final step); in between reuse the cached
+                    # (cond - uncond) delta, halving model calls.
+                    recompute = (cfg_cache_interval <= 1
+                                 or i % cfg_cache_interval == 0
+                                 or i == len(timesteps) - 1
+                                 or cfg_delta is None)
+                    if recompute:
+                        noise_uncond = step_fn(state, model_in, neg_ctx,
+                                               t_arr, image_embeds,
+                                               image_cond=image_embeds
+                                               is not None)
+                        cfg_delta = noise_pred - noise_uncond
+                        noise_pred = noise_uncond + guidance * cfg_delta
+                    else:
+                        noise_pred = noise_pred + (guidance -
+                                                   1.0) * cfg_delta
             latents = self.scheduler.step(
                 noise_pred.astype(jnp.float32), t,
                 latents.astype(jnp.float32)).prev_sample

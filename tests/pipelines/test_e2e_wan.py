@@ -71,3 +71,21 @@ def test_generate_video_sp2(ckpt, tmp_path):
     f1, f2 = r1["frames"][0], r2["frames"][0]
     # uint8 rounding may differ by 1 on a handful of pixels
     assert np.mean(np.abs(f1.astype(int) - f2.astype(int)) <= 1) > 0.999
+
+
+def test_cfg_delta_cache(ckpt):
+    """cfg_cache_interval reuses deltas; output stays close to full CFG."""
+    import fastvideo_tpu.parallel as par
+    from fastvideo_tpu import VideoGenerator
+
+    par.destroy_mesh()
+    gen = VideoGenerator.from_pretrained(ckpt, num_gpus=1)
+    kwargs = dict(prompt="w1 w2", height=16, width=16, num_frames=3,
+                  num_inference_steps=4, guidance_scale=3.0, seed=9,
+                  save_video=False)
+    full = gen.generate_video(**kwargs)["frames"][0]
+    cached = gen.generate_video(cfg_cache_interval=2, **kwargs)["frames"][0]
+    import numpy as np
+
+    diff = np.abs(full.astype(int) - cached.astype(int)).mean()
+    assert 0 < diff < 30, diff  # approximation, but close
