@@ -36,7 +36,8 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _MIN_LANE = 128
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
+                acc_ref, *,
                 scale: float, causal: bool, q_valid: int, kv_valid: int,
                 block_q: int, block_kv: int, num_kv_blocks: int):
     qi = pl.program_id(2)
@@ -97,6 +98,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         l = l_ref[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        m = m_ref[...][:, :1]
+        lse_ref[0, 0] = (m + jnp.log(jnp.maximum(l, 1e-30))) * jnp.ones(
+            (1, _MIN_LANE), jnp.float32)
 
 
 def _pad_to(x: Array, size: int, axis: int) -> Array:
@@ -134,18 +138,22 @@ def _flash_attention_fwd_bhsd(q: Array, k: Array, v: Array, *, scale: float,
         block_kv=block_kv,
         num_kv_blocks=num_kv_blocks,
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         interpret=_use_interpret(),
-        out_shape=jax.ShapeDtypeStruct((b, h, q_pad, d), q.dtype),
+        out_shape=(jax.ShapeDtypeStruct((b, h, q_pad, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, q_pad, _MIN_LANE),
+                                        jnp.float32)),
         grid=(b, h, num_q_blocks, num_kv_blocks),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, block_kv, d), lambda b, h, i, j: (b, h, j, 0)),
             pl.BlockSpec((1, 1, block_kv, d), lambda b, h, i, j: (b, h, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d),
-                               lambda b, h, i, j: (b, h, i, 0)),
+        out_specs=(pl.BlockSpec((1, 1, block_q, d),
+                                lambda b, h, i, j: (b, h, i, 0)),
+                   pl.BlockSpec((1, 1, block_q, _MIN_LANE),
+                                lambda b, h, i, j: (b, h, i, 0))),
         scratch_shapes=[
             pltpu.VMEM((block_q, _MIN_LANE), jnp.float32),  # m
             pltpu.VMEM((block_q, _MIN_LANE), jnp.float32),  # l
@@ -160,7 +168,7 @@ def _flash_attention_fwd_bhsd(q: Array, k: Array, v: Array, *, scale: float,
             transcendentals=b * h * sq * skv,
         ),
     )(qp, kp, vp)
-    return out[:, :, :sq, :]
+    return out[:, :, :sq, :], lse[:, :, :, 0]
 
 
 def _reference_attention(q: Array, k: Array, v: Array, scale: float,
@@ -187,29 +195,206 @@ def _reference_attention(q: Array, k: Array, v: Array, scale: float,
                    nondiff_argnums=(3, 4, 5, 6, 7))
 def _flash_attention_bhsd(q, k, v, scale, causal, block_q, block_kv,
                           kv_valid):
-    return _flash_attention_fwd_bhsd(q, k, v, scale=scale, causal=causal,
-                                     block_q=block_q, block_kv=block_kv,
-                                     kv_valid=kv_valid)
+    out, _ = _flash_attention_fwd_bhsd(q, k, v, scale=scale, causal=causal,
+                                       block_q=block_q, block_kv=block_kv,
+                                       kv_valid=kv_valid)
+    return out
 
 
 def _vjp_fwd(q, k, v, scale, causal, block_q, block_kv, kv_valid):
-    out = _flash_attention_fwd_bhsd(q, k, v, scale=scale, causal=causal,
-                                    block_q=block_q, block_kv=block_kv,
-                                    kv_valid=kv_valid)
-    return out, (q, k, v)
+    out, lse = _flash_attention_fwd_bhsd(q, k, v, scale=scale,
+                                         causal=causal, block_q=block_q,
+                                         block_kv=block_kv,
+                                         kv_valid=kv_valid)
+    return out, (q, k, v, out, lse)
 
 
 def _vjp_bwd(scale, causal, block_q, block_kv, kv_valid, res, g):
-    # Recompute-based dense backward (XLA). A tiled Pallas backward kernel
-    # replaces this for long sequences; correctness-first fallback.
-    q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q, k, v: _reference_attention(q, k, v, scale, causal, kv_valid),
-        q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = res
+    return _flash_attention_bwd_bhsd(q, k, v, out, lse, g, scale=scale,
+                                     causal=causal, block_q=block_q,
+                                     block_kv=block_kv, kv_valid=kv_valid)
 
 
 _flash_attention_bhsd.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# -- backward kernels --------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   dq_acc, *, scale: float, causal: bool, kv_valid: int,
+                   block_q: int, block_kv: int, num_kv_blocks: int):
+    qi = pl.program_id(2)
+    kj = pl.program_id(3)
+
+    @pl.when(kj == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, :1]
+        delta = delta_ref[0, 0][:, :1]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kj * block_kv
+        mask = col < kv_valid
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape,
+                                           0) + qi * block_q
+            mask = jnp.logical_and(mask, col <= row)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dq_acc[...] += jax.lax.dot(ds.astype(k.dtype), k,
+                                   preferred_element_type=jnp.float32)
+
+    if causal:
+        @pl.when(kj * block_kv <= (qi + 1) * block_q - 1)
+        def _run():
+            _body()
+    else:
+        _body()
+
+    @pl.when(kj == num_kv_blocks - 1)
+    def _store():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
+                    dv_ref, dk_acc, dv_acc, *, scale: float, causal: bool,
+                    kv_valid: int, block_q: int, block_kv: int,
+                    num_q_blocks: int):
+    kj = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, :1]
+        delta = delta_ref[0, 0][:, :1]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kj * block_kv
+        mask = col < kv_valid
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape,
+                                           0) + qi * block_q
+            mask = jnp.logical_and(mask, col <= row)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        # dv += p^T dO ; dk += ds^T q
+        dv_acc[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dk_acc[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if causal:
+        @pl.when((qi + 1) * block_q - 1 >= kj * block_kv)
+        def _run():
+            _body()
+    else:
+        _body()
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _store():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "causal", "block_q", "block_kv", "kv_valid"))
+def _flash_attention_bwd_bhsd(q, k, v, out, lse, do, *, scale, causal,
+                              block_q, block_kv, kv_valid):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    q_pad = math.ceil(sq / block_q) * block_q
+    kv_pad = math.ceil(skv / block_kv) * block_kv
+    qp, dop = _pad_to(q, q_pad, 2), _pad_to(do, q_pad, 2)
+    outp = _pad_to(out, q_pad, 2)
+    kp, vp = _pad_to(k, kv_pad, 2), _pad_to(v, kv_pad, 2)
+    # pad lse with +inf so padded q rows produce p = exp(-inf) = 0
+    lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, q_pad - sq)),
+                    constant_values=jnp.inf)
+    delta = jnp.sum(dop.astype(jnp.float32) * outp.astype(jnp.float32),
+                    axis=-1)  # [b, h, q_pad]
+    lse_t = jnp.broadcast_to(lse_p[..., None], (*lse_p.shape, _MIN_LANE))
+    delta_t = jnp.broadcast_to(delta[..., None], (*delta.shape, _MIN_LANE))
+    num_q_blocks = q_pad // block_q
+    num_kv_blocks = kv_pad // block_kv
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
+                          kv_valid=kv_valid, block_q=block_q,
+                          block_kv=block_kv, num_kv_blocks=num_kv_blocks),
+        interpret=_use_interpret(),
+        out_shape=jax.ShapeDtypeStruct((b, h, q_pad, d), q.dtype),
+        grid=(b, h, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, _MIN_LANE),
+                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, _MIN_LANE),
+                         lambda b, h, i, j: (b, h, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda b, h, i, j: (b, h, i, 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+    )(qp, kp, vp, dop, lse_t, delta_t)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
+                          kv_valid=kv_valid, block_q=block_q,
+                          block_kv=block_kv, num_q_blocks=num_q_blocks),
+        interpret=_use_interpret(),
+        out_shape=(jax.ShapeDtypeStruct((b, h, kv_pad, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, kv_pad, d), v.dtype)),
+        grid=(b, h, num_kv_blocks, num_q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, j, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda b, h, j, i: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda b, h, j, i: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, j, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, _MIN_LANE),
+                         lambda b, h, j, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, _MIN_LANE),
+                         lambda b, h, j, i: (b, h, i, 0)),
+        ],
+        out_specs=(pl.BlockSpec((1, 1, block_kv, d),
+                                lambda b, h, j, i: (b, h, j, 0)),
+                   pl.BlockSpec((1, 1, block_kv, d),
+                                lambda b, h, j, i: (b, h, j, 0))),
+        scratch_shapes=[pltpu.VMEM((block_kv, d), jnp.float32),
+                        pltpu.VMEM((block_kv, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+    )(qp, kp, vp, dop, lse_t, delta_t)
+
+    return dq[:, :, :sq], dk[:, :, :skv], dv[:, :, :skv]
 
 
 def flash_attention(
