@@ -38,7 +38,9 @@ HUNYUAN_PARAM_NAMES_MAPPING: dict = {
     r"txt_in.refiner_blocks.\1.mlp.fc_out.\2",
     r"^context_embedder\.token_refiner\.refiner_blocks\.(\d+)\.norm_out\.linear\.(.*)$":
     r"txt_in.refiner_blocks.\1.adaLN_modulation.linear.\2",
-    r"^x_embedder\.proj\.(.*)$": r"img_in.\1",
+    r"^x_embedder\.proj\.(.*)$": r"img_in.proj.\1",
+    # torch-layout exports of our own module tree (tests) emit img_in.weight
+    r"^img_in\.(weight|bias)$": r"img_in.proj.\1",
     r"^time_text_embed\.timestep_embedder\.linear_1\.(.*)$":
     r"time_in.mlp.fc_in.\1",
     r"^time_text_embed\.timestep_embedder\.linear_2\.(.*)$":

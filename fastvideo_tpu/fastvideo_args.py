@@ -133,7 +133,8 @@ class TrainingArgs(FastVideoArgs):
     selective_checkpointing: str = "full"
     # validation
     validation_steps: int = 0
-    # tracking
+    # tracking ("jsonl" local backend by default; "wandb" when installed)
+    trackers: tuple[str, ...] = ()
     tracker_project_name: str | None = None
     wandb_run_name: str | None = None
     seed: int = 42

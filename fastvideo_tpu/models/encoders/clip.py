@@ -186,7 +186,7 @@ EntryClass = CLIPVisionModel
 
 import dataclasses
 
-from fastvideo_tpu.configs.models.base import EncoderArchConfig
+from fastvideo_tpu.configs.models.base import EncoderArchConfig, ModelConfig
 
 
 @dataclasses.dataclass
@@ -207,6 +207,14 @@ CLIP_TEXT_PARAM_NAMES_MAPPING: dict[str, str] = {
     r"^text_model\.encoder\.layers\.(.*)$": r"text_model.layers.\1",
     r"^text_model\.(.*)$": r"text_model.\1",
 }
+
+
+@dataclasses.dataclass
+class CLIPTextConfig(ModelConfig):
+    arch_config: CLIPTextArchConfig = dataclasses.field(
+        default_factory=CLIPTextArchConfig)
+    param_names_mapping: dict[str, str] = dataclasses.field(
+        default_factory=lambda: dict(CLIP_TEXT_PARAM_NAMES_MAPPING))
 
 
 class CLIPTextEmbeddings(nnx.Module):

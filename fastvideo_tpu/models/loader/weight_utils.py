@@ -25,6 +25,7 @@ from flax import nnx
 
 from fastvideo_tpu.layers.linear import Linear
 from fastvideo_tpu.logger import init_logger
+from fastvideo_tpu.models.vaes.hunyuan import Conv1x1, HYCausalConv3d
 from fastvideo_tpu.models.vaes.wan import CausalConv3d
 
 logger = init_logger(__name__)
@@ -79,7 +80,8 @@ def assign_param(model: nnx.Module, target_name: str, value: np.ndarray,
         logger.warning(msg)
         return False
 
-    if isinstance(owner, CausalConv3d) and leaf == "weight":
+    if isinstance(owner, (CausalConv3d, HYCausalConv3d, Conv1x1)) \
+            and leaf == "weight":
         param = owner.weight
         if value.ndim == 5:
             # torch OIDHW -> DHWIO

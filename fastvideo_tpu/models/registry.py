@@ -29,6 +29,9 @@ _VAE_REGISTRY: dict[str, tuple[str, str, str]] = {
     "AutoencoderKLWan":
     ("fastvideo_tpu.models.vaes.wan", "AutoencoderKLWan",
      "fastvideo_tpu.configs.models.vaes.wan:WanVAEArchConfig"),
+    "AutoencoderKLHunyuanVideo":
+    ("fastvideo_tpu.models.vaes.hunyuan", "AutoencoderKLHunyuanVideo",
+     "fastvideo_tpu.models.vaes.hunyuan:HunyuanVAEArchConfig"),
 }
 
 _ENCODER_REGISTRY: dict[str, tuple[str, str, str]] = {
@@ -44,6 +47,18 @@ _ENCODER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "T5EncoderModel":
     ("fastvideo_tpu.models.encoders.t5", "T5EncoderModel",
      "fastvideo_tpu.configs.models.encoders.t5:T5ArchConfig"),
+    "LlamaModel":
+    ("fastvideo_tpu.models.encoders.llama", "LlamaEncoderModel",
+     "fastvideo_tpu.models.encoders.llama:LlamaArchConfig"),
+    "LlamaForCausalLM":
+    ("fastvideo_tpu.models.encoders.llama", "LlamaEncoderModel",
+     "fastvideo_tpu.models.encoders.llama:LlamaArchConfig"),
+    "CLIPTextModel":
+    ("fastvideo_tpu.models.encoders.clip", "CLIPTextModel",
+     "fastvideo_tpu.models.encoders.clip:CLIPTextArchConfig"),
+    "CLIPTextModelWithProjection":
+    ("fastvideo_tpu.models.encoders.clip", "CLIPTextModel",
+     "fastvideo_tpu.models.encoders.clip:CLIPTextArchConfig"),
 }
 
 _SCHEDULER_REGISTRY: dict[str, tuple[str, str]] = {

@@ -20,6 +20,9 @@ _PIPELINES: dict[str, str] = {
     "fastvideo_tpu.pipelines.basic.wan.wan_pipeline:WanCausalDMDPipeline",
     "CausalWanPipeline":
     "fastvideo_tpu.pipelines.basic.wan.wan_pipeline:WanCausalDMDPipeline",
+    "HunyuanVideoPipeline":
+    "fastvideo_tpu.pipelines.basic.hunyuan.hunyuan_pipeline:"
+    "HunyuanVideoPipeline",
 }
 
 

@@ -42,11 +42,16 @@ class DenoisingStage(PipelineStage):
 
         @functools.partial(jax.jit, static_argnames=("image_cond",))
         def step_fn(state, latents, ctx, t, image_embeds=None,
-                    image_cond: bool = False):
+                    image_cond: bool = False, guidance=None):
             m = nnx.merge(graphdef, state)
+            kwargs = {}
+            if guidance is not None:
+                # Hunyuan-style distilled embedded guidance
+                kwargs["guidance"] = guidance
             return m(latents, ctx, t,
                      encoder_hidden_states_image=(image_embeds
-                                                  if image_cond else None))
+                                                  if image_cond else None),
+                     **kwargs)
 
         self._step_fns[which] = (step_fn, state)
         return self._step_fns[which]
@@ -89,8 +94,16 @@ class DenoisingStage(PipelineStage):
             self.pipeline_config is None
             or self.pipeline_config.precision == "bf16") else jnp.float32
         latents = batch.latents
-        pos_ctx = batch.prompt_embeds[0].astype(target_dtype)
-        neg_ctx = (batch.negative_prompt_embeds[0].astype(target_dtype)
+
+        def _ctx(embeds):
+            # multi-encoder families (Hunyuan: LLaMA seq + CLIP pooled)
+            # pass the full tuple; single-encoder families the one array.
+            if len(embeds) > 1:
+                return tuple(e.astype(target_dtype) for e in embeds)
+            return embeds[0].astype(target_dtype)
+
+        pos_ctx = _ctx(batch.prompt_embeds)
+        neg_ctx = (_ctx(batch.negative_prompt_embeds)
                    if batch.negative_prompt_embeds else None)
         image_embeds = (batch.image_embeds[0].astype(target_dtype)
                         if batch.image_embeds else None)
@@ -99,6 +112,15 @@ class DenoisingStage(PipelineStage):
 
         timesteps = list(batch.timesteps)
         trajectory = []
+        guidance_arr = None
+        if (self.pipeline_config is not None
+                and self.pipeline_config.embedded_cfg_scale is not None):
+            # distilled embedded guidance (reference denoising.py guidance
+            # = embedded_cfg_scale * 1000)
+            guidance_arr = jnp.full(
+                (latents.shape[0],),
+                float(self.pipeline_config.embedded_cfg_scale) * 1000.0,
+                jnp.float32)
         attn_metadata = self._build_attn_metadata(batch, fastvideo_args)
         cfg_cache_interval = int(batch.extra.get("cfg_cache_interval", 1))
         cfg_delta = None
@@ -114,7 +136,8 @@ class DenoisingStage(PipelineStage):
                                      forward_batch=batch):
                 noise_pred = step_fn(state, model_in, pos_ctx, t_arr,
                                      image_embeds,
-                                     image_cond=image_embeds is not None)
+                                     image_cond=image_embeds is not None,
+                                     guidance=guidance_arr)
                 if do_cfg:
                     # TeaCache-style delta caching (reference
                     # stages/denoising.py:338,527-581): recompute the uncond
@@ -129,7 +152,8 @@ class DenoisingStage(PipelineStage):
                         noise_uncond = step_fn(state, model_in, neg_ctx,
                                                t_arr, image_embeds,
                                                image_cond=image_embeds
-                                               is not None)
+                                               is not None,
+                                               guidance=guidance_arr)
                         cfg_delta = noise_pred - noise_uncond
                         noise_pred = noise_uncond + guidance * cfg_delta
                     else:

@@ -17,23 +17,33 @@ from fastvideo_tpu.pipelines.stages.base import PipelineStage
 
 class TextEncodingStage(PipelineStage):
     def __init__(self, text_encoders, tokenizers, postprocess_funcs=(),
-                 max_length: int = 512):
+                 max_length: int = 512, preprocess_funcs=(),
+                 max_lengths=(), encoder_kwargs=()):
         self.text_encoders = list(text_encoders)
         self.tokenizers = list(tokenizers)
         self.postprocess_funcs = list(postprocess_funcs)
+        self.preprocess_funcs = list(preprocess_funcs)
         self.max_length = max_length
+        self.max_lengths = list(max_lengths)
+        self.encoder_kwargs = list(encoder_kwargs)
 
     def _encode_one(self, prompts: list[str], idx: int):
         tokenizer = self.tokenizers[idx]
         encoder = self.text_encoders[idx]
         if tokenizer is None:
             raise RuntimeError("No tokenizer available for text encoding")
+        if idx < len(self.preprocess_funcs):
+            prompts = [self.preprocess_funcs[idx](p) for p in prompts]
+        max_length = (self.max_lengths[idx]
+                      if idx < len(self.max_lengths) else self.max_length)
         enc = tokenizer(prompts, padding="max_length",
-                        max_length=self.max_length, truncation=True,
+                        max_length=max_length, truncation=True,
                         return_tensors="np")
         ids = jnp.asarray(np.asarray(enc["input_ids"]))
         mask = jnp.asarray(np.asarray(enc["attention_mask"]))
-        outputs = encoder(ids, mask)
+        kwargs = (self.encoder_kwargs[idx]
+                  if idx < len(self.encoder_kwargs) else {})
+        outputs = encoder(ids, mask, **kwargs)
         if idx < len(self.postprocess_funcs):
             embeds = self.postprocess_funcs[idx](outputs)
         else:

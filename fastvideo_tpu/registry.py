@@ -83,5 +83,11 @@ def _register_builtin() -> None:
                     priority=5)
     register_config(frag("wan"), wan_cfg.WanT2V480PConfig, priority=1)
 
+    from fastvideo_tpu.configs.pipelines import hunyuan as hy_cfg
+
+    register_config(frag("fasthunyuan"), hy_cfg.FastHunyuanConfig,
+                    priority=10)
+    register_config(frag("hunyuan"), hy_cfg.HunyuanConfig, priority=1)
+
 
 _register_builtin()

@@ -15,6 +15,7 @@ reference gets from torch FSDP2 (models/loader/fsdp_load.py:241).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any
 
@@ -107,6 +108,17 @@ class TrainingPipeline:
         self.checkpoint_manager = CheckpointManager(
             training_args.output_dir) if training_args.output_dir else None
         self._train_step = self._build_train_step()
+        # experiment tracking (reference training_pipeline.py:200-218)
+        from fastvideo_tpu.training.trackers import initialize_trackers
+
+        names = list(getattr(training_args, "trackers", ()) or ())
+        if not names and training_args.tracker_project_name:
+            names = ["jsonl"]
+        self.tracker = initialize_trackers(
+            names, training_args.tracker_project_name or "fastvideo_tpu",
+            config=dataclasses.asdict(training_args),
+            log_dir=os.path.join(training_args.output_dir or ".", "tracker"),
+            run_name=training_args.wandb_run_name)
 
     # -- the jitted step ---------------------------------------------------
 
@@ -199,6 +211,7 @@ class TrainingPipeline:
                 it = iter(dataloader)
                 latents, embeds = next(it)
             metrics = self.train_one_step(latents, embeds)
+            self.tracker.log(metrics, self.state.step)
             if self.state.step % log_every == 0:
                 dt = time.perf_counter() - t0
                 logger.info("step %d loss %.4f grad_norm %.3f (%.2fs/it)",

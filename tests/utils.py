@@ -38,6 +38,7 @@ def _export_torch_layout(model) -> dict[str, np.ndarray]:
 
     from fastvideo_tpu.layers.embeddings import PatchEmbed3D
     from fastvideo_tpu.layers.linear import Linear
+    from fastvideo_tpu.models.vaes.hunyuan import Conv1x1, HYCausalConv3d
     from fastvideo_tpu.models.vaes.wan import CausalConv3d
 
     out: dict[str, np.ndarray] = {}
@@ -60,7 +61,7 @@ def _export_torch_layout(model) -> dict[str, np.ndarray]:
                 out[f"{path}.weight"] = np.asarray(child.kernel.value).T
                 if child.bias is not None:
                     out[f"{path}.bias"] = np.asarray(child.bias.value)
-            elif isinstance(child, CausalConv3d):
+            elif isinstance(child, (CausalConv3d, HYCausalConv3d, Conv1x1)):
                 w = np.asarray(child.weight.value)  # DHWIO
                 out[f"{path}.weight"] = w.transpose(4, 3, 0, 1, 2)
                 out[f"{path}.bias"] = np.asarray(child.bias.value)
@@ -228,4 +229,114 @@ def make_tiny_wan_i2v_checkpoint(root: str, seed: int = 0) -> str:
     index["_class_name"] = "WanImageToVideoPipeline"
     index["image_encoder"] = ["transformers", "CLIPVisionModelWithProjection"]
     _json.dump(index, open(os.path.join(root, "model_index.json"), "w"))
+    return root
+
+
+TINY_HY_DIT = dict(num_attention_heads=2, attention_head_dim=8,
+                   in_channels=4, out_channels=4, num_layers=1,
+                   num_single_layers=1, num_refiner_layers=1,
+                   patch_size=2, patch_size_t=1, rope_axes_dim=[4, 2, 2],
+                   text_embed_dim=32, pooled_projection_dim=16,
+                   rope_theta=256.0, guidance_embeds=True, qk_norm="rms_norm")
+TINY_HY_VAE = dict(latent_channels=4, block_out_channels=[8, 16, 16, 16],
+                   layers_per_block=1, norm_num_groups=4,
+                   scaling_factor=0.476986)
+TINY_LLAMA = dict(vocab_size=128, hidden_size=32, intermediate_size=48,
+                  num_hidden_layers=2, num_attention_heads=2,
+                  num_key_value_heads=1, max_position_embeddings=512)
+TINY_CLIP_TEXT = dict(vocab_size=128, hidden_size=16, intermediate_size=32,
+                      num_hidden_layers=1, num_attention_heads=2,
+                      max_position_embeddings=77, eos_token_id=1)
+
+
+def make_tiny_hunyuan_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny random-weight HunyuanVideo checkpoint (diffusers layout)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.dits.hunyuan import (
+        HunyuanVideoArchConfig)
+    from fastvideo_tpu.models.dits.hunyuan import (
+        HunyuanVideoTransformer3DModel)
+    from fastvideo_tpu.models.encoders.clip import (CLIPTextArchConfig,
+                                                    CLIPTextModel)
+    from fastvideo_tpu.models.encoders.llama import (LlamaArchConfig,
+                                                     LlamaEncoderModel)
+    from fastvideo_tpu.models.vaes.hunyuan import (AutoencoderKLHunyuanVideo,
+                                                   HunyuanVAEArchConfig)
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump({
+            "_class_name": "HunyuanVideoPipeline",
+            "_diffusers_version": "0.33.0",
+            "scheduler": ["diffusers", "FlowMatchEulerDiscreteScheduler"],
+            "text_encoder": ["transformers", "LlamaModel"],
+            "text_encoder_2": ["transformers", "CLIPTextModel"],
+            "tokenizer": ["transformers", "PreTrainedTokenizerFast"],
+            "tokenizer_2": ["transformers", "PreTrainedTokenizerFast"],
+            "transformer": ["diffusers", "HunyuanVideoTransformer3DModel"],
+            "vae": ["diffusers", "AutoencoderKLHunyuanVideo"],
+        }, fh)
+
+    tdir = os.path.join(root, "transformer")
+    os.makedirs(tdir, exist_ok=True)
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "HunyuanVideoTransformer3DModel",
+                   **TINY_HY_DIT}, fh)
+    arch = HunyuanVideoArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_HY_DIT.items()
+    })
+    dit = HunyuanVideoTransformer3DModel(arch, param_dtype=jnp.float32,
+                                         rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+
+    vdir = os.path.join(root, "vae")
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "AutoencoderKLHunyuanVideo",
+                   **TINY_HY_VAE}, fh)
+    varch = HunyuanVAEArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_HY_VAE.items()
+    })
+    vae = AutoencoderKLHunyuanVideo(varch, param_dtype=jnp.float32,
+                                    rngs=nnx.Rngs(seed + 1))
+    _save_safetensors(os.path.join(vdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(vae))
+
+    edir = os.path.join(root, "text_encoder")
+    os.makedirs(edir, exist_ok=True)
+    with open(os.path.join(edir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["LlamaModel"], **TINY_LLAMA}, fh)
+    llama = LlamaEncoderModel(LlamaArchConfig(**TINY_LLAMA),
+                              param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 2))
+    _save_safetensors(os.path.join(edir, "model.safetensors"),
+                      _export_torch_layout(llama))
+
+    e2dir = os.path.join(root, "text_encoder_2")
+    os.makedirs(e2dir, exist_ok=True)
+    with open(os.path.join(e2dir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["CLIPTextModel"], **TINY_CLIP_TEXT}, fh)
+    clip = CLIPTextModel(CLIPTextArchConfig(**TINY_CLIP_TEXT),
+                         param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 3))
+    _save_safetensors(os.path.join(e2dir, "model.safetensors"),
+                      _export_torch_layout(clip))
+
+    _make_tokenizer(os.path.join(root, "tokenizer"),
+                    TINY_LLAMA["vocab_size"])
+    _make_tokenizer(os.path.join(root, "tokenizer_2"),
+                    TINY_CLIP_TEXT["vocab_size"])
+    sdir = os.path.join(root, "scheduler")
+    os.makedirs(sdir, exist_ok=True)
+    with open(os.path.join(sdir, "scheduler_config.json"), "w") as fh:
+        json.dump({
+            "_class_name": "FlowMatchEulerDiscreteScheduler",
+            "num_train_timesteps": 1000,
+            "shift": 7.0,
+        }, fh)
     return root
