@@ -1,0 +1,136 @@
+"""Dict -> typed config tree parser with path-tracked validation.
+
+Analog of /root/reference/fastvideo/api/parser.py: walks nested dicts
+into the schema dataclasses, rejects unknown keys with the full path,
+and records which paths the user set explicitly (so serve-time merges
+only apply operator-written defaults, reference api/schema.py ServeConfig
+docstring).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import typing
+from typing import Any
+
+from fastvideo_tpu.api.errors import ConfigValidationError, UnknownFieldError
+
+EXPLICIT_PATHS_ATTR = "_fastvideo_explicit_paths"
+
+
+def _is_dataclass_type(tp) -> bool:
+    return isinstance(tp, type) and dataclasses.is_dataclass(tp)
+
+
+def _unwrap_optional(tp):
+    origin = typing.get_origin(tp)
+    if origin is typing.Union:
+        args = [a for a in typing.get_args(tp) if a is not type(None)]
+        if len(args) == 1:
+            return args[0]
+    return tp
+
+
+def parse_dataclass(cls, data: dict[str, Any], path: str = "",
+                    explicit: set[str] | None = None):
+    """Build ``cls`` from a nested dict; raise on unknown keys."""
+    if not isinstance(data, dict):
+        raise ConfigValidationError(path or cls.__name__,
+                                    f"expected a mapping, got {type(data)}")
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    # resolve postponed annotations once per class
+    hints = typing.get_type_hints(cls)
+    kwargs = {}
+    explicit = explicit if explicit is not None else set()
+    for key, value in data.items():
+        fpath = f"{path}.{key}" if path else key
+        f = fields.get(key)
+        if f is None:
+            raise UnknownFieldError(
+                fpath, f"unknown field; valid: {sorted(fields)}")
+        ftype = _unwrap_optional(hints.get(key, f.type))
+        if _is_dataclass_type(ftype) and isinstance(value, dict):
+            kwargs[key] = parse_dataclass(ftype, value, fpath, explicit)
+        else:
+            kwargs[key] = value
+            explicit.add(fpath)
+    try:
+        obj = cls(**kwargs)
+    except TypeError as e:
+        raise ConfigValidationError(path, str(e)) from None
+    object.__setattr__(obj, EXPLICIT_PATHS_ATTR, frozenset(
+        p for p in explicit if not path or p.startswith(path)))
+    return obj
+
+
+def explicit_paths(obj) -> frozenset[str]:
+    return getattr(obj, EXPLICIT_PATHS_ATTR, frozenset())
+
+
+def load_config_file(cls, path: str):
+    """Load a JSON (or simple YAML) config file into a schema dataclass."""
+    with open(path) as fh:
+        text = fh.read()
+    data: Any
+    try:
+        data = json.loads(text)
+    except json.JSONDecodeError:
+        data = _parse_simple_yaml(text)
+    return parse_dataclass(cls, data)
+
+
+def _parse_simple_yaml(text: str) -> dict[str, Any]:
+    """Minimal YAML subset parser (mappings, scalars, inline lists) —
+    PyYAML isn't a hard dependency; full YAML files also parse when
+    PyYAML happens to be installed."""
+    try:
+        import yaml  # type: ignore
+
+        return yaml.safe_load(text)
+    except ImportError:
+        pass
+    root: dict[str, Any] = {}
+    stack: list[tuple[int, dict[str, Any]]] = [(-1, root)]
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].rstrip()
+        if not line.strip():
+            continue
+        indent = len(line) - len(line.lstrip())
+        key, _, rest = line.strip().partition(":")
+        while stack and indent <= stack[-1][0]:
+            stack.pop()
+        parent = stack[-1][1] if stack else root
+        rest = rest.strip()
+        if not rest:
+            child: dict[str, Any] = {}
+            parent[key] = child
+            stack.append((indent, child))
+        else:
+            parent[key] = _coerce_scalar(rest)
+    return root
+
+
+def _coerce_scalar(s: str) -> Any:
+    low = s.lower()
+    if low in ("true", "yes"):
+        return True
+    if low in ("false", "no"):
+        return False
+    if low in ("null", "none", "~"):
+        return None
+    if s.startswith("[") and s.endswith("]"):
+        inner = s[1:-1].strip()
+        return ([] if not inner
+                else [_coerce_scalar(x.strip()) for x in inner.split(",")])
+    if s.startswith(("'", '"')) and s.endswith(("'", '"')):
+        return s[1:-1]
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    return s

@@ -57,6 +57,48 @@ class VideoGenerator:
         executor_cls = Executor.get_class(fastvideo_args)
         return cls(fastvideo_args, executor_cls(fastvideo_args))
 
+    @classmethod
+    def from_generator_config(cls, config) -> "VideoGenerator":
+        """Construct from a typed api.GeneratorConfig tree."""
+        eng = config.engine
+        par = eng.parallelism
+        kwargs: dict[str, Any] = {"num_gpus": eng.num_gpus}
+        if par.sp_size and par.sp_size > 0:
+            kwargs["sp_size"] = par.sp_size
+        if par.tp_size and par.tp_size > 0:
+            kwargs["tp_size"] = par.tp_size
+        if config.pipeline.components.lora_path:
+            kwargs["lora_path"] = config.pipeline.components.lora_path
+        gen = cls.from_pretrained(config.model_path, **kwargs)
+        gen.generator_config = config
+        return gen
+
+    def generate(self, request) -> dict[str, Any] | list[np.ndarray]:
+        """Run a typed api.GenerationRequest (preset-aware)."""
+        from fastvideo_tpu.api.parser import explicit_paths
+        from fastvideo_tpu.api.presets import (get_preset,
+                                               validate_stage_overrides)
+        from fastvideo_tpu.api.schema import generation_kwargs
+
+        kwargs = generation_kwargs(request)
+        cfg = getattr(self, "generator_config", None)
+        if cfg is not None and cfg.pipeline.preset:
+            family = ("hunyuan" if "hunyuan"
+                      in self.fastvideo_args.model_path.lower() else "wan")
+            preset = get_preset(family, cfg.pipeline.preset,
+                                cfg.pipeline.preset_version)
+            validate_stage_overrides(preset, request.stage_overrides)
+            # preset defaults apply only where the request didn't set
+            # the field explicitly (schema.ServeConfig precedence).
+            explicit = explicit_paths(request)
+            for key, value in {**preset.defaults,
+                               **cfg.pipeline.preset_overrides}.items():
+                if f"sampling.{key}" not in explicit:
+                    kwargs[key] = value
+            for overrides in request.stage_overrides.values():
+                kwargs.update(overrides)
+        return self.generate_video(prompt=request.prompt, **kwargs)
+
     # -- generation --------------------------------------------------------
 
     def generate_video(

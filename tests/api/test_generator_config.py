@@ -1,0 +1,45 @@
+"""GeneratorConfig/GenerationRequest end-to-end on a tiny checkpoint."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+from utils import make_tiny_wan_checkpoint  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    root = tmp_path_factory.mktemp("wan_tiny_api")
+    return make_tiny_wan_checkpoint(str(root / "Wan2.1-T2V-tiny-Diffusers"))
+
+
+def test_generate_from_typed_request(ckpt):
+    import fastvideo_tpu.parallel as par
+    from fastvideo_tpu.api.parser import parse_dataclass
+    from fastvideo_tpu.api.schema import GenerationRequest, GeneratorConfig
+    from fastvideo_tpu.entrypoints.video_generator import VideoGenerator
+
+    par.destroy_mesh()
+    cfg = parse_dataclass(GeneratorConfig, {
+        "model_path": ckpt,
+        "engine": {"num_gpus": 1},
+        "pipeline": {"preset": "wan_t2v_1_3b_480p"},
+    })
+    gen = VideoGenerator.from_generator_config(cfg)
+    req = parse_dataclass(GenerationRequest, {
+        "prompt": "w1 w2",
+        # explicit sampling fields override preset defaults
+        "sampling": {"height": 32, "width": 32, "num_frames": 3,
+                     "num_inference_steps": 2, "guidance_scale": 1.0,
+                     "seed": 5},
+        "output": {"save_video": False},
+    })
+    result = gen.generate(req)
+    frames = result["frames"][0]
+    assert frames.shape == (3, 32, 32, 3)
+    assert frames.dtype == np.uint8
+    par.destroy_mesh()
