@@ -69,11 +69,15 @@ def write_parquet_dataset(records: list[dict], out_dir: str,
 
     os.makedirs(out_dir, exist_ok=True)
     schema = pyarrow_schema_t2v()
+    # continue numbering after existing shards so successive flushes
+    # (PreprocessPipeline streams every samples_per_file) never overwrite
+    start = len([f for f in os.listdir(out_dir) if f.endswith(".parquet")])
     for i in range(0, len(records), rows_per_file):
         chunk = records[i:i + rows_per_file]
         table = pa.Table.from_pylist(chunk, schema=schema)
+        idx = start + i // rows_per_file
         pq.write_table(table,
-                       os.path.join(out_dir, f"data_{i // rows_per_file:05d}.parquet"))
+                       os.path.join(out_dir, f"data_{idx:05d}.parquet"))
     logger.info("Wrote %d records to %s", len(records), out_dir)
 
 

@@ -88,6 +88,99 @@ def _cmd_serve(args: argparse.Namespace) -> int:
     return 0
 
 
+def _add_preprocess(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser(
+        "preprocess",
+        help="Encode a video+caption dataset into training parquet "
+             "(reference `fastvideo preprocess` / v1_preprocess)")
+    p.add_argument("--model-path", required=True,
+                   help="diffusers checkpoint providing vae + text encoder")
+    p.add_argument("--data-path", required=True,
+                   help="dataset dir with videos.jsonl "
+                        "({'path','caption'} per line) or video files + "
+                        "<name>.txt captions")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--num-frames", type=int, default=None)
+    p.add_argument("--samples-per-file", type=int, default=64)
+    p.add_argument("--fps", type=float, default=16.0)
+    p.set_defaults(func=_cmd_preprocess)
+
+
+def _iter_preprocess_samples(data_path: str):
+    import json
+    import os
+
+    jsonl = os.path.join(data_path, "videos.jsonl")
+    if os.path.exists(jsonl):
+        with open(jsonl) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                row = json.loads(line)
+                path = row["path"]
+                if not os.path.isabs(path):
+                    path = os.path.join(data_path, path)
+                yield {"id": row.get("id", os.path.basename(path)),
+                       "video_path": path,
+                       "caption": row.get("caption", "")}
+        return
+    exts = (".mp4", ".mkv", ".webm", ".avi", ".mov", ".npy")
+    for name in sorted(os.listdir(data_path)):
+        if not name.lower().endswith(exts):
+            continue
+        stem = os.path.splitext(name)[0]
+        cap_file = os.path.join(data_path, stem + ".txt")
+        caption = ""
+        if os.path.exists(cap_file):
+            with open(cap_file) as fh:
+                caption = fh.read().strip()
+        yield {"id": stem, "video_path": os.path.join(data_path, name),
+               "caption": caption}
+
+
+def _cmd_preprocess(args: argparse.Namespace) -> int:
+    import os
+
+    from fastvideo_tpu.models.loader.component_loader import (
+        PipelineComponentLoader, load_tokenizer)
+    from fastvideo_tpu.pipelines.preprocess.preprocess_pipeline import (
+        PreprocessPipeline)
+    from fastvideo_tpu.registry import get_pipeline_config_cls_for_name
+
+    config_cls = get_pipeline_config_cls_for_name(args.model_path)
+    if config_cls is None:
+        from fastvideo_tpu.configs.pipelines.wan import WanT2V480PConfig
+
+        config_cls = WanT2V480PConfig
+    pipeline_config = config_cls(model_path=args.model_path)
+    vae = PipelineComponentLoader.load_module(
+        "vae", os.path.join(args.model_path, "vae"), pipeline_config)
+    text_encoder = PipelineComponentLoader.load_module(
+        "text_encoder", os.path.join(args.model_path, "text_encoder"),
+        pipeline_config)
+    tokenizer = load_tokenizer(os.path.join(args.model_path, "tokenizer"))
+    pipeline = PreprocessPipeline(vae, text_encoder, tokenizer,
+                                  samples_per_file=args.samples_per_file)
+    n = pipeline.run(_iter_preprocess_samples(args.data_path),
+                     args.output_dir, fps=args.fps)
+    logger.info("Wrote %d samples to %s", n, args.output_dir)
+    return 0
+
+
+def _add_train(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("train", help="Run YAML-configured training")
+    p.add_argument("--config", required=True)
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(func=_cmd_train)
+
+
+def _cmd_train(args: argparse.Namespace) -> int:
+    from fastvideo_tpu.entrypoints.cli.train import main as train_main
+
+    argv = ["--config", args.config] + (["--resume"] if args.resume else [])
+    return train_main(argv)
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="fastvideo",
                                      description="fastvideo_tpu CLI")
@@ -95,6 +188,8 @@ def main(argv: list[str] | None = None) -> int:
     _add_generate(sub)
     _add_bench(sub)
     _add_serve(sub)
+    _add_preprocess(sub)
+    _add_train(sub)
     args = parser.parse_args(argv)
     return args.func(args)
 

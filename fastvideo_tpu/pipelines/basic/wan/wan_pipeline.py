@@ -55,7 +55,9 @@ class WanPipeline(ComposedPipelineBase, LoRAPipelineMixin):
         self.add_stage("denoising_stage",
                        DenoisingStage(self.get_module("transformer"),
                                       self.get_module("scheduler"), cfg,
-                                      self.get_module("transformer_2")))
+                                      self.get_module("transformer_2"),
+                                      vae=(self.get_module("vae")
+                                           if cfg.ti2v_task else None)))
         self.add_stage("decoding_stage",
                        DecodingStage(self.get_module("vae"), cfg))
 

@@ -22,7 +22,11 @@ logger = init_logger(__name__)
 
 
 def load_video_frames(path: str, num_frames: int | None = None) -> np.ndarray:
-    """Read a video file into [T, H, W, 3] uint8 via imageio/ffmpeg."""
+    """Read a video file into [T, H, W, 3] uint8 via imageio/ffmpeg
+    (.npy arrays pass straight through)."""
+    if path.endswith(".npy"):
+        frames = np.load(path)
+        return frames[:num_frames] if num_frames else frames
     import imageio.v2 as imageio
 
     reader = imageio.get_reader(path)

@@ -26,12 +26,50 @@ logger = init_logger(__name__)
 
 class DenoisingStage(PipelineStage):
     def __init__(self, transformer, scheduler, pipeline_config=None,
-                 transformer_2=None):
+                 transformer_2=None, vae=None):
         self.transformer = transformer
         self.transformer_2 = transformer_2
         self.scheduler = scheduler
         self.pipeline_config = pipeline_config
+        self.vae = vae  # TI2V first-frame encode (reference :264)
         self._step_fns = {}
+
+    # -- Wan2.2 TI2V: first-frame latent replacement ------------------------
+
+    def _ti2v_encode_first_frame(self, batch: ForwardBatch):
+        """Encode the conditioning image into one normalized latent frame
+        (reference stages/denoising.py:259-292): TI2V REPLACES latent
+        frame 0 instead of concatenating channels."""
+        import numpy as np
+
+        assert batch.image_latent is None, \
+            "TI2V task must not carry channel-concat image latents"
+        assert self.vae is not None, "TI2V requires the VAE in DenoisingStage"
+        img = np.asarray(batch.pil_image)
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 127.5 - 1.0
+        if img.ndim == 3:  # [H, W, 3] -> [1, 3, 1, H, W]
+            img = img.transpose(2, 0, 1)[None, :, None]
+        z = self.vae.encode(jnp.asarray(img, jnp.float32)).mean
+        z = jnp.transpose(z, (0, 4, 1, 2, 3))  # NDHWC -> NCDHW
+        return self.vae.normalize_latents(z).astype(jnp.float32)
+
+    def _ti2v_timesteps(self, t: float, latents) -> jax.Array:
+        """Per-token timesteps: 0 for the conditioned frame-0 tokens
+        (reference stages/denoising.py:424-429 mask2 * t flatten)."""
+        b, _, tt, h, w = latents.shape
+        ps = self.pipeline_config.dit_config.arch_config.patch_size
+        tokens_per_frame = (h // ps[1]) * (w // ps[2])
+        seq_len = (tt // ps[0]) * tokens_per_frame
+        ts = jnp.full((seq_len,), float(t), jnp.float32)
+        ts = ts.at[:tokens_per_frame].set(0.0)
+        return jnp.broadcast_to(ts, (b, seq_len))
+
+    @staticmethod
+    def _ti2v_blend(latents, z):
+        """(1 - mask2) * z + mask2 * latents with mask2 zero at frame 0."""
+        return jnp.concatenate(
+            [z.astype(latents.dtype), latents[:, :, 1:]], axis=2)
 
     def _get_step_fn(self, which: str):
         """Jitted pure forward for one expert; cached per expert."""
@@ -124,10 +162,20 @@ class DenoisingStage(PipelineStage):
         attn_metadata = self._build_attn_metadata(batch, fastvideo_args)
         cfg_cache_interval = int(batch.extra.get("cfg_cache_interval", 1))
         cfg_delta = None
+        ti2v = (self.pipeline_config is not None
+                and getattr(self.pipeline_config, "ti2v_task", False)
+                and batch.pil_image is not None)
+        ti2v_z = None
+        if ti2v:
+            ti2v_z = self._ti2v_encode_first_frame(batch)
+            latents = self._ti2v_blend(latents.astype(jnp.float32), ti2v_z)
         for i, t in enumerate(timesteps):
             which = self._select_expert(float(t), batch)
             step_fn, state = self._get_step_fn(which)
-            t_arr = jnp.full((latents.shape[0],), float(t), jnp.float32)
+            if ti2v:
+                t_arr = self._ti2v_timesteps(float(t), latents)
+            else:
+                t_arr = jnp.full((latents.shape[0],), float(t), jnp.float32)
             model_in = self._model_input(batch, latents.astype(target_dtype))
             if attn_metadata is not None:
                 attn_metadata.current_timestep = i
@@ -162,6 +210,10 @@ class DenoisingStage(PipelineStage):
             latents = self.scheduler.step(
                 noise_pred.astype(jnp.float32), t,
                 latents.astype(jnp.float32)).prev_sample
+            if ti2v:
+                # re-impose the conditioned first frame after every
+                # scheduler step (reference stages/denoising.py:597-600)
+                latents = self._ti2v_blend(latents, ti2v_z)
             if batch.return_trajectory_latents:
                 trajectory.append(latents)
 

@@ -36,10 +36,12 @@ def test_generate_from_typed_request(ckpt):
         "sampling": {"height": 32, "width": 32, "num_frames": 3,
                      "num_inference_steps": 2, "guidance_scale": 1.0,
                      "seed": 5},
-        "output": {"save_video": False},
+        "output": {"save_video": False, "return_frames": True},
     })
-    result = gen.generate(req)
-    frames = result["frames"][0]
+    # return_frames=True (the schema default) returns the frames directly
+    frames_list = gen.generate(req)
+    assert isinstance(frames_list, list)
+    frames = frames_list[0]
     assert frames.shape == (3, 32, 32, 3)
     assert frames.dtype == np.uint8
     par.destroy_mesh()
