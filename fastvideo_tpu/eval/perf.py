@@ -1,0 +1,111 @@
+"""Performance-threshold harness.
+
+Analog of /root/reference/fastvideo/tests/performance/
+test_inference_performance.py (:75-260): JSON benchmark configs are
+discovered from a directory, validated, executed N times through a
+VideoGenerator, and the averaged end-to-end / per-stage times are
+compared against per-benchmark thresholds.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import statistics
+from typing import Any
+
+from fastvideo_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+REQUIRED_FIELDS = ("id", "generation", "runs", "thresholds")
+
+
+def validate_benchmark_config(cfg: dict[str, Any],
+                              path: str = "<memory>") -> None:
+    for field in REQUIRED_FIELDS:
+        if field not in cfg:
+            raise ValueError(f"{path}: missing required field {field!r}")
+    if not isinstance(cfg["id"], str) or not cfg["id"]:
+        raise ValueError(f"{path}: 'id' must be a non-empty string")
+    runs = cfg["runs"]
+    for k in ("warmup", "measure"):
+        if not isinstance(runs.get(k), int) or runs[k] < (0 if k == "warmup"
+                                                          else 1):
+            raise ValueError(f"{path}: runs.{k} must be an int "
+                             f"({'>=0' if k == 'warmup' else '>=1'})")
+    th = cfg["thresholds"]
+    if "e2e_s" not in th and not th.get("stages"):
+        raise ValueError(f"{path}: thresholds need 'e2e_s' and/or 'stages'")
+    for key, val in {**{"e2e_s": th.get("e2e_s", 0.0)},
+                     **th.get("stages", {})}.items():
+        if not isinstance(val, (int, float)) or val < 0:
+            raise ValueError(f"{path}: threshold {key!r} must be a "
+                             "non-negative number")
+
+
+def discover_benchmarks(config_dir: str) -> list[dict[str, Any]]:
+    configs = []
+    for path in sorted(glob.glob(os.path.join(config_dir, "*.json"))):
+        with open(path) as fh:
+            cfg = json.load(fh)
+        validate_benchmark_config(cfg, path)
+        cfg["_path"] = path
+        configs.append(cfg)
+    return configs
+
+
+def run_benchmark(generator, cfg: dict[str, Any]) -> dict[str, Any]:
+    """Execute one benchmark config; returns averaged timings."""
+    gen_kwargs = dict(cfg["generation"])
+    prompt = gen_kwargs.pop("prompt", "benchmark prompt")
+    gen_kwargs.setdefault("save_video", False)
+    runs = cfg["runs"]
+    for _ in range(runs["warmup"]):
+        generator.generate_video(prompt, **gen_kwargs)
+    e2e_times: list[float] = []
+    stage_times: dict[str, list[float]] = {}
+    for _ in range(runs["measure"]):
+        result = generator.generate_video(prompt, **gen_kwargs)
+        e2e_times.append(result["generation_time"])
+        for stage, t in result["stage_times"].items():
+            stage_times.setdefault(stage, []).append(t)
+    return {
+        "id": cfg["id"],
+        "e2e_s": statistics.mean(e2e_times),
+        "e2e_min_s": min(e2e_times),
+        "stages": {k: statistics.mean(v) for k, v in stage_times.items()},
+        "runs": runs["measure"],
+    }
+
+
+def check_thresholds(result: dict[str, Any],
+                     cfg: dict[str, Any]) -> list[str]:
+    """Returns human-readable violations (empty = within budget)."""
+    violations = []
+    th = cfg["thresholds"]
+    if "e2e_s" in th and result["e2e_s"] > th["e2e_s"]:
+        violations.append(
+            f"e2e {result['e2e_s']:.3f}s > threshold {th['e2e_s']:.3f}s")
+    for stage, limit in th.get("stages", {}).items():
+        measured = result["stages"].get(stage)
+        if measured is None:
+            violations.append(f"stage {stage!r} missing from result")
+        elif measured > limit:
+            violations.append(
+                f"stage {stage} {measured:.3f}s > threshold {limit:.3f}s")
+    return violations
+
+
+def run_suite(generator_factory, config_dir: str) -> list[dict[str, Any]]:
+    """Run every benchmark in a directory; attach violations per result."""
+    results = []
+    for cfg in discover_benchmarks(config_dir):
+        generator = generator_factory(cfg)
+        result = run_benchmark(generator, cfg)
+        result["violations"] = check_thresholds(result, cfg)
+        logger.info("perf %s: e2e %.3fs, violations: %s", cfg["id"],
+                    result["e2e_s"], result["violations"] or "none")
+        results.append(result)
+    return results

@@ -201,6 +201,8 @@ class CLIPTextArchConfig(EncoderArchConfig):
     layer_norm_eps: float = 1e-5
     eos_token_id: int = 49407
     text_len: int = 77
+    # non-zero -> CLIPTextModelWithProjection (bias-free text_projection)
+    projection_dim: int = 0
 
 
 CLIP_TEXT_PARAM_NAMES_MAPPING: dict[str, str] = {
@@ -253,7 +255,8 @@ class CLIPTextTransformer(nnx.Module):
         self.config = config
 
     def __call__(self, input_ids: Array,
-                 attention_mask: Array | None = None) -> tuple[Array, Array]:
+                 attention_mask: Array | None = None,
+                 output_hidden_states: bool = False):
         x = self.embeddings(input_ids)
         s = x.shape[1]
         causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
@@ -261,6 +264,7 @@ class CLIPTextTransformer(nnx.Module):
         if attention_mask is not None:
             ok = ok & (attention_mask[:, None, None, :] > 0)
         bias = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min).astype(x.dtype)
+        hidden_states = [x] if output_hidden_states else None
         for layer in self.layers:
             # CLIP text uses causal attention
             residual = x
@@ -273,6 +277,8 @@ class CLIPTextTransformer(nnx.Module):
             attn = jax.nn.dot_product_attention(q, k, v, bias=bias)
             x = residual + layer.self_attn.out_proj(attn.reshape(b, ss, -1))
             x = x + layer.mlp(layer.layer_norm2(x))
+            if output_hidden_states:
+                hidden_states.append(x)
         x = self.final_layer_norm(x)
         # pooled = hidden at the EOS token. HF quirk: with the legacy
         # eos_token_id == 2 configs, CLIPTextModel pools at
@@ -284,11 +290,14 @@ class CLIPTextTransformer(nnx.Module):
         else:
             idx = jnp.argmax((input_ids == eos).astype(jnp.int32), axis=1)
         pooled = x[jnp.arange(x.shape[0]), idx]
-        return x, pooled
+        return x, pooled, hidden_states
 
 
 class CLIPTextModel(nnx.Module):
-    """HF-layout CLIP text encoder (reference clip.py:428-530)."""
+    """HF-layout CLIP text encoder (reference clip.py:428-530).
+
+    With ``config.projection_dim`` set this is CLIPTextModelWithProjection:
+    pooler_output runs through the bias-free text_projection."""
 
     def __init__(self, config: CLIPTextArchConfig, *,
                  param_dtype: jnp.dtype = jnp.float32,
@@ -298,12 +307,23 @@ class CLIPTextModel(nnx.Module):
         self.text_model = CLIPTextTransformer(config,
                                               param_dtype=param_dtype,
                                               rngs=rngs)
+        proj_dim = getattr(config, "projection_dim", 0) or 0
+        self.text_projection = (Linear(config.hidden_size, proj_dim,
+                                       bias=False, param_dtype=param_dtype,
+                                       rngs=rngs) if proj_dim else None)
 
     def __call__(self, input_ids: Array,
                  attention_mask: Array | None = None,
+                 output_hidden_states: bool = False,
                  **kwargs) -> BaseEncoderOutput:
-        hidden, pooled = self.text_model(input_ids, attention_mask)
+        hidden, pooled, hidden_states = self.text_model(
+            input_ids, attention_mask,
+            output_hidden_states=output_hidden_states)
+        if self.text_projection is not None:
+            pooled = self.text_projection(pooled)
         out = BaseEncoderOutput(last_hidden_state=hidden,
                                 attention_mask=attention_mask)
         out.pooler_output = pooled
+        out.hidden_states = (tuple(hidden_states)
+                             if hidden_states is not None else None)
         return out

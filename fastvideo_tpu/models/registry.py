@@ -23,6 +23,9 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "WanModel":
     ("fastvideo_tpu.models.dits.wan", "WanTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.wan:WanArchConfig"),
+    "SD3Transformer2DModel":
+    ("fastvideo_tpu.models.dits.sd3", "SD3Transformer2DModel",
+     "fastvideo_tpu.models.dits.sd3:SD3ArchConfig"),
 }
 
 _VAE_REGISTRY: dict[str, tuple[str, str, str]] = {
@@ -32,6 +35,9 @@ _VAE_REGISTRY: dict[str, tuple[str, str, str]] = {
     "AutoencoderKLHunyuanVideo":
     ("fastvideo_tpu.models.vaes.hunyuan", "AutoencoderKLHunyuanVideo",
      "fastvideo_tpu.models.vaes.hunyuan:HunyuanVAEArchConfig"),
+    "AutoencoderKL":
+    ("fastvideo_tpu.models.vaes.autoencoder_kl", "AutoencoderKL",
+     "fastvideo_tpu.models.vaes.autoencoder_kl:AutoencoderKLArchConfig"),
 }
 
 _ENCODER_REGISTRY: dict[str, tuple[str, str, str]] = {

@@ -23,6 +23,11 @@ _PIPELINES: dict[str, str] = {
     "HunyuanVideoPipeline":
     "fastvideo_tpu.pipelines.basic.hunyuan.hunyuan_pipeline:"
     "HunyuanVideoPipeline",
+    "SD35Pipeline":
+    "fastvideo_tpu.pipelines.basic.sd35.sd35_pipeline:SD35Pipeline",
+    "StableDiffusion3Pipeline":
+    "fastvideo_tpu.pipelines.basic.sd35.sd35_pipeline:"
+    "StableDiffusion3Pipeline",
 }
 
 

@@ -89,5 +89,11 @@ def _register_builtin() -> None:
                     priority=10)
     register_config(frag("hunyuan"), hy_cfg.HunyuanConfig, priority=1)
 
+    from fastvideo_tpu.configs.pipelines import sd35 as sd_cfg
+
+    register_config(frag("stable-diffusion-3"), sd_cfg.SD35Config,
+                    priority=5)
+    register_config(frag("sd3"), sd_cfg.SD35Config, priority=2)
+
 
 _register_builtin()

@@ -1,0 +1,79 @@
+"""Perf-threshold harness: config validation, run, threshold checks."""
+
+import json
+
+import pytest
+
+
+def _valid_cfg(**over):
+    cfg = {
+        "id": "tiny-e2e",
+        "generation": {"height": 32, "width": 32, "num_frames": 3,
+                       "num_inference_steps": 1, "guidance_scale": 1.0,
+                       "seed": 0},
+        "runs": {"warmup": 0, "measure": 2},
+        "thresholds": {"e2e_s": 100.0,
+                       "stages": {"DenoisingStage": 100.0}},
+    }
+    cfg.update(over)
+    return cfg
+
+
+def test_config_validation():
+    from fastvideo_tpu.eval.perf import validate_benchmark_config
+
+    validate_benchmark_config(_valid_cfg())
+    with pytest.raises(ValueError, match="missing required field"):
+        validate_benchmark_config({"id": "x"})
+    with pytest.raises(ValueError, match="runs.measure"):
+        validate_benchmark_config(_valid_cfg(
+            runs={"warmup": 0, "measure": 0}))
+    with pytest.raises(ValueError, match="non-negative"):
+        validate_benchmark_config(_valid_cfg(
+            thresholds={"e2e_s": -1.0}))
+
+
+def test_discovery_and_thresholds(tmp_path):
+    from fastvideo_tpu.eval.perf import check_thresholds, discover_benchmarks
+
+    (tmp_path / "a.json").write_text(json.dumps(_valid_cfg(id="a")))
+    (tmp_path / "b.json").write_text(json.dumps(_valid_cfg(id="b")))
+    cfgs = discover_benchmarks(str(tmp_path))
+    assert [c["id"] for c in cfgs] == ["a", "b"]
+
+    result = {"e2e_s": 2.0, "stages": {"DenoisingStage": 1.5}}
+    ok = check_thresholds(result, _valid_cfg())
+    assert ok == []
+    bad = check_thresholds(result, _valid_cfg(
+        thresholds={"e2e_s": 1.0, "stages": {"DenoisingStage": 1.0,
+                                             "DecodingStage": 1.0}}))
+    assert len(bad) == 3  # e2e over, stage over, stage missing
+
+
+class _FakeGenerator:
+    def __init__(self, e2e=0.5):
+        self.e2e = e2e
+        self.calls = 0
+
+    def generate_video(self, prompt, **kwargs):
+        self.calls += 1
+        return {"generation_time": self.e2e,
+                "stage_times": {"DenoisingStage": self.e2e * 0.7,
+                                "DecodingStage": self.e2e * 0.2}}
+
+
+def test_run_benchmark_and_suite(tmp_path):
+    from fastvideo_tpu.eval.perf import run_benchmark, run_suite
+
+    gen = _FakeGenerator()
+    cfg = _valid_cfg(runs={"warmup": 1, "measure": 3})
+    result = run_benchmark(gen, cfg)
+    assert gen.calls == 4
+    assert result["e2e_s"] == pytest.approx(0.5)
+    assert result["stages"]["DenoisingStage"] == pytest.approx(0.35)
+
+    (tmp_path / "x.json").write_text(json.dumps(_valid_cfg(
+        id="x", thresholds={"e2e_s": 0.1})))
+    results = run_suite(lambda cfg: _FakeGenerator(0.5), str(tmp_path))
+    assert len(results) == 1
+    assert results[0]["violations"], "0.5s run must violate 0.1s budget"

@@ -212,9 +212,18 @@ def import_ref(module: str, retries: int = 40):
 def patch_cpu_sdpa() -> None:
     """The reference CpuPlatform declares no attention backend; route it to
     its SDPA backend so parity runs hardware-free."""
-    platforms = import_ref("fastvideo.platforms.cpu")
-    platforms.CpuPlatform.get_attn_backend_cls = classmethod(
+    patch = classmethod(
         lambda cls, *a, **k: "fastvideo.attention.backends.sdpa.SDPABackend")
+    platforms = import_ref("fastvideo.platforms.cpu")
+    platforms.CpuPlatform.get_attn_backend_cls = patch
+    # the live singleton may come from an earlier module instance; patch
+    # its class too so already-resolved platforms pick up the route.
+    try:
+        from fastvideo.platforms import current_platform
+
+        type(current_platform).get_attn_backend_cls = patch
+    except Exception:
+        pass
 
 
 def init_ref_distributed() -> None:

@@ -38,6 +38,7 @@ def _export_torch_layout(model) -> dict[str, np.ndarray]:
 
     from fastvideo_tpu.layers.embeddings import PatchEmbed3D
     from fastvideo_tpu.layers.linear import Linear
+    from fastvideo_tpu.models.vaes.autoencoder_kl import Conv2d
     from fastvideo_tpu.models.vaes.hunyuan import Conv1x1, HYCausalConv3d
     from fastvideo_tpu.models.vaes.wan import CausalConv3d
 
@@ -64,6 +65,10 @@ def _export_torch_layout(model) -> dict[str, np.ndarray]:
             elif isinstance(child, (CausalConv3d, HYCausalConv3d, Conv1x1)):
                 w = np.asarray(child.weight.value)  # DHWIO
                 out[f"{path}.weight"] = w.transpose(4, 3, 0, 1, 2)
+                out[f"{path}.bias"] = np.asarray(child.bias.value)
+            elif isinstance(child, Conv2d):
+                w = np.asarray(child.weight.value)  # HWIO -> OIHW
+                out[f"{path}.weight"] = w.transpose(3, 2, 0, 1)
                 out[f"{path}.bias"] = np.asarray(child.bias.value)
             elif isinstance(child, nnx.Module):
                 walk(child, path + ".")
@@ -338,5 +343,115 @@ def make_tiny_hunyuan_checkpoint(root: str, seed: int = 0) -> str:
             "_class_name": "FlowMatchEulerDiscreteScheduler",
             "num_train_timesteps": 1000,
             "shift": 7.0,
+        }, fh)
+    return root
+
+
+TINY_SD3_DIT = dict(sample_size=16, patch_size=2, in_channels=4,
+                    out_channels=4, num_layers=2, attention_head_dim=8,
+                    num_attention_heads=2, joint_attention_dim=32,
+                    caption_projection_dim=16, pooled_projection_dim=16,
+                    pos_embed_max_size=16, qk_norm="rms_norm",
+                    dual_attention_layers=[0])
+TINY_KL_VAE = dict(latent_channels=4, block_out_channels=[8, 16, 16],
+                   layers_per_block=1, norm_num_groups=4,
+                   scaling_factor=1.5, shift_factor=0.06)
+TINY_CLIP_PROJ = dict(vocab_size=128, hidden_size=16, intermediate_size=32,
+                      num_hidden_layers=2, num_attention_heads=2,
+                      max_position_embeddings=77, eos_token_id=1,
+                      projection_dim=8)
+
+
+def make_tiny_sd35_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny random-weight SD3.5 checkpoint (diffusers layout)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.encoders.t5 import T5ArchConfig
+    from fastvideo_tpu.models.dits.sd3 import (SD3ArchConfig,
+                                               SD3Transformer2DModel)
+    from fastvideo_tpu.models.encoders.clip import (CLIPTextArchConfig,
+                                                    CLIPTextModel)
+    from fastvideo_tpu.models.encoders.t5 import T5EncoderModel
+    from fastvideo_tpu.models.vaes.autoencoder_kl import (
+        AutoencoderKL, AutoencoderKLArchConfig)
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump({
+            "_class_name": "StableDiffusion3Pipeline",
+            "_diffusers_version": "0.33.0",
+            "scheduler": ["diffusers", "FlowMatchEulerDiscreteScheduler"],
+            "text_encoder": ["transformers", "CLIPTextModelWithProjection"],
+            "text_encoder_2": ["transformers",
+                               "CLIPTextModelWithProjection"],
+            "text_encoder_3": ["transformers", "T5EncoderModel"],
+            "tokenizer": ["transformers", "CLIPTokenizer"],
+            "tokenizer_2": ["transformers", "CLIPTokenizer"],
+            "tokenizer_3": ["transformers", "T5TokenizerFast"],
+            "transformer": ["diffusers", "SD3Transformer2DModel"],
+            "vae": ["diffusers", "AutoencoderKL"],
+        }, fh)
+
+    tdir = os.path.join(root, "transformer")
+    os.makedirs(tdir, exist_ok=True)
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "SD3Transformer2DModel",
+                   **TINY_SD3_DIT}, fh)
+    arch = SD3ArchConfig(**{k: tuple(v) if isinstance(v, list) else v
+                            for k, v in TINY_SD3_DIT.items()})
+    dit = SD3Transformer2DModel(arch, param_dtype=jnp.float32,
+                                rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+
+    vdir = os.path.join(root, "vae")
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "AutoencoderKL", **TINY_KL_VAE}, fh)
+    varch = AutoencoderKLArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_KL_VAE.items()})
+    vae = AutoencoderKL(varch, param_dtype=jnp.float32,
+                        rngs=nnx.Rngs(seed + 1))
+    _save_safetensors(os.path.join(vdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(vae))
+
+    for name, cfg_seed in (("text_encoder", seed + 2),
+                           ("text_encoder_2", seed + 3)):
+        edir = os.path.join(root, name)
+        os.makedirs(edir, exist_ok=True)
+        with open(os.path.join(edir, "config.json"), "w") as fh:
+            json.dump({"architectures": ["CLIPTextModelWithProjection"],
+                       **TINY_CLIP_PROJ}, fh)
+        clip = CLIPTextModel(CLIPTextArchConfig(**TINY_CLIP_PROJ),
+                             param_dtype=jnp.float32,
+                             rngs=nnx.Rngs(cfg_seed))
+        _save_safetensors(os.path.join(edir, "model.safetensors"),
+                          _export_torch_layout(clip))
+
+    e3dir = os.path.join(root, "text_encoder_3")
+    os.makedirs(e3dir, exist_ok=True)
+    with open(os.path.join(e3dir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["T5EncoderModel"],
+                   **{k: v for k, v in TINY_T5.items()
+                      if k != "model_type"}}, fh)
+    earch_kwargs = {k: v for k, v in TINY_T5.items() if k != "model_type"}
+    t5 = T5EncoderModel(T5ArchConfig(**earch_kwargs),
+                        param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 4))
+    _save_safetensors(os.path.join(e3dir, "model.safetensors"),
+                      _export_torch_layout(t5))
+
+    for tok in ("tokenizer", "tokenizer_2", "tokenizer_3"):
+        _make_tokenizer(os.path.join(root, tok), 128)
+    sdir = os.path.join(root, "scheduler")
+    os.makedirs(sdir, exist_ok=True)
+    with open(os.path.join(sdir, "scheduler_config.json"), "w") as fh:
+        json.dump({
+            "_class_name": "FlowMatchEulerDiscreteScheduler",
+            "num_train_timesteps": 1000,
+            "use_dynamic_shifting": True,
         }, fh)
     return root
