@@ -26,6 +26,9 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "SD3Transformer2DModel":
     ("fastvideo_tpu.models.dits.sd3", "SD3Transformer2DModel",
      "fastvideo_tpu.models.dits.sd3:SD3ArchConfig"),
+    "FluxTransformer2DModel":
+    ("fastvideo_tpu.models.dits.flux", "FluxTransformer2DModel",
+     "fastvideo_tpu.models.dits.flux:FluxArchConfig"),
 }
 
 _VAE_REGISTRY: dict[str, tuple[str, str, str]] = {

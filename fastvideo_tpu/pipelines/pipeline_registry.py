@@ -28,6 +28,8 @@ _PIPELINES: dict[str, str] = {
     "StableDiffusion3Pipeline":
     "fastvideo_tpu.pipelines.basic.sd35.sd35_pipeline:"
     "StableDiffusion3Pipeline",
+    "FluxPipeline":
+    "fastvideo_tpu.pipelines.basic.flux.flux_pipeline:FluxPipeline",
 }
 
 

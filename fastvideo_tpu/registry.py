@@ -95,5 +95,9 @@ def _register_builtin() -> None:
                     priority=5)
     register_config(frag("sd3"), sd_cfg.SD35Config, priority=2)
 
+    from fastvideo_tpu.configs.pipelines import flux as flux_cfg
+
+    register_config(frag("flux"), flux_cfg.FluxPipelineConfig, priority=2)
+
 
 _register_builtin()

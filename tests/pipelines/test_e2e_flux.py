@@ -1,0 +1,45 @@
+"""End-to-end: tiny FLUX.1 checkpoint -> text-to-image on CPU."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+from utils import make_tiny_flux_checkpoint  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    root = tmp_path_factory.mktemp("flux_tiny")
+    return make_tiny_flux_checkpoint(str(root / "FLUX.1-tiny"))
+
+
+def test_generate_image_flux_e2e(ckpt, tmp_path):
+    import fastvideo_tpu.parallel as par
+    from fastvideo_tpu import VideoGenerator
+
+    par.destroy_mesh()
+    gen = VideoGenerator.from_pretrained(ckpt, num_gpus=1)
+    result = gen.generate_video(
+        prompt="w1 w2 w3",
+        height=32,
+        width=32,
+        num_frames=1,
+        num_inference_steps=4,
+        guidance_scale=3.5,  # embedded distilled guidance
+        seed=5,
+        output_path=str(tmp_path),
+        save_video=False,
+    )
+    frames = result["frames"][0]
+    assert frames.shape == (1, 32, 32, 3), frames.shape
+    assert frames.dtype == np.uint8
+
+    r2 = gen.generate_video(prompt="w1 w2 w3", height=32, width=32,
+                            num_frames=1, num_inference_steps=4,
+                            guidance_scale=3.5, seed=5, save_video=False)
+    np.testing.assert_array_equal(frames, r2["frames"][0])
+    par.destroy_mesh()

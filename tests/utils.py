@@ -455,3 +455,97 @@ def make_tiny_sd35_checkpoint(root: str, seed: int = 0) -> str:
             "use_dynamic_shifting": True,
         }, fh)
     return root
+
+
+TINY_FLUX_DIT = dict(patch_size=1, in_channels=16, num_layers=1,
+                     num_single_layers=1, attention_head_dim=8,
+                     num_attention_heads=2, joint_attention_dim=32,
+                     pooled_projection_dim=16, guidance_embeds=True,
+                     axes_dims_rope=[4, 2, 2])
+
+
+def make_tiny_flux_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny random-weight FLUX.1 checkpoint (diffusers layout)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.encoders.t5 import T5ArchConfig
+    from fastvideo_tpu.models.dits.flux import (FluxArchConfig,
+                                                FluxTransformer2DModel)
+    from fastvideo_tpu.models.encoders.clip import (CLIPTextArchConfig,
+                                                    CLIPTextModel)
+    from fastvideo_tpu.models.encoders.t5 import T5EncoderModel
+    from fastvideo_tpu.models.vaes.autoencoder_kl import (
+        AutoencoderKL, AutoencoderKLArchConfig)
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump({
+            "_class_name": "FluxPipeline",
+            "_diffusers_version": "0.33.0",
+            "scheduler": ["diffusers", "FlowMatchEulerDiscreteScheduler"],
+            "text_encoder": ["transformers", "CLIPTextModel"],
+            "text_encoder_2": ["transformers", "T5EncoderModel"],
+            "tokenizer": ["transformers", "CLIPTokenizer"],
+            "tokenizer_2": ["transformers", "T5TokenizerFast"],
+            "transformer": ["diffusers", "FluxTransformer2DModel"],
+            "vae": ["diffusers", "AutoencoderKL"],
+        }, fh)
+
+    tdir = os.path.join(root, "transformer")
+    os.makedirs(tdir, exist_ok=True)
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "FluxTransformer2DModel",
+                   **TINY_FLUX_DIT}, fh)
+    arch = FluxArchConfig(**{k: tuple(v) if isinstance(v, list) else v
+                             for k, v in TINY_FLUX_DIT.items()})
+    dit = FluxTransformer2DModel(arch, param_dtype=jnp.float32,
+                                 rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+
+    vdir = os.path.join(root, "vae")
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "AutoencoderKL", **TINY_KL_VAE}, fh)
+    varch = AutoencoderKLArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_KL_VAE.items()})
+    vae = AutoencoderKL(varch, param_dtype=jnp.float32,
+                        rngs=nnx.Rngs(seed + 1))
+    _save_safetensors(os.path.join(vdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(vae))
+
+    edir = os.path.join(root, "text_encoder")
+    os.makedirs(edir, exist_ok=True)
+    clip_cfg = {k: v for k, v in TINY_CLIP_TEXT.items()}
+    with open(os.path.join(edir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["CLIPTextModel"], **clip_cfg}, fh)
+    clip = CLIPTextModel(CLIPTextArchConfig(**clip_cfg),
+                         param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 2))
+    _save_safetensors(os.path.join(edir, "model.safetensors"),
+                      _export_torch_layout(clip))
+
+    e2dir = os.path.join(root, "text_encoder_2")
+    os.makedirs(e2dir, exist_ok=True)
+    earch_kwargs = {k: v for k, v in TINY_T5.items() if k != "model_type"}
+    with open(os.path.join(e2dir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["T5EncoderModel"], **earch_kwargs}, fh)
+    t5 = T5EncoderModel(T5ArchConfig(**earch_kwargs),
+                        param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 3))
+    _save_safetensors(os.path.join(e2dir, "model.safetensors"),
+                      _export_torch_layout(t5))
+
+    for tok in ("tokenizer", "tokenizer_2"):
+        _make_tokenizer(os.path.join(root, tok), 128)
+    sdir = os.path.join(root, "scheduler")
+    os.makedirs(sdir, exist_ok=True)
+    with open(os.path.join(sdir, "scheduler_config.json"), "w") as fh:
+        json.dump({
+            "_class_name": "FlowMatchEulerDiscreteScheduler",
+            "num_train_timesteps": 1000,
+            "use_dynamic_shifting": True,
+        }, fh)
+    return root
