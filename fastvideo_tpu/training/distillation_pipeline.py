@@ -47,6 +47,9 @@ class DMDConfig:
     timestep_shift: float = 8.0
     num_train_timestep: int = 1000
     simulate_generator_forward: bool = True
+    # EMA of the generator (reference distillation_pipeline use_ema/ema_decay)
+    ema_decay: float = 0.0  # 0 disables; e.g. 0.995
+    ema_start_step: int = 0
 
 
 def shift_timestep(t: Array, shift: float, num_train: float) -> Array:
@@ -74,9 +77,15 @@ class DMD2DistillationPipeline:
         self.fake_opt = self.fake_tx.init(self.fake_params)
         self.rng = jax.random.PRNGKey(training_args.seed)
         self.step = 0
+        self.ema_params = (jax.tree.map(jnp.copy, self.gen_params)
+                           if self.dmd.ema_decay else None)
 
         self._gen_step = jax.jit(self._build_generator_step())
         self._critic_step = jax.jit(self._build_critic_step())
+        if self.dmd.ema_decay:
+            decay = float(self.dmd.ema_decay)
+            self._ema_update = jax.jit(lambda ema, p: jax.tree.map(
+                lambda e, q: decay * e + (1.0 - decay) * q, ema, p))
 
     # -- shared pieces -----------------------------------------------------
 
@@ -222,6 +231,10 @@ class DMD2DistillationPipeline:
                                           embeds, neg_embeds)
                 metrics["generator_loss"] = float(g_loss)
                 metrics["generator_grad_norm"] = float(g_norm)
+                if (self.ema_params is not None
+                        and self.step >= self.dmd.ema_start_step):
+                    self.ema_params = self._ema_update(self.ema_params,
+                                                       self.gen_params)
             (self.fake_params, self.fake_opt, self.rng, c_loss,
              c_norm) = self._critic_step(self.fake_params, self.fake_opt,
                                          self.gen_params, self.rng, noise,
