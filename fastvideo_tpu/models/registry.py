@@ -80,6 +80,8 @@ _SCHEDULER_REGISTRY: dict[str, tuple[str, str]] = {
     "FlowUniPCMultistepScheduler":
     ("fastvideo_tpu.models.schedulers.flow_unipc",
      "FlowUniPCMultistepScheduler"),
+    "RCMScheduler":
+    ("fastvideo_tpu.models.schedulers.scheduling_rcm", "RCMScheduler"),
 }
 
 

@@ -83,3 +83,46 @@ def test_flow_match_euler_parity(ref_mods, shift, steps):
     out_ref = _fake_denoise_torch(ref, [float(t) for t in ref.timesteps], x0)
     out_jax = _fake_denoise_jax(ours, [float(t) for t in ours.timesteps], x0)
     np.testing.assert_allclose(out_ref, out_jax, rtol=2e-5, atol=2e-5)
+
+
+def test_rcm_scheduler_parity():
+    """rCM trajectory vs the reference scheduler (fixed v preds + seeds)."""
+    import numpy as np
+    import pytest
+
+    try:
+        import ref_loader
+        mod = ref_loader.import_ref(
+            "fastvideo.models.schedulers.scheduling_rcm")
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference import failed: {e}")
+    import torch
+
+    import jax.numpy as jnp
+
+    from fastvideo_tpu.models.schedulers.scheduling_rcm import RCMScheduler
+
+    ref = mod.RCMScheduler()
+    ref.set_timesteps(4)
+    ours = RCMScheduler()
+    ours.set_timesteps(4)
+    np.testing.assert_allclose(np.asarray(ours.sigmas),
+                               ref.sigmas.numpy(), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ours.timesteps),
+                               ref.timesteps[:-1].numpy(), atol=1e-9)
+
+    rng = np.random.default_rng(0)
+    x_ref = rng.standard_normal((1, 4, 2, 4, 4)).astype(np.float32)
+    x_ours = x_ref.copy()
+    ours.set_noise_seed(123)
+    for i, t in enumerate(np.asarray(ours.timesteps)):
+        v = rng.standard_normal(x_ref.shape).astype(np.float32)
+        gen = torch.Generator("cpu").manual_seed(123 + i + 1)
+        ref_out = ref.step(torch.from_numpy(v), float(t),
+                           torch.from_numpy(x_ref), generator=gen,
+                           return_dict=False)[0].numpy()
+        ours_out = np.asarray(
+            ours.step(jnp.asarray(v), float(t), jnp.asarray(x_ours))
+            .prev_sample)
+        np.testing.assert_allclose(ours_out, ref_out, atol=2e-5)
+        x_ref, x_ours = ref_out, ours_out
