@@ -324,6 +324,30 @@ class WanTransformer3DModel(nnx.Module):
         # analog of the reference's activation checkpointing,
         # training/activation_checkpoint.py:86)
         self.gradient_checkpointing = False
+        # lax.scan over stacked block params: one compiled block instead of
+        # num_layers inlined copies (TPU-idiomatic; cuts XLA compile time
+        # roughly by the layer count). Enable via `scan_layers = True`.
+        self.scan_layers = False
+
+    def _scan_blocks(self, x, encoder_hidden_states, timestep_proj,
+                     freqs_cis, kv_valid, grid):
+        from flax import nnx as _nnx
+
+        graphdef, state0 = _nnx.split(self.blocks[0])
+        states = [_nnx.split(blk)[1] for blk in self.blocks]
+        stacked = jax.tree.map(lambda *leaves: jnp.stack(leaves), *states)
+
+        def body(carry, layer_state):
+            blk = _nnx.merge(graphdef, layer_state)
+            fn = (jax.checkpoint(lambda x_: blk(
+                x_, encoder_hidden_states, timestep_proj, freqs_cis,
+                kv_valid, grid=grid)) if self.gradient_checkpointing else
+                (lambda x_: blk(x_, encoder_hidden_states, timestep_proj,
+                                freqs_cis, kv_valid, grid=grid)))
+            return fn(carry), None
+
+        x, _ = jax.lax.scan(body, x, stacked)
+        return x
 
     def __call__(
         self,
@@ -373,17 +397,21 @@ class WanTransformer3DModel(nnx.Module):
         encoder_hidden_states = encoder_hidden_states.astype(x.dtype)
 
         freqs_cis = (cos, sin)
-        for block in self.blocks:
-            if self.gradient_checkpointing:
-                def run_block(x_, ehs_, tp_, blk=block):
-                    return blk(x_, ehs_, tp_, freqs_cis, kv_valid,
-                               grid=(gt, gh, gw))
+        if self.scan_layers:
+            x = self._scan_blocks(x, encoder_hidden_states, timestep_proj,
+                                  freqs_cis, kv_valid, (gt, gh, gw))
+        else:
+            for block in self.blocks:
+                if self.gradient_checkpointing:
+                    def run_block(x_, ehs_, tp_, blk=block):
+                        return blk(x_, ehs_, tp_, freqs_cis, kv_valid,
+                                   grid=(gt, gh, gw))
 
-                x = jax.checkpoint(run_block)(x, encoder_hidden_states,
-                                              timestep_proj)
-            else:
-                x = block(x, encoder_hidden_states, timestep_proj, freqs_cis,
-                          kv_valid, grid=(gt, gh, gw))
+                    x = jax.checkpoint(run_block)(x, encoder_hidden_states,
+                                                  timestep_proj)
+                else:
+                    x = block(x, encoder_hidden_states, timestep_proj,
+                              freqs_cis, kv_valid, grid=(gt, gh, gw))
 
         # Output head (wanvideo.py:781-806).
         if temb.ndim == 3:
