@@ -81,15 +81,17 @@ class LlamaAttention(nnx.Module):
         self.n_heads = config.num_attention_heads
         self.n_kv = config.num_key_value_heads
         self.head_dim = h // self.n_heads
-        kw = dict(bias=False, param_dtype=param_dtype, rngs=rngs)
+        # Qwen2-style models use biased q/k/v projections
+        qkv_bias = bool(getattr(config, "attention_bias", False))
+        kw = dict(param_dtype=param_dtype, rngs=rngs)
         self.q_proj = ColumnParallelLinear(h, self.n_heads * self.head_dim,
-                                           **kw)
+                                           bias=qkv_bias, **kw)
         self.k_proj = ColumnParallelLinear(h, self.n_kv * self.head_dim,
-                                           **kw)
+                                           bias=qkv_bias, **kw)
         self.v_proj = ColumnParallelLinear(h, self.n_kv * self.head_dim,
-                                           **kw)
+                                           bias=qkv_bias, **kw)
         self.o_proj = RowParallelLinear(self.n_heads * self.head_dim, h,
-                                        **kw)
+                                        bias=False, **kw)
 
     def __call__(self, x: Array, cos: Array, sin: Array,
                  mask_bias: Array | None) -> Array:

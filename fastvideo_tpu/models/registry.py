@@ -68,6 +68,15 @@ _ENCODER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "CLIPTextModelWithProjection":
     ("fastvideo_tpu.models.encoders.clip", "CLIPTextModel",
      "fastvideo_tpu.models.encoders.clip:CLIPTextArchConfig"),
+    "Qwen2Model":
+    ("fastvideo_tpu.models.encoders.qwen2_5", "Qwen2EncoderModel",
+     "fastvideo_tpu.models.encoders.qwen2_5:Qwen2ArchConfig"),
+    "Qwen2ForCausalLM":
+    ("fastvideo_tpu.models.encoders.qwen2_5", "Qwen2EncoderModel",
+     "fastvideo_tpu.models.encoders.qwen2_5:Qwen2ArchConfig"),
+    "Qwen2_5_VLForConditionalGeneration":
+    ("fastvideo_tpu.models.encoders.qwen2_5", "Qwen2EncoderModel",
+     "fastvideo_tpu.models.encoders.qwen2_5:Qwen2ArchConfig"),
 }
 
 _SCHEDULER_REGISTRY: dict[str, tuple[str, str]] = {
