@@ -29,6 +29,9 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "FluxTransformer2DModel":
     ("fastvideo_tpu.models.dits.flux", "FluxTransformer2DModel",
      "fastvideo_tpu.models.dits.flux:FluxArchConfig"),
+    "CosmosTransformer3DModel":
+    ("fastvideo_tpu.models.dits.cosmos", "CosmosTransformer3DModel",
+     "fastvideo_tpu.models.dits.cosmos:CosmosArchConfig"),
 }
 
 _VAE_REGISTRY: dict[str, tuple[str, str, str]] = {

@@ -32,7 +32,9 @@ class FlowMatchEulerDiscreteScheduler(BaseScheduler):
                  stochastic_sampling: bool = False,
                  final_sigmas_type: str = "sigma_min",
                  sigma_min: float | None = None,
-                 sigma_max: float | None = None, **kwargs):
+                 sigma_max: float | None = None,
+                 use_karras_sigmas: bool = False,
+                 sigma_data: float | None = None, **kwargs):
         self.num_train_timesteps = num_train_timesteps
         self._shift = shift
         self.use_dynamic_shifting = use_dynamic_shifting
@@ -44,6 +46,8 @@ class FlowMatchEulerDiscreteScheduler(BaseScheduler):
         self.time_shift_type = time_shift_type
         self.stochastic_sampling = stochastic_sampling
         self.final_sigmas_type = final_sigmas_type
+        self.use_karras_sigmas = use_karras_sigmas
+        self.sigma_data = sigma_data if sigma_data is not None else 1.0
 
         timesteps = np.linspace(1, num_train_timesteps, num_train_timesteps,
                                 dtype=np.float32)[::-1].copy()
@@ -109,8 +113,16 @@ class FlowMatchEulerDiscreteScheduler(BaseScheduler):
             sigmas = self.shift * sigmas / (1 + (self.shift - 1) * sigmas)
         if self.shift_terminal:
             sigmas = self.stretch_shift_to_terminal(sigmas)
+        if self.use_karras_sigmas:
+            # Karras et al. (2022) rho=7 ramp between sigma_max..sigma_min
+            # (reference scheduling_flow_match_euler_discrete.py:568-588).
+            rho = 7.0
+            ramp = np.linspace(0, 1, num_inference_steps)
+            min_inv = self.sigma_min**(1 / rho)
+            max_inv = self.sigma_max**(1 / rho)
+            sigmas = (max_inv + ramp * (min_inv - max_inv))**rho
         sigmas = sigmas.astype(np.float32)
-        if not is_ts_provided:
+        if not is_ts_provided or self.use_karras_sigmas:
             timesteps = sigmas * self.num_train_timesteps
         self.timesteps = np.asarray(timesteps, dtype=np.float32)
         self.sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)

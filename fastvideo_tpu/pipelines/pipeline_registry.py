@@ -30,6 +30,12 @@ _PIPELINES: dict[str, str] = {
     "StableDiffusion3Pipeline",
     "FluxPipeline":
     "fastvideo_tpu.pipelines.basic.flux.flux_pipeline:FluxPipeline",
+    "Cosmos2VideoToWorldPipeline":
+    "fastvideo_tpu.pipelines.basic.cosmos.cosmos_pipeline:"
+    "Cosmos2VideoToWorldPipeline",
+    "CosmosVideoToWorldPipeline":
+    "fastvideo_tpu.pipelines.basic.cosmos.cosmos_pipeline:"
+    "Cosmos2VideoToWorldPipeline",
 }
 
 

@@ -99,5 +99,9 @@ def _register_builtin() -> None:
 
     register_config(frag("flux"), flux_cfg.FluxPipelineConfig, priority=2)
 
+    from fastvideo_tpu.configs.pipelines import cosmos as cosmos_cfg
+
+    register_config(frag("cosmos"), cosmos_cfg.CosmosConfig, priority=2)
+
 
 _register_builtin()

@@ -549,3 +549,83 @@ def make_tiny_flux_checkpoint(root: str, seed: int = 0) -> str:
             "use_dynamic_shifting": True,
         }, fh)
     return root
+
+
+TINY_COSMOS_DIT = dict(in_channels=5, out_channels=4,
+                       num_attention_heads=2, attention_head_dim=12,
+                       num_layers=2, mlp_ratio=2.0, text_embed_dim=32,
+                       adaln_lora_dim=8, max_size=[16, 16, 16],
+                       patch_size=[1, 2, 2], rope_scale=[1.0, 3.0, 3.0],
+                       concat_padding_mask=True,
+                       extra_pos_embed_type="learnable")
+
+
+def make_tiny_cosmos_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny random-weight Cosmos-Predict2 checkpoint (diffusers layout)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.encoders.t5 import T5ArchConfig
+    from fastvideo_tpu.configs.models.vaes.wan import WanVAEArchConfig
+    from fastvideo_tpu.models.dits.cosmos import (CosmosArchConfig,
+                                                  CosmosTransformer3DModel)
+    from fastvideo_tpu.models.encoders.t5 import T5EncoderModel
+    from fastvideo_tpu.models.vaes.wan import AutoencoderKLWan
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump({
+            "_class_name": "Cosmos2VideoToWorldPipeline",
+            "_diffusers_version": "0.33.0",
+            "scheduler": ["diffusers", "FlowMatchEulerDiscreteScheduler"],
+            "text_encoder": ["transformers", "T5EncoderModel"],
+            "tokenizer": ["transformers", "T5TokenizerFast"],
+            "transformer": ["diffusers", "CosmosTransformer3DModel"],
+            "vae": ["diffusers", "AutoencoderKLWan"],
+        }, fh)
+
+    tdir = os.path.join(root, "transformer")
+    os.makedirs(tdir, exist_ok=True)
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "CosmosTransformer3DModel",
+                   **TINY_COSMOS_DIT}, fh)
+    arch = CosmosArchConfig(**{k: tuple(v) if isinstance(v, list) else v
+                               for k, v in TINY_COSMOS_DIT.items()})
+    dit = CosmosTransformer3DModel(arch, param_dtype=jnp.float32,
+                                   rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+
+    vdir = os.path.join(root, "vae")
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "AutoencoderKLWan", **TINY_VAE}, fh)
+    varch = WanVAEArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_VAE.items()})
+    vae = AutoencoderKLWan(varch, param_dtype=jnp.float32,
+                           rngs=nnx.Rngs(seed + 1))
+    _save_safetensors(os.path.join(vdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(vae))
+
+    edir = os.path.join(root, "text_encoder")
+    os.makedirs(edir, exist_ok=True)
+    earch_kwargs = {k: v for k, v in TINY_T5.items() if k != "model_type"}
+    with open(os.path.join(edir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["T5EncoderModel"], **earch_kwargs}, fh)
+    t5 = T5EncoderModel(T5ArchConfig(**earch_kwargs),
+                        param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 2))
+    _save_safetensors(os.path.join(edir, "model.safetensors"),
+                      _export_torch_layout(t5))
+
+    _make_tokenizer(os.path.join(root, "tokenizer"), 128)
+    sdir = os.path.join(root, "scheduler")
+    os.makedirs(sdir, exist_ok=True)
+    with open(os.path.join(sdir, "scheduler_config.json"), "w") as fh:
+        json.dump({
+            "_class_name": "FlowMatchEulerDiscreteScheduler",
+            "num_train_timesteps": 1000,
+        }, fh)
+    return root
