@@ -75,21 +75,34 @@ class GenerationWorker(threading.Thread):
             self.store.update(job_id, status="in_progress")
             try:
                 req = job["request"]
-                result = self.generator.generate_video(
-                    prompt=req.get("prompt", ""),
-                    negative_prompt=req.get("negative_prompt"),
-                    height=int(req.get("height", 480)),
-                    width=int(req.get("width", 832)),
-                    num_frames=int(req.get("num_frames", 81)),
-                    num_inference_steps=int(req.get("steps",
-                                                    req.get(
-                                                        "num_inference_steps",
-                                                        50))),
-                    guidance_scale=float(req.get("guidance_scale", 5.0)),
-                    seed=int(req.get("seed", 1024)),
-                    save_video=True,
-                    output_path=req.get("output_path", "outputs/"),
-                )
+                if "sampling" in req or "output" in req or "inputs" in req:
+                    # typed api.GenerationRequest body (reference
+                    # entrypoints/openai/video_api.py nested schema)
+                    from fastvideo_tpu.api.parser import parse_dataclass
+                    from fastvideo_tpu.api.schema import (GenerationRequest,
+                                                          generation_kwargs)
+
+                    typed = parse_dataclass(GenerationRequest, req)
+                    kwargs = generation_kwargs(typed)
+                    kwargs["save_video"] = True
+                    kwargs.pop("return_frames", None)
+                    result = self.generator.generate_video(
+                        prompt=typed.prompt or "", **kwargs)
+                else:
+                    result = self.generator.generate_video(
+                        prompt=req.get("prompt", ""),
+                        negative_prompt=req.get("negative_prompt"),
+                        height=int(req.get("height", 480)),
+                        width=int(req.get("width", 832)),
+                        num_frames=int(req.get("num_frames", 81)),
+                        num_inference_steps=int(
+                            req.get("steps",
+                                    req.get("num_inference_steps", 50))),
+                        guidance_scale=float(req.get("guidance_scale", 5.0)),
+                        seed=int(req.get("seed", 1024)),
+                        save_video=True,
+                        output_path=req.get("output_path", "outputs/"),
+                    )
                 self.store.update(job_id, status="completed", progress=100,
                                   video_path=result.get("video_path"),
                                   generation_time=result.get(

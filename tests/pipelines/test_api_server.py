@@ -48,5 +48,21 @@ def test_api_server_generate(tmp_path):
             time.sleep(1)
         assert job["status"] == "completed", job
         assert job["video_path"]
+
+        # typed api.GenerationRequest-shaped body (nested schema)
+        job = _req(server.port, "/v1/videos", {
+            "prompt": "w1 w2",
+            "sampling": {"height": 16, "width": 16, "num_frames": 3,
+                         "num_inference_steps": 1, "guidance_scale": 1.0,
+                         "seed": 6},
+            "output": {"output_path": str(tmp_path / "out2")},
+        })
+        for _ in range(120):
+            job = _req(server.port, f"/v1/videos/{job['id']}")
+            if job["status"] in ("completed", "failed"):
+                break
+            time.sleep(1)
+        assert job["status"] == "completed", job
+        assert job["video_path"]
     finally:
         server.shutdown()
