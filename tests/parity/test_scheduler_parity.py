@@ -126,3 +126,67 @@ def test_rcm_scheduler_parity():
             .prev_sample)
         np.testing.assert_allclose(ours_out, ref_out, atol=2e-5)
         x_ref, x_ours = ref_out, ours_out
+
+
+def test_self_forcing_flow_match_parity():
+    """Trajectory + corruption parity vs the reference scheduler."""
+    import numpy as np
+    import pytest
+
+    try:
+        import ref_loader
+        mod = ref_loader.import_ref(
+            "fastvideo.models.schedulers.scheduling_self_forcing_flow_match")
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference import failed: {e}")
+    import torch
+
+    import jax.numpy as jnp
+
+    from fastvideo_tpu.models.schedulers.scheduling_self_forcing_flow_match \
+        import SelfForcingFlowMatchScheduler
+
+    ref = mod.SelfForcingFlowMatchScheduler(
+        num_inference_steps=8, shift=5.0, extra_one_step=True, training=True)
+    ours = SelfForcingFlowMatchScheduler(
+        num_inference_steps=8, shift=5.0, extra_one_step=True, training=True)
+    np.testing.assert_allclose(np.asarray(ours.sigmas),
+                               ref.sigmas.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours.timesteps),
+                               ref.timesteps.numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ours.linear_timesteps_weights),
+                               ref.linear_timesteps_weights.numpy(),
+                               atol=1e-5)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 4, 4, 4)).astype(np.float32)
+    v = rng.standard_normal(x.shape).astype(np.float32)
+    noise = rng.standard_normal(x.shape).astype(np.float32)
+    t = np.asarray(ours.timesteps)[[1, 3]].astype(np.float32)
+
+    ref_step = ref.step(torch.from_numpy(v), torch.from_numpy(t),
+                        torch.from_numpy(x), return_dict=False)[0].numpy()
+    ours_step = np.asarray(
+        ours.step(jnp.asarray(v), jnp.asarray(t), jnp.asarray(x))
+        .prev_sample)
+    np.testing.assert_allclose(ours_step, ref_step, atol=1e-5)
+
+    ref_noisy = ref.add_noise(torch.from_numpy(x), torch.from_numpy(noise),
+                              torch.from_numpy(t)).numpy()
+    ours_noisy = np.asarray(
+        ours.add_noise(jnp.asarray(x), jnp.asarray(noise), jnp.asarray(t)))
+    np.testing.assert_allclose(ours_noisy, ref_noisy, atol=1e-5)
+
+    bt = np.asarray(ours.timesteps)[[0, 0]].astype(np.float32)
+    ref_high = ref.add_noise_high(torch.from_numpy(x),
+                                  torch.from_numpy(noise),
+                                  torch.from_numpy(t),
+                                  torch.from_numpy(bt)).numpy()
+    ours_high = np.asarray(
+        ours.add_noise_high(jnp.asarray(x), jnp.asarray(noise),
+                            jnp.asarray(t), jnp.asarray(bt)))
+    np.testing.assert_allclose(ours_high, ref_high, atol=1e-5)
+
+    w_ref = ref.training_weight(torch.from_numpy(t)).numpy()
+    w_ours = np.asarray(ours.training_weight(jnp.asarray(t)))
+    np.testing.assert_allclose(w_ours, w_ref, atol=1e-5)
