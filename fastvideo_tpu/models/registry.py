@@ -94,6 +94,9 @@ _SCHEDULER_REGISTRY: dict[str, tuple[str, str]] = {
      "FlowUniPCMultistepScheduler"),
     "RCMScheduler":
     ("fastvideo_tpu.models.schedulers.scheduling_rcm", "RCMScheduler"),
+    "SelfForcingFlowMatchScheduler":
+    ("fastvideo_tpu.models.schedulers.scheduling_self_forcing_flow_match",
+     "SelfForcingFlowMatchScheduler"),
 }
 
 
