@@ -80,6 +80,12 @@ _ENCODER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "Qwen2_5_VLForConditionalGeneration":
     ("fastvideo_tpu.models.encoders.qwen2_5", "Qwen2EncoderModel",
      "fastvideo_tpu.models.encoders.qwen2_5:Qwen2ArchConfig"),
+    "GemmaModel":
+    ("fastvideo_tpu.models.encoders.gemma", "GemmaEncoderModel",
+     "fastvideo_tpu.models.encoders.gemma:GemmaArchConfig"),
+    "GemmaForCausalLM":
+    ("fastvideo_tpu.models.encoders.gemma", "GemmaEncoderModel",
+     "fastvideo_tpu.models.encoders.gemma:GemmaArchConfig"),
 }
 
 _SCHEDULER_REGISTRY: dict[str, tuple[str, str]] = {
