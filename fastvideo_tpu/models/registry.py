@@ -103,6 +103,9 @@ _SCHEDULER_REGISTRY: dict[str, tuple[str, str]] = {
     "SelfForcingFlowMatchScheduler":
     ("fastvideo_tpu.models.schedulers.scheduling_self_forcing_flow_match",
      "SelfForcingFlowMatchScheduler"),
+    "FlowMapEulerDiscreteScheduler":
+    ("fastvideo_tpu.models.schedulers.scheduling_flow_map_euler",
+     "FlowMapEulerDiscreteScheduler"),
 }
 
 

@@ -190,3 +190,52 @@ def test_self_forcing_flow_match_parity():
     w_ref = ref.training_weight(torch.from_numpy(t)).numpy()
     w_ours = np.asarray(ours.training_weight(jnp.asarray(t)))
     np.testing.assert_allclose(w_ours, w_ref, atol=1e-5)
+
+
+def test_flow_map_euler_parity():
+    """AnyFlow flow-map scheduler vs the reference."""
+    import numpy as np
+    import pytest
+
+    try:
+        import ref_loader
+        mod = ref_loader.import_ref(
+            "fastvideo.models.schedulers.scheduling_flow_map_euler_discrete")
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference import failed: {e}")
+    import torch
+
+    import jax.numpy as jnp
+
+    from fastvideo_tpu.models.schedulers.scheduling_flow_map_euler import (
+        FlowMapEulerDiscreteScheduler)
+
+    ref = mod.FlowMapEulerDiscreteScheduler(shift=5.0)
+    ref.set_timesteps(num_inference_steps=4)
+    ours = FlowMapEulerDiscreteScheduler(shift=5.0)
+    ours.set_timesteps(num_inference_steps=4)
+    np.testing.assert_allclose(np.asarray(ours.timesteps),
+                               ref.timesteps.numpy(), atol=1e-3)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 4, 4, 4)).astype(np.float32)
+    u = rng.standard_normal(x.shape).astype(np.float32)
+    t = np.array([999.0, 600.0], np.float32)
+    r = np.array([400.0, 0.0], np.float32)
+    ref_step = ref.step(torch.from_numpy(u), sample=torch.from_numpy(x),
+                        timestep=torch.from_numpy(t),
+                        r_timestep=torch.from_numpy(r)).numpy()
+    ours_step = np.asarray(
+        ours.step(jnp.asarray(u), jnp.asarray(t), jnp.asarray(x),
+                  r_timestep=jnp.asarray(r)).prev_sample)
+    np.testing.assert_allclose(ours_step, ref_step, atol=1e-6)
+
+    w_ref = ref.get_train_weight(torch.from_numpy(t)).numpy()
+    w_ours = np.asarray(ours.get_train_weight(jnp.asarray(t)))
+    np.testing.assert_allclose(w_ours, w_ref, atol=1e-5)
+
+    noisy_ref = ref.add_noise(torch.from_numpy(x), torch.from_numpy(u),
+                              torch.from_numpy(t)).numpy()
+    noisy_ours = np.asarray(
+        ours.add_noise(jnp.asarray(x), jnp.asarray(u), jnp.asarray(t)))
+    np.testing.assert_allclose(noisy_ours, noisy_ref, atol=1e-6)
