@@ -86,6 +86,9 @@ _ENCODER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "GemmaForCausalLM":
     ("fastvideo_tpu.models.encoders.gemma", "GemmaEncoderModel",
      "fastvideo_tpu.models.encoders.gemma:GemmaArchConfig"),
+    "SiglipVisionModel":
+    ("fastvideo_tpu.models.encoders.siglip", "SiglipVisionModel",
+     "fastvideo_tpu.models.encoders.siglip:SiglipVisionArchConfig"),
 }
 
 _SCHEDULER_REGISTRY: dict[str, tuple[str, str]] = {
