@@ -89,6 +89,9 @@ _ENCODER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "SiglipVisionModel":
     ("fastvideo_tpu.models.encoders.siglip", "SiglipVisionModel",
      "fastvideo_tpu.models.encoders.siglip:SiglipVisionArchConfig"),
+    "BertModel":
+    ("fastvideo_tpu.models.encoders.bert", "BertEncoderModel",
+     "fastvideo_tpu.models.encoders.bert:BertArchConfig"),
 }
 
 _SCHEDULER_REGISTRY: dict[str, tuple[str, str]] = {
