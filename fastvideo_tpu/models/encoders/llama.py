@@ -80,7 +80,7 @@ class LlamaAttention(nnx.Module):
         h = config.hidden_size
         self.n_heads = config.num_attention_heads
         self.n_kv = config.num_key_value_heads
-        self.head_dim = h // self.n_heads
+        self.head_dim = getattr(config, "head_dim", None) or h // self.n_heads
         # Qwen2-style models use biased q/k/v projections
         qkv_bias = bool(getattr(config, "attention_bias", False))
         kw = dict(param_dtype=param_dtype, rngs=rngs)
@@ -92,6 +92,13 @@ class LlamaAttention(nnx.Module):
                                            bias=qkv_bias, **kw)
         self.o_proj = RowParallelLinear(self.n_heads * self.head_dim, h,
                                         bias=False, **kw)
+        # Qwen3-style per-head q/k RMSNorm
+        if getattr(config, "qk_norm", False):
+            self.q_norm = RMSNorm(self.head_dim, config.rms_norm_eps, **kw)
+            self.k_norm = RMSNorm(self.head_dim, config.rms_norm_eps, **kw)
+        else:
+            self.q_norm = None
+            self.k_norm = None
 
     def __call__(self, x: Array, cos: Array, sin: Array,
                  mask_bias: Array | None) -> Array:
@@ -99,6 +106,9 @@ class LlamaAttention(nnx.Module):
         q = self.q_proj(x).reshape(b, s, self.n_heads, self.head_dim)
         k = self.k_proj(x).reshape(b, s, self.n_kv, self.head_dim)
         v = self.v_proj(x).reshape(b, s, self.n_kv, self.head_dim)
+        if self.q_norm is not None:
+            q = self.q_norm(q).astype(x.dtype)
+            k = self.k_norm(k).astype(x.dtype)
         q = _apply_rope_neox(q, cos, sin)
         k = _apply_rope_neox(k, cos, sin)
         if self.n_kv != self.n_heads:
@@ -163,8 +173,9 @@ class LlamaEncoderModel(nnx.Module):
         cfg = self.config
         x = self.embed_tokens(input_ids)
         s = x.shape[1]
-        cos, sin = _rope_tables(s, cfg.hidden_size //
-                                cfg.num_attention_heads, cfg.rope_theta)
+        head_dim = (getattr(cfg, "head_dim", None)
+                    or cfg.hidden_size // cfg.num_attention_heads)
+        cos, sin = _rope_tables(s, head_dim, cfg.rope_theta)
         causal = jnp.tril(jnp.ones((s, s), bool))
         ok = causal[None, None]
         if attention_mask is not None:

@@ -92,6 +92,12 @@ _ENCODER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "BertModel":
     ("fastvideo_tpu.models.encoders.bert", "BertEncoderModel",
      "fastvideo_tpu.models.encoders.bert:BertArchConfig"),
+    "Qwen3Model":
+    ("fastvideo_tpu.models.encoders.qwen3", "Qwen3EncoderModel",
+     "fastvideo_tpu.models.encoders.qwen3:Qwen3ArchConfig"),
+    "Qwen3ForCausalLM":
+    ("fastvideo_tpu.models.encoders.qwen3", "Qwen3EncoderModel",
+     "fastvideo_tpu.models.encoders.qwen3:Qwen3ArchConfig"),
 }
 
 _SCHEDULER_REGISTRY: dict[str, tuple[str, str]] = {
