@@ -200,7 +200,10 @@ class TrainingPipeline:
                 "step": self.state.step}
 
     def train(self, dataloader, max_steps: int | None = None,
-              log_every: int = 10) -> None:
+              log_every: int = 10, validation_callback=None) -> None:
+        """``validation_callback(pipeline, step) -> dict | None`` runs every
+        ``args.validation_steps`` steps (reference _log_validation,
+        training_pipeline.py:703); its metrics go to the tracker."""
         max_steps = max_steps or self.args.max_train_steps
         it = iter(dataloader)
         t0 = time.perf_counter()
@@ -218,10 +221,47 @@ class TrainingPipeline:
                             metrics["step"], metrics["loss"],
                             metrics["grad_norm"], dt / log_every)
                 t0 = time.perf_counter()
+            if (validation_callback is not None
+                    and self.args.validation_steps
+                    and self.state.step % self.args.validation_steps == 0):
+                val = validation_callback(self, self.state.step)
+                if val:
+                    self.tracker.log({f"validation/{k}": v
+                                      for k, v in val.items()},
+                                     self.state.step)
             if (self.checkpoint_manager is not None
                     and self.args.checkpointing_steps
                     and self.state.step % self.args.checkpointing_steps == 0):
                 self.save_checkpoint()
+
+    def validation_sample(self, embeds, latent_shape: tuple[int, ...],
+                          dmd_denoising_steps=(1000, 757, 522),
+                          seed: int = 0):
+        """Few-step sampling with the CURRENT training params (the
+        reference's in-training validation videos). Returns latents."""
+        from fastvideo_tpu.pipelines.stages.latent_preparation import (
+            randn_like_reference)
+
+        model = nnx.merge(self.graphdef, self.state.params)
+        latents = jnp.asarray(randn_like_reference(tuple(latent_shape),
+                                                   [seed]))
+        num_train = 1000.0
+        steps = list(dmd_denoising_steps)
+        sigmas = [t / num_train for t in steps] + [0.0]
+        embeds = jnp.asarray(embeds, jnp.float32)
+        for i, t in enumerate(steps):
+            t_arr = jnp.full((latents.shape[0],), float(t), jnp.float32)
+            v = model(latents.astype(jnp.bfloat16),
+                      embeds.astype(jnp.bfloat16),
+                      t_arr).astype(jnp.float32)
+            x0 = latents - sigmas[i] * v
+            if sigmas[i + 1] > 0:
+                noise = jnp.asarray(
+                    randn_like_reference(tuple(latents.shape), [seed + i + 1]))
+                latents = (1 - sigmas[i + 1]) * x0 + sigmas[i + 1] * noise
+            else:
+                latents = x0
+        return latents
 
     def save_checkpoint(self) -> None:
         assert self.checkpoint_manager is not None

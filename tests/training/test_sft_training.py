@@ -63,3 +63,32 @@ def test_checkpoint_roundtrip(pipeline):
     params_after = jax.tree.leaves(pipeline.state.params)[0]
     np.testing.assert_array_equal(np.asarray(params_before),
                                   np.asarray(params_after))
+
+
+def test_validation_callback_and_sampling(pipeline, tmp_path):
+    import numpy as np
+
+    calls = []
+
+    def validate(pipe, step):
+        # batch must be divisible by dp (the dp=2 mesh shards batch)
+        lat = pipe.validation_sample(
+            np.zeros((2, 8, 16), np.float32), (2, 4, 2, 8, 8),
+            dmd_denoising_steps=(1000, 500), seed=3)
+        calls.append(step)
+        return {"latent_norm": float(np.abs(np.asarray(lat)).mean())}
+
+    pipeline.args.validation_steps = 2
+    rng = np.random.default_rng(2)
+    latents = rng.standard_normal((1, 2, 4, 2, 8, 8)).astype(np.float32)
+    embeds = rng.standard_normal((1, 2, 8, 16)).astype(np.float32)
+
+    class Loader:
+        def __iter__(self):
+            return iter([(latents, embeds)] * 10)
+
+    start = pipeline.state.step
+    pipeline.train(Loader(), max_steps=start + 4, log_every=100,
+                   validation_callback=validate)
+    assert calls, "validation callback never ran"
+    assert all(c % 2 == 0 for c in calls)
