@@ -307,8 +307,12 @@ def video_sparse_attn(
     _, top_idx = jax.lax.top_k(scores, topk)  # [b,h,nq,topk]
 
     if use_pallas:
-        out_s = block_sparse_attention(q, k, v, top_idx, block_sizes,
-                                       scale=scale, tile_elems=tile_elems)
+        # differentiable path: Pallas fwd (with LSE) + Pallas dQ/dKV
+        # backward kernels via custom_vjp. Indices come from top_k and
+        # carry no gradient (matches the reference CUDA backward).
+        out_s = block_sparse_attention_trainable(
+            q, k, v, jax.lax.stop_gradient(top_idx), block_sizes,
+            scale=scale, tile_elems=tile_elems)
     else:
         out_s = _sparse_attention_reference(q, k, v, top_idx, block_sizes,
                                             scale, tile_elems)
@@ -316,3 +320,424 @@ def video_sparse_attn(
     if gate_compress is not None:
         return out_c * gate_compress + out_s
     return out_c + out_s
+
+
+# -- backward kernels ---------------------------------------------------------
+#
+# The forward gather pattern drives dQ (each q tile revisits its top-k kv
+# tiles); dK/dV use the TRANSPOSED sparsity via a dense [nQ, nB] membership
+# mask held in SMEM (each kv tile loops the q tiles that selected it,
+# skipping non-members cheaply with @pl.when). This mirrors the reference
+# CUDA backward split (block_sparse_h100.cu bwd_dq / bwd_dkdv).
+
+
+def _sparse_fwd_lse_kernel(sizes_ref, idx_ref, q_ref, k_hbm, v_hbm, o_ref,
+                           lse_ref, acc_ref, k_buf, v_buf, sems, *,
+                           scale: float, topk: int, tile_elems: int):
+    """Forward kernel variant that also emits LSE (for the backward)."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qi = pl.program_id(2)
+    row = jax.lax.rem(qi, 8)
+
+    def tile_of(j):
+        return idx_ref[0, 0, row, j]
+
+    def dma_k(slot, j):
+        t = jnp.maximum(tile_of(j), 0)
+        return pltpu.make_async_copy(
+            k_hbm.at[b, h, pl.ds(t * tile_elems, tile_elems), :],
+            k_buf.at[slot], sems.at[slot, 0])
+
+    def dma_v(slot, j):
+        t = jnp.maximum(tile_of(j), 0)
+        return pltpu.make_async_copy(
+            v_hbm.at[b, h, pl.ds(t * tile_elems, tile_elems), :],
+            v_buf.at[slot], sems.at[slot, 1])
+
+    dma_k(0, 0).start()
+    dma_v(0, 0).start()
+    q = q_ref[0, 0]
+
+    def body(j, carry):
+        m_prev, l_prev = carry
+        slot = jax.lax.rem(j, 2)
+        next_slot = jax.lax.rem(j + 1, 2)
+
+        @pl.when(j + 1 < topk)
+        def _prefetch():
+            dma_k(next_slot, j + 1).start()
+            dma_v(next_slot, j + 1).start()
+
+        dma_k(slot, j).wait()
+        dma_v(slot, j).wait()
+        k = k_buf[slot]
+        v = v_buf[slot]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        t_j = tile_of(j)
+        valid = jnp.where(t_j >= 0, sizes_ref[jnp.maximum(t_j, 0)], 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < valid, s, MASK_VALUE)
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot(p.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * alpha + pv
+        return m_next, l_next
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    m0 = jnp.full((tile_elems, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((tile_elems, 1), jnp.float32)
+    m, l = jax.lax.fori_loop(0, topk, body, (m0, l0))
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+    lse = jnp.where(l == 0.0, MASK_VALUE, m + jnp.log(l))
+    lse_ref[0, 0] = jnp.broadcast_to(lse, (tile_elems, 128)).astype(
+        jnp.float32)
+
+
+def _sparse_bwd_dq_kernel(sizes_ref, idx_ref, q_ref, do_ref, lse_ref,
+                          delta_ref, k_hbm, v_hbm, dq_ref, dq_acc, k_buf,
+                          v_buf, sems, *, scale: float, topk: int,
+                          tile_elems: int):
+    """dQ: same top-k gather as the forward; ds = p * (dP - delta) * scale."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qi = pl.program_id(2)
+    row = jax.lax.rem(qi, 8)
+
+    def tile_of(j):
+        return idx_ref[0, 0, row, j]
+
+    def dma_k(slot, j):
+        t = jnp.maximum(tile_of(j), 0)
+        return pltpu.make_async_copy(
+            k_hbm.at[b, h, pl.ds(t * tile_elems, tile_elems), :],
+            k_buf.at[slot], sems.at[slot, 0])
+
+    def dma_v(slot, j):
+        t = jnp.maximum(tile_of(j), 0)
+        return pltpu.make_async_copy(
+            v_hbm.at[b, h, pl.ds(t * tile_elems, tile_elems), :],
+            v_buf.at[slot], sems.at[slot, 1])
+
+    dma_k(0, 0).start()
+    dma_v(0, 0).start()
+    q = q_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0][:, :1]
+    delta = delta_ref[0, 0][:, :1]
+    dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, 2)
+        next_slot = jax.lax.rem(j + 1, 2)
+
+        @pl.when(j + 1 < topk)
+        def _prefetch():
+            dma_k(next_slot, j + 1).start()
+            dma_v(next_slot, j + 1).start()
+
+        dma_k(slot, j).wait()
+        dma_v(slot, j).wait()
+        k = k_buf[slot]
+        v = v_buf[slot]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        t_j = tile_of(j)
+        valid = jnp.where(t_j >= 0, sizes_ref[jnp.maximum(t_j, 0)], 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        live = jnp.logical_and(col < valid, lse > MASK_VALUE / 2)
+        p = jnp.where(live, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dq_acc[...] += jax.lax.dot(ds.astype(k.dtype), k,
+                                   preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, topk, body, 0)
+    dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _sparse_bwd_dkv_kernel(sizes_ref, member_ref, k_ref, v_ref, q_hbm,
+                           do_hbm, lse_hbm, delta_hbm, dk_ref, dv_ref,
+                           dk_acc, dv_acc, q_buf, do_buf, lse_buf, delta_buf,
+                           sems, *, scale: float, num_q_tiles: int,
+                           tile_elems: int):
+    """dK/dV: each kv tile loops the q tiles; the SMEM membership row gates
+    DMA + compute, so non-selecting q tiles cost only the predicate."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    kj = pl.program_id(2)
+    row = jax.lax.rem(kj, 8)
+
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    valid = sizes_ref[kj]
+    dk_acc[...] = jnp.zeros_like(dk_acc)
+    dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    def member(qi):
+        return member_ref[0, 0, row, qi] > 0
+
+    def dma_all(qi):
+        base = qi * tile_elems
+        return (
+            pltpu.make_async_copy(
+                q_hbm.at[b, h, pl.ds(base, tile_elems), :], q_buf,
+                sems.at[0]),
+            pltpu.make_async_copy(
+                do_hbm.at[b, h, pl.ds(base, tile_elems), :], do_buf,
+                sems.at[1]),
+            pltpu.make_async_copy(
+                lse_hbm.at[b, h, pl.ds(base, tile_elems), :], lse_buf,
+                sems.at[2]),
+            pltpu.make_async_copy(
+                delta_hbm.at[b, h, pl.ds(base, tile_elems), :], delta_buf,
+                sems.at[3]),
+        )
+
+    def body(qi, _):
+        @pl.when(member(qi))
+        def _compute():
+            copies = dma_all(qi)
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+            q = q_buf[...]
+            do = do_buf[...]
+            lse = lse_buf[:, :1]
+            delta = delta_buf[:, :1]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32
+                                    ) * scale
+            colv = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            live = jnp.logical_and(colv < valid, lse > MASK_VALUE / 2)
+            p = jnp.where(live, jnp.exp(s - lse), 0.0)
+            # dV += P^T dO
+            dv_acc[...] += jax.lax.dot_general(
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - delta) * scale
+            # dK += dS^T Q
+            dk_acc[...] += jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, num_q_tiles, body, 0)
+    dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _block_sparse_fwd_lse(q, k, v, idx, block_sizes, *, scale, topk,
+                          tile_elems):
+    b, h, s, d = q.shape
+    nq = s // tile_elems
+    nq_pad = math.ceil(nq / 8) * 8
+    topk_pad = idx.shape[-1]
+    kernel = functools.partial(_sparse_fwd_lse_kernel, scale=scale,
+                               topk=topk, tile_elems=tile_elems)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8, topk_pad),
+                         lambda b, h, qi, sz: (b, h, qi // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, tile_elems, d),
+                         lambda b, h, qi, sz: (b, h, qi, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile_elems, d),
+                         lambda b, h, qi, sz: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, tile_elems, 128),
+                         lambda b, h, qi, sz: (b, h, qi, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_elems, d), jnp.float32),
+            pltpu.VMEM((2, tile_elems, d), k.dtype),
+            pltpu.VMEM((2, tile_elems, d), v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        interpret=_use_interpret(),
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, h, s, 128), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(block_sizes.astype(jnp.int32), idx, q, k, v)
+    return out, lse
+
+
+def _block_sparse_bwd(q, k, v, idx, block_sizes, out, lse, do, *, scale,
+                      topk, tile_elems):
+    b, h, s, d = q.shape
+    nq = s // tile_elems
+    nb = s // tile_elems
+    nq_pad = math.ceil(nq / 8) * 8
+    topk_pad = idx.shape[-1]
+
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    delta = jnp.broadcast_to(delta, (b, h, s, 128)).astype(jnp.float32)
+
+    dq_kernel = functools.partial(_sparse_bwd_dq_kernel, scale=scale,
+                                  topk=topk, tile_elems=tile_elems)
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8, topk_pad),
+                         lambda b, h, qi, sz: (b, h, qi // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, tile_elems, d),
+                         lambda b, h, qi, sz: (b, h, qi, 0)),  # q
+            pl.BlockSpec((1, 1, tile_elems, d),
+                         lambda b, h, qi, sz: (b, h, qi, 0)),  # do
+            pl.BlockSpec((1, 1, tile_elems, 128),
+                         lambda b, h, qi, sz: (b, h, qi, 0)),  # lse
+            pl.BlockSpec((1, 1, tile_elems, 128),
+                         lambda b, h, qi, sz: (b, h, qi, 0)),  # delta
+            pl.BlockSpec(memory_space=pltpu.ANY),  # k
+            pl.BlockSpec(memory_space=pltpu.ANY),  # v
+        ],
+        out_specs=pl.BlockSpec((1, 1, tile_elems, d),
+                               lambda b, h, qi, sz: (b, h, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((tile_elems, d), jnp.float32),
+            pltpu.VMEM((2, tile_elems, d), k.dtype),
+            pltpu.VMEM((2, tile_elems, d), v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        interpret=_use_interpret(),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid_spec=dq_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(block_sizes.astype(jnp.int32), idx, q, do, lse, delta, k, v)
+
+    # membership matrix: member[b, h, kv_tile, q_tile] (transposed sparsity)
+    nb_idx = jnp.where(idx[:, :, :nq, :topk] >= 0,
+                       idx[:, :, :nq, :topk], nb)
+    member = jnp.zeros((b, h, nb + 1, nq), jnp.int32)
+    member = member.at[
+        jnp.arange(b)[:, None, None, None],
+        jnp.arange(h)[None, :, None, None],
+        nb_idx,
+        jnp.arange(nq)[None, None, :, None]].set(1)
+    member = member[:, :, :nb]
+    nb_pad = math.ceil(nb / 8) * 8
+    nq_pad128 = math.ceil(nq / 128) * 128
+    member_pad = jnp.zeros((b, h, nb_pad, nq_pad128), jnp.int32)
+    member_pad = member_pad.at[:, :, :nb, :nq].set(member)
+
+    dkv_kernel = functools.partial(_sparse_bwd_dkv_kernel, scale=scale,
+                                   num_q_tiles=nq, tile_elems=tile_elems)
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h, nb),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8, nq_pad128),
+                         lambda b, h, kj, sz: (b, h, kj // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, tile_elems, d),
+                         lambda b, h, kj, sz: (b, h, kj, 0)),  # k
+            pl.BlockSpec((1, 1, tile_elems, d),
+                         lambda b, h, kj, sz: (b, h, kj, 0)),  # v
+            pl.BlockSpec(memory_space=pltpu.ANY),  # q
+            pl.BlockSpec(memory_space=pltpu.ANY),  # do
+            pl.BlockSpec(memory_space=pltpu.ANY),  # lse
+            pl.BlockSpec(memory_space=pltpu.ANY),  # delta
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile_elems, d),
+                         lambda b, h, kj, sz: (b, h, kj, 0)),
+            pl.BlockSpec((1, 1, tile_elems, d),
+                         lambda b, h, kj, sz: (b, h, kj, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_elems, d), jnp.float32),
+            pltpu.VMEM((tile_elems, d), jnp.float32),
+            pltpu.VMEM((tile_elems, d), q.dtype),
+            pltpu.VMEM((tile_elems, d), do.dtype),
+            pltpu.VMEM((tile_elems, 128), jnp.float32),
+            pltpu.VMEM((tile_elems, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        interpret=_use_interpret(),
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        grid_spec=dkv_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(block_sizes.astype(jnp.int32), member_pad, k, v, q, do, lse, delta)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _block_sparse_attention_vjp(q, k, v, idx, block_sizes, scale, topk,
+                                tile_elems):
+    out, _ = _block_sparse_fwd_lse(q, k, v, idx, block_sizes, scale=scale,
+                                   topk=topk, tile_elems=tile_elems)
+    return out
+
+
+def _bsa_vjp_fwd(q, k, v, idx, block_sizes, scale, topk, tile_elems):
+    out, lse = _block_sparse_fwd_lse(q, k, v, idx, block_sizes, scale=scale,
+                                     topk=topk, tile_elems=tile_elems)
+    return out, (q, k, v, idx, block_sizes, out, lse)
+
+
+def _bsa_vjp_bwd(scale, topk, tile_elems, res, do):
+    q, k, v, idx, block_sizes, out, lse = res
+    dq, dk, dv = _block_sparse_bwd(q, k, v, idx, block_sizes, out, lse, do,
+                                   scale=scale, topk=topk,
+                                   tile_elems=tile_elems)
+    return dq, dk, dv, None, None
+
+
+_block_sparse_attention_vjp.defvjp(_bsa_vjp_fwd, _bsa_vjp_bwd)
+
+
+def block_sparse_attention_trainable(q, k, v, indices, block_sizes, *,
+                                     scale=None, tile_elems=TILE_ELEMS):
+    """Differentiable block-sparse attention (Pallas fwd + bwd kernels).
+
+    Same contract as :func:`block_sparse_attention`; gradients flow to
+    q/k/v (indices come from argmax/top_k and carry no gradient, matching
+    the reference CUDA backward)."""
+    b, h, s, d = q.shape
+    nq = s // tile_elems
+    topk = indices.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    nq_pad = math.ceil(nq / 8) * 8
+    topk_pad = math.ceil(topk / 128) * 128
+    idx = jnp.zeros((b, h, nq_pad, topk_pad), jnp.int32)
+    idx = idx.at[:, :, :nq, :topk].set(indices.astype(jnp.int32))
+    return _block_sparse_attention_vjp(q, k, v, idx, block_sizes, scale,
+                                       topk, tile_elems)
