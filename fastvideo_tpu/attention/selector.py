@@ -41,12 +41,18 @@ from fastvideo_tpu.attention.backends.vsa import (  # noqa: E402
 register_backend(VideoSparseAttentionBackend)
 register_backend(SlidingTileAttentionBackend)
 
+from fastvideo_tpu.attention.backends.sage import (  # noqa: E402
+    SageAttentionBackend)
+
+register_backend(SageAttentionBackend)
+
 # Aliases for reference-compatible names.
 _ALIASES = {
     "SDPA": "TORCH_SDPA",
     "FLASH_ATTN_2": "FLASH_ATTN",
     "FLASH_ATTN_3": "FLASH_ATTN",
     "PALLAS_FLASH": "FLASH_ATTN",
+    "SAGE_ATTN_THREE": "SAGE_ATTN",
 }
 
 _scope_backend: contextvars.ContextVar[str | None] = contextvars.ContextVar(
