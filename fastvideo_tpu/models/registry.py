@@ -98,6 +98,12 @@ _ENCODER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "Qwen3ForCausalLM":
     ("fastvideo_tpu.models.encoders.qwen3", "Qwen3EncoderModel",
      "fastvideo_tpu.models.encoders.qwen3:Qwen3ArchConfig"),
+    "MistralModel":
+    ("fastvideo_tpu.models.encoders.mistral", "MistralEncoderModel",
+     "fastvideo_tpu.models.encoders.mistral:MistralArchConfig"),
+    "Mistral3ForConditionalGeneration":
+    ("fastvideo_tpu.models.encoders.mistral", "MistralEncoderModel",
+     "fastvideo_tpu.models.encoders.mistral:MistralArchConfig"),
 }
 
 _SCHEDULER_REGISTRY: dict[str, tuple[str, str]] = {
