@@ -44,6 +44,9 @@ _VAE_REGISTRY: dict[str, tuple[str, str, str]] = {
     "AutoencoderKL":
     ("fastvideo_tpu.models.vaes.autoencoder_kl", "AutoencoderKL",
      "fastvideo_tpu.models.vaes.autoencoder_kl:AutoencoderKLArchConfig"),
+    "AutoencoderKLHunyuanVideo15":
+    ("fastvideo_tpu.models.vaes.hunyuan15", "AutoencoderKLHunyuanVideo15",
+     "fastvideo_tpu.models.vaes.hunyuan15:Hunyuan15VAEArchConfig"),
 }
 
 _ENCODER_REGISTRY: dict[str, tuple[str, str, str]] = {
