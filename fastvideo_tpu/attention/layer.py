@@ -19,7 +19,9 @@ from fastvideo_tpu.attention.backends.abstract import AttentionMetadata
 from fastvideo_tpu.attention.selector import get_attn_backend
 from fastvideo_tpu.forward_context import get_forward_context
 from fastvideo_tpu.layers.rotary import apply_rotary_emb
-from fastvideo_tpu.parallel import get_sp_size, ulysses_attention
+from fastvideo_tpu.parallel import (get_sp_size, get_tp_size,
+                                    local_head_parallel_attention,
+                                    ulysses_attention)
 
 Array = jax.Array
 
@@ -46,7 +48,15 @@ class LocalAttention(nnx.Module):
                  kv_valid: int | None = None) -> Array:
         ctx = get_forward_context()
         metadata = ctx.attn_metadata if ctx is not None else None
-        return self.backend.forward(q, k, v, metadata, kv_valid=kv_valid)
+
+        def local_attn(q, k, v):
+            return self.backend.forward(q, k, v, metadata, kv_valid=kv_valid)
+
+        if get_tp_size() > 1:
+            # tp-sharded heads (column-parallel projections): keep the
+            # kernel on local head shards via an explicit shard_map.
+            return local_head_parallel_attention(local_attn, q, k, v)
+        return local_attn(q, k, v)
 
 
 class DistributedAttention(nnx.Module):
@@ -105,7 +115,7 @@ class DistributedAttention(nnx.Module):
                                        **extra_kwargs)
             return self.backend.postprocess_output(out, metadata)
 
-        if get_sp_size() == 1:
+        if get_sp_size() == 1 and get_tp_size() == 1:
             return local_attn(q, k, v, gate)
         return ulysses_attention(local_attn, q, k, v, extra=gate)
 
@@ -144,13 +154,14 @@ class DistributedAttention(nnx.Module):
             return out[:, :-txt_len], out[:, -txt_len:]
 
         sp = get_sp_size()
-        if sp == 1:
+        if sp == 1 and get_tp_size() == 1:
             return attend(q, k, v, replicated_q, replicated_k, replicated_v)
 
         import jax
         from jax.sharding import PartitionSpec as P
 
-        from fastvideo_tpu.parallel.mesh import DP_AXIS, SP_AXIS, get_mesh
+        from fastvideo_tpu.parallel.mesh import (DP_AXIS, SP_AXIS, TP_AXIS,
+                                                 get_mesh)
 
         mesh = get_mesh()
 
@@ -171,11 +182,12 @@ class DistributedAttention(nnx.Module):
                                          tiled=True)
             return img_out, txt_out
 
-        repl = P(DP_AXIS)
+        img_spec = P(DP_AXIS, SP_AXIS, TP_AXIS)
+        txt_spec = P(DP_AXIS, None, TP_AXIS)
         return jax.shard_map(
             inner, mesh=mesh,
-            in_specs=(P(DP_AXIS, SP_AXIS), P(DP_AXIS, SP_AXIS),
-                      P(DP_AXIS, SP_AXIS), repl, repl, repl),
-            out_specs=(P(DP_AXIS, SP_AXIS), repl),
+            in_specs=(img_spec, img_spec, img_spec,
+                      txt_spec, txt_spec, txt_spec),
+            out_specs=(img_spec, txt_spec),
             check_vma=False,
         )(q, k, v, replicated_q, replicated_k, replicated_v)

@@ -46,13 +46,17 @@ class Linear(nnx.Module):
         self.in_features = in_features
         self.out_features = out_features
         init = nnx.initializers.xavier_uniform()
-        # NOTE: TP sharding is applied by the loader / shard rules via
-        # ``kernel_axes`` rather than eager nnx.Param sharding metadata, so
-        # modules can be constructed outside a mesh context.
+        # NOTE: TP sharding is declared as ``tp_axes`` metadata (consumed by
+        # ``fastvideo_tpu.parallel.shard_state``) rather than flax's eager
+        # ``sharding=`` kwarg, so modules can be constructed outside a mesh
+        # context. The bias lives on the output features, so it inherits the
+        # kernel's output-dim axis.
         self.kernel = nnx.Param(
-            init(rngs.params(), (in_features, out_features), param_dtype))
+            init(rngs.params(), (in_features, out_features), param_dtype),
+            tp_axes=self.kernel_axes)
         if bias:
-            self.bias = nnx.Param(jnp.zeros((out_features,), param_dtype))
+            self.bias = nnx.Param(jnp.zeros((out_features,), param_dtype),
+                                  tp_axes=(self.kernel_axes[1],))
         else:
             self.bias = None
 

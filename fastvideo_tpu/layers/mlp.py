@@ -7,7 +7,8 @@ import jax.numpy as jnp
 from flax import nnx
 
 from fastvideo_tpu.layers.activation import get_act_fn
-from fastvideo_tpu.layers.linear import Linear
+from fastvideo_tpu.layers.linear import (ColumnParallelLinear,
+                                         RowParallelLinear)
 
 Array = jax.Array
 
@@ -25,10 +26,13 @@ class MLP(nnx.Module):
                  act_type: str = "gelu_pytorch_tanh", *,
                  param_dtype: jnp.dtype = jnp.float32, rngs: nnx.Rngs):
         output_dim = output_dim or input_dim
-        self.fc_in = Linear(input_dim, mlp_hidden_dim, bias,
-                            param_dtype=param_dtype, rngs=rngs)
-        self.fc_out = Linear(mlp_hidden_dim, output_dim, bias,
-                             param_dtype=param_dtype, rngs=rngs)
+        # Megatron column->row pairing: the hidden dim is tp-sharded through
+        # the activation; the fc_out contraction emits one psum (inserted by
+        # GSPMD). Identical to plain Linears at tp=1.
+        self.fc_in = ColumnParallelLinear(input_dim, mlp_hidden_dim, bias,
+                                          param_dtype=param_dtype, rngs=rngs)
+        self.fc_out = RowParallelLinear(mlp_hidden_dim, output_dim, bias,
+                                        param_dtype=param_dtype, rngs=rngs)
         self.act = get_act_fn(act_type)
 
     def __call__(self, x: Array) -> Array:

@@ -26,7 +26,8 @@ from fastvideo_tpu.attention import DistributedAttention, LocalAttention
 from fastvideo_tpu.configs.models.dits.wan import WanArchConfig
 from fastvideo_tpu.layers.embeddings import (ModulateProjection, PatchEmbed3D,
                                              TimestepEmbedder, unpatchify)
-from fastvideo_tpu.layers.linear import Linear
+from fastvideo_tpu.layers.linear import (ColumnParallelLinear, Linear,
+                                         RowParallelLinear)
 from fastvideo_tpu.layers.mlp import MLP
 from fastvideo_tpu.layers.norm import (FP32LayerNorm, LayerNormScaleShift,
                                        RMSNorm, ScaleResidual,
@@ -103,10 +104,14 @@ class WanT2VCrossAttention(nnx.Module):
                  param_dtype: jnp.dtype, rngs: nnx.Rngs):
         self.num_heads = num_heads
         self.head_dim = dim // num_heads
-        self.to_q = Linear(dim, dim, param_dtype=param_dtype, rngs=rngs)
-        self.to_k = Linear(dim, dim, param_dtype=param_dtype, rngs=rngs)
-        self.to_v = Linear(dim, dim, param_dtype=param_dtype, rngs=rngs)
-        self.to_out = Linear(dim, dim, param_dtype=param_dtype, rngs=rngs)
+        self.to_q = ColumnParallelLinear(dim, dim, param_dtype=param_dtype,
+                                         rngs=rngs)
+        self.to_k = ColumnParallelLinear(dim, dim, param_dtype=param_dtype,
+                                         rngs=rngs)
+        self.to_v = ColumnParallelLinear(dim, dim, param_dtype=param_dtype,
+                                         rngs=rngs)
+        self.to_out = RowParallelLinear(dim, dim, param_dtype=param_dtype,
+                                        rngs=rngs)
         self.norm_q = RMSNorm(dim, eps=eps, param_dtype=param_dtype, rngs=rngs)
         self.norm_k = RMSNorm(dim, eps=eps, param_dtype=param_dtype, rngs=rngs)
         self.attn = LocalAttention(num_heads, self.head_dim,
@@ -137,8 +142,12 @@ class WanI2VCrossAttention(WanT2VCrossAttention):
                  param_dtype: jnp.dtype, rngs: nnx.Rngs):
         super().__init__(dim, num_heads, eps, param_dtype=param_dtype,
                          rngs=rngs)
-        self.add_k_proj = Linear(dim, dim, param_dtype=param_dtype, rngs=rngs)
-        self.add_v_proj = Linear(dim, dim, param_dtype=param_dtype, rngs=rngs)
+        self.add_k_proj = ColumnParallelLinear(dim, dim,
+                                               param_dtype=param_dtype,
+                                               rngs=rngs)
+        self.add_v_proj = ColumnParallelLinear(dim, dim,
+                                               param_dtype=param_dtype,
+                                               rngs=rngs)
         self.norm_added_k = RMSNorm(dim, eps=eps, param_dtype=param_dtype,
                                     rngs=rngs)
 
@@ -171,10 +180,14 @@ class WanTransformerBlock(nnx.Module):
 
         self.norm1 = FP32LayerNorm(dim, eps, elementwise_affine=False,
                                    param_dtype=param_dtype, rngs=rngs)
-        self.to_q = Linear(dim, dim, param_dtype=param_dtype, rngs=rngs)
-        self.to_k = Linear(dim, dim, param_dtype=param_dtype, rngs=rngs)
-        self.to_v = Linear(dim, dim, param_dtype=param_dtype, rngs=rngs)
-        self.to_out = Linear(dim, dim, param_dtype=param_dtype, rngs=rngs)
+        self.to_q = ColumnParallelLinear(dim, dim, param_dtype=param_dtype,
+                                         rngs=rngs)
+        self.to_k = ColumnParallelLinear(dim, dim, param_dtype=param_dtype,
+                                         rngs=rngs)
+        self.to_v = ColumnParallelLinear(dim, dim, param_dtype=param_dtype,
+                                         rngs=rngs)
+        self.to_out = RowParallelLinear(dim, dim, param_dtype=param_dtype,
+                                        rngs=rngs)
         if qk_norm == "rms_norm":
             self.norm_q = RMSNorm(head_dim, eps=eps, param_dtype=param_dtype,
                                   rngs=rngs)

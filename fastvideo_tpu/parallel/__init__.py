@@ -30,7 +30,13 @@ from fastvideo_tpu.parallel.mesh import (
     SP_AXIS,
     TP_AXIS,
 )
+from fastvideo_tpu.parallel.shard import (
+    param_spec,
+    shard_state,
+    state_specs,
+)
 from fastvideo_tpu.parallel.ulysses import (
+    local_head_parallel_attention,
     ulysses_attention,
     shard_seq,
     unshard_seq,
@@ -38,6 +44,10 @@ from fastvideo_tpu.parallel.ulysses import (
 )
 
 __all__ = [
+    "param_spec",
+    "shard_state",
+    "state_specs",
+    "local_head_parallel_attention",
     "MeshConfig",
     "init_mesh",
     "maybe_init_mesh",

@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from fastvideo_tpu.parallel.mesh import (DP_AXIS, SP_AXIS, get_mesh,
-                                         get_sp_size)
+from fastvideo_tpu.parallel.mesh import (DP_AXIS, SP_AXIS, TP_AXIS, get_mesh,
+                                         get_sp_size, get_tp_size)
 
 Array = jax.Array
 
@@ -98,13 +98,14 @@ def ulysses_attention(
     """
     mesh = get_mesh()
     sp = mesh.shape[SP_AXIS]
-    if sp == 1:
+    tp = mesh.shape[TP_AXIS]
+    if sp == 1 and tp == 1:
         if extra is not None:
             return local_attn(q, k, v, extra)
         return local_attn(q, k, v)
-    if q.shape[2] % sp != 0:
+    if q.shape[2] % (sp * tp) != 0:
         raise ValueError(
-            f"num_heads={q.shape[2]} must be divisible by sp={sp}")
+            f"num_heads={q.shape[2]} must be divisible by sp*tp={sp * tp}")
 
     def a2a_heads(x: Array) -> Array:
         # [B, S/sp, H, D] local -> [B, S, H/sp, D] local.
@@ -136,15 +137,48 @@ def ulysses_attention(
             o = local_attn(q, k_l, v_l)
         return a2a_seq(o)
 
-    kv_spec = (P(DP_AXIS) if kv_replicated else P(DP_AXIS, SP_AXIS))
+    # Heads carry the tp axis (Megatron column-parallel projections emit
+    # head-sharded q/k/v); sp exchanges seq<->heads within each tp shard.
+    q_spec = P(DP_AXIS, SP_AXIS, TP_AXIS)
+    kv_spec = (P(DP_AXIS, None, TP_AXIS) if kv_replicated else q_spec)
     operands = (q, k, v) if extra is None else (q, k, v, extra)
-    in_specs = (P(DP_AXIS, SP_AXIS), kv_spec, kv_spec)
+    in_specs = (q_spec, kv_spec, kv_spec)
     if extra is not None:
-        in_specs = (*in_specs, P(DP_AXIS, SP_AXIS))
+        in_specs = (*in_specs, q_spec)
     return jax.shard_map(
         inner,
         mesh=mesh,
         in_specs=in_specs,
-        out_specs=P(DP_AXIS, SP_AXIS),
+        out_specs=q_spec,
         check_vma=False,
     )(*operands)
+
+
+def local_head_parallel_attention(
+    local_attn: Callable[..., Array],
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    q_seq_sharded: bool | None = None,
+) -> Array:
+    """Head-parallel (tp) attention with NO seq exchange (cross-attention).
+
+    Each device attends its local q tokens (optionally sp-sharded) over the
+    full, sp-replicated k/v context, using only its tp head shard. This keeps
+    Pallas kernels on local shards — GSPMD cannot partition custom calls, so
+    without the shard_map a tp-sharded head dim would be all-gathered.
+    """
+    mesh = get_mesh()
+    tp = mesh.shape[TP_AXIS]
+    if tp == 1:
+        return local_attn(q, k, v)
+    if q.shape[2] % tp != 0:
+        raise ValueError(f"num_heads={q.shape[2]} must divide tp={tp}")
+    if q_seq_sharded is None:
+        q_seq_sharded = mesh.shape[SP_AXIS] > 1
+    q_spec = P(DP_AXIS, SP_AXIS if q_seq_sharded else None, TP_AXIS)
+    kv_spec = P(DP_AXIS, None, TP_AXIS)
+    return jax.shard_map(
+        local_attn, mesh=mesh, in_specs=(q_spec, kv_spec, kv_spec),
+        out_specs=q_spec, check_vma=False)(q, k, v)

@@ -59,23 +59,9 @@ def build_optimizer(args: TrainingArgs):
 
 
 def shard_params_fsdp(state, mesh, min_size: int = 2**16):
-    """Shard each large parameter's largest divisible dim over dp."""
-    dp = mesh.shape[DP_AXIS]
-    if dp == 1:
-        return jax.device_put(state, NamedSharding(mesh, P()))
-
-    def place(x):
-        if not hasattr(x, "shape") or x.size < min_size:
-            return jax.device_put(x, NamedSharding(mesh, P()))
-        dims = sorted(range(x.ndim), key=lambda d: -x.shape[d])
-        for d in dims:
-            if x.shape[d] % dp == 0:
-                spec = [None] * x.ndim
-                spec[d] = DP_AXIS
-                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
-        return jax.device_put(x, NamedSharding(mesh, P()))
-
-    return jax.tree.map(place, state)
+    """Shard params by declared tp metadata + ZeRO-3 over dp (shard.py)."""
+    from fastvideo_tpu.parallel import shard_state
+    return shard_state(state, mesh, fsdp_axis=DP_AXIS, min_fsdp_size=min_size)
 
 
 @dataclasses.dataclass
