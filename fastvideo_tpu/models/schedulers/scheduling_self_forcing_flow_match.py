@@ -61,13 +61,20 @@ class SelfForcingFlowMatchScheduler(BaseScheduler):
         self.timesteps = (sigmas * self.num_train_timesteps).astype(
             np.float32)
         if training:
-            x = self.timesteps
+            # float64: with few steps the reference's float32 exp underflows
+            # to all-zeros and the normalization produces NaN weights
+            # (reference scheduling_self_forcing_flow_match.py:57-62 has the
+            # same expression; it is only ever exercised at 1000 steps).
+            x = self.timesteps.astype(np.float64)
             y = np.exp(-2 * ((x - num_inference_steps / 2) /
                              num_inference_steps)**2)
             y_shifted = y - y.min()
-            self.linear_timesteps_weights = (
-                y_shifted * (num_inference_steps / y_shifted.sum())).astype(
-                    np.float32)
+            denom = y_shifted.sum()
+            if denom <= 0:
+                weights = np.ones_like(y_shifted)
+            else:
+                weights = y_shifted * (num_inference_steps / denom)
+            self.linear_timesteps_weights = weights.astype(np.float32)
 
     def _timestep_id(self, timestep) -> jnp.ndarray:
         t = jnp.atleast_1d(jnp.asarray(timestep, jnp.float32)).reshape(-1)
