@@ -246,3 +246,25 @@ class SelfForcingDistillationPipeline:
         self.step += 1
         metrics["step"] = self.step
         return metrics
+
+    def train(self, dataloader, max_steps: int | None = None,
+              log_every: int = 10) -> None:
+        """Drive the alternating self-forcing loop from a (latents, embeds)
+        dataloader (same contract as DMD2DistillationPipeline.train: the
+        latents fix the rollout noise shape; embeds condition it)."""
+        max_steps = max_steps or self.args.max_train_steps
+        it = iter(dataloader)
+        while self.step < max_steps:
+            try:
+                latents, embeds = next(it)
+            except StopIteration:
+                it = iter(dataloader)
+                latents, embeds = next(it)
+            emb = np.asarray(embeds)[0]
+            metrics = self.train_one_step(
+                emb, np.zeros_like(emb), tuple(np.asarray(latents)[0].shape))
+            if self.step % log_every == 0:
+                logger.info("self_forcing step %d %s", self.step,
+                            {k: round(v, 4)
+                             for k, v in metrics.items()
+                             if isinstance(v, float)})
