@@ -22,6 +22,20 @@ from fastvideo_tpu.layers.mlp import MLP
 Array = jax.Array
 
 
+class Embedding(nnx.Module):
+    """Token/type embedding table; leaf named ``weight`` so torch checkpoint
+    keys assign directly (no transpose)."""
+
+    def __init__(self, num_embeddings: int, features: int, *,
+                 param_dtype: jnp.dtype = jnp.float32, rngs: nnx.Rngs):
+        init = nnx.initializers.normal(1.0)
+        self.weight = nnx.Param(
+            init(rngs.params(), (num_embeddings, features), param_dtype))
+
+    def __call__(self, ids: Array) -> Array:
+        return jnp.take(self.weight.value, ids, axis=0)
+
+
 class PatchEmbed3D(nnx.Module):
     """[B, C, T, H, W] -> [B, T/pt * H/ph * W/pw, dim] token embedding.
 

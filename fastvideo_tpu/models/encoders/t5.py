@@ -38,15 +38,7 @@ class BaseEncoderOutput:
     hidden_states: tuple[Array, ...] | None = None
 
 
-class Embedding(nnx.Module):
-    def __init__(self, num_embeddings: int, features: int, *,
-                 param_dtype: jnp.dtype = jnp.float32, rngs: nnx.Rngs):
-        init = nnx.initializers.normal(1.0)
-        self.weight = nnx.Param(
-            init(rngs.params(), (num_embeddings, features), param_dtype))
-
-    def __call__(self, ids: Array) -> Array:
-        return jnp.take(self.weight.value, ids, axis=0)
+from fastvideo_tpu.layers.embeddings import Embedding  # noqa: E402,F401
 
 
 def relative_position_bucket(relative_position: np.ndarray,

@@ -20,6 +20,10 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "HunyuanVideoTransformer3DModel":
     ("fastvideo_tpu.models.dits.hunyuan", "HunyuanVideoTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.hunyuan:HunyuanVideoArchConfig"),
+    "HunyuanVideo15Transformer3DModel":
+    ("fastvideo_tpu.models.dits.hunyuan15",
+     "HunyuanVideo15Transformer3DModel",
+     "fastvideo_tpu.configs.models.dits.hunyuan15:HunyuanVideo15ArchConfig"),
     "WanModel":
     ("fastvideo_tpu.models.dits.wan", "WanTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.wan:WanArchConfig"),

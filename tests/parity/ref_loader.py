@@ -232,7 +232,8 @@ def init_ref_distributed() -> None:
     import os
 
     os.environ.setdefault("MASTER_ADDR", "127.0.0.1")
-    os.environ.setdefault("MASTER_PORT", "29511")
+    # pid-derived port so concurrent pytest processes don't collide
+    os.environ.setdefault("MASTER_PORT", str(20000 + os.getpid() % 20000))
     os.environ["RANK"] = "0"
     os.environ["WORLD_SIZE"] = "1"
     os.environ["LOCAL_RANK"] = "0"
