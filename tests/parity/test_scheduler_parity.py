@@ -154,9 +154,21 @@ def test_self_forcing_flow_match_parity():
                                ref.sigmas.numpy(), atol=1e-6)
     np.testing.assert_allclose(np.asarray(ours.timesteps),
                                ref.timesteps.numpy(), atol=1e-3)
-    np.testing.assert_allclose(np.asarray(ours.linear_timesteps_weights),
-                               ref.linear_timesteps_weights.numpy(),
-                               atol=1e-5)
+    # At few steps the reference's float32 exp underflows and its weights are
+    # all-NaN; ours must stay finite (falls back to uniform).
+    assert np.isnan(ref.linear_timesteps_weights.numpy()).all()
+    assert np.isfinite(np.asarray(ours.linear_timesteps_weights)).all()
+    # Weight parity in the reference's actual operating regime (1000 steps,
+    # reference self-forcing training configs).
+    ref_1k = mod.SelfForcingFlowMatchScheduler(
+        num_inference_steps=1000, shift=5.0, extra_one_step=True,
+        training=True)
+    ours_1k = SelfForcingFlowMatchScheduler(
+        num_inference_steps=1000, shift=5.0, extra_one_step=True,
+        training=True)
+    np.testing.assert_allclose(np.asarray(ours_1k.linear_timesteps_weights),
+                               ref_1k.linear_timesteps_weights.numpy(),
+                               atol=1e-4)
 
     rng = np.random.default_rng(0)
     x = rng.standard_normal((2, 4, 4, 4)).astype(np.float32)
