@@ -199,9 +199,14 @@ def test_self_forcing_flow_match_parity():
                             jnp.asarray(t), jnp.asarray(bt)))
     np.testing.assert_allclose(ours_high, ref_high, atol=1e-5)
 
-    w_ref = ref.training_weight(torch.from_numpy(t)).numpy()
-    w_ours = np.asarray(ours.training_weight(jnp.asarray(t)))
-    np.testing.assert_allclose(w_ours, w_ref, atol=1e-5)
+    # training_weight parity at the finite (1000-step) operating point; at 8
+    # steps the reference returns NaN (see above) while ours is uniform.
+    t1k = np.asarray(ours_1k.timesteps)[[31, 500]].astype(np.float32)
+    w_ref = ref_1k.training_weight(torch.from_numpy(t1k)).numpy()
+    w_ours = np.asarray(ours_1k.training_weight(jnp.asarray(t1k)))
+    np.testing.assert_allclose(w_ours, w_ref, atol=1e-4)
+    assert np.isfinite(
+        np.asarray(ours.training_weight(jnp.asarray(t)))).all()
 
 
 def test_flow_map_euler_parity():
