@@ -58,6 +58,14 @@ class Hunyuan15VAEArchConfig(VAEArchConfig):
     patch_size: int = 0
 
 
+@dataclasses.dataclass
+class Hunyuan15VAEConfig(ModelConfig):
+    arch_config: Hunyuan15VAEArchConfig = dataclasses.field(
+        default_factory=Hunyuan15VAEArchConfig)
+    param_names_mapping: dict[str, str] = dataclasses.field(
+        default_factory=lambda: dict(HUNYUAN15_VAE_PARAM_NAMES_MAPPING))
+
+
 class HY15RMSNorm(nnx.Module):
     """F.normalize(x, dim=channel) * sqrt(C) * gamma (reference :63-87)."""
 

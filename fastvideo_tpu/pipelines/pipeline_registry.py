@@ -23,6 +23,12 @@ _PIPELINES: dict[str, str] = {
     "HunyuanVideoPipeline":
     "fastvideo_tpu.pipelines.basic.hunyuan.hunyuan_pipeline:"
     "HunyuanVideoPipeline",
+    "HunyuanVideo15Pipeline":
+    "fastvideo_tpu.pipelines.basic.hunyuan15.hunyuan15_pipeline:"
+    "HunyuanVideo15Pipeline",
+    "HunyuanVideo15ImageToVideoPipeline":
+    "fastvideo_tpu.pipelines.basic.hunyuan15.hunyuan15_pipeline:"
+    "HunyuanVideo15I2VPipeline",
     "SD35Pipeline":
     "fastvideo_tpu.pipelines.basic.sd35.sd35_pipeline:SD35Pipeline",
     "StableDiffusion3Pipeline":

@@ -48,6 +48,71 @@ class ImageEncodingStage(PipelineStage):
         return batch
 
 
+class Hy15ImageEncodingStage(PipelineStage):
+    """HunyuanVideo-1.5 conditioning (reference image_encoding.py:140-280).
+
+    Runs for BOTH tasks: the hy1.5 DiT's in_channels (65 = 32 latent +
+    32 cond + 1 mask) always includes the condition block, so T2V gets a
+    zero [z+1]-channel cond latent. I2V additionally encodes the image:
+    SigLIP embeds -> ``batch.image_embeds`` and a first-frame VAE latent
+    (posterior mode * scaling_factor) expanded over time with a frame-0
+    mask channel appended -> ``batch.image_latent`` [B, z+1, T, h, w].
+    """
+
+    def __init__(self, image_encoder=None, vae=None, vae_config=None):
+        self.image_encoder = image_encoder
+        self.vae = vae
+        self.vae_config = vae_config
+
+    @staticmethod
+    def _siglip_pixels(image: PIL.Image.Image, size: int) -> np.ndarray:
+        img = image.convert("RGB").resize((size, size), PIL.Image.LANCZOS)
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        arr = (arr - 0.5) / 0.5
+        return arr.transpose(2, 0, 1)[None]  # [1, 3, S, S]
+
+    def forward(self, batch: ForwardBatch,
+                fastvideo_args: FastVideoArgs) -> ForwardBatch:
+        arch = self.vae_config or (self.vae.config if self.vae else None)
+        assert arch is not None, "hy15 conditioning needs the VAE config"
+        arch = getattr(arch, "arch_config", arch)
+        sr = arch.spatial_compression_ratio
+        tr = arch.temporal_compression_ratio
+        zc = arch.z_dim
+        lat_h, lat_w = batch.height // sr, batch.width // sr
+        lat_t = (batch.num_frames - 1) // tr + 1
+
+        is_t2v = batch.pil_image is None and not batch.image_path
+        if is_t2v or self.vae is None or self.vae.encoder is None:
+            # T2V: zero cond latent + mask; the DiT's static t2v branch
+            # drops the (zero) image token stream entirely
+            # (reference hunyuanvideo15.py:505-515 checks all-zeros).
+            batch.image_latent = jnp.zeros((1, zc + 1, lat_t, lat_h, lat_w),
+                                           jnp.float32)
+            return batch
+
+        image = _load_pil(batch)
+        if self.image_encoder is not None:
+            px = self._siglip_pixels(image,
+                                     self.image_encoder.config.image_size)
+            out = self.image_encoder(jnp.asarray(px))
+            batch.image_embeds.append(out.last_hidden_state)
+
+        # first-frame VAE latent: posterior mode (not a sample), scaled
+        px = WanImageVAEEncodingStage._preprocess_pixels(
+            image, batch.height, batch.width)[:, :, None]  # [1,3,1,H,W]
+        cond = self.vae.encode(jnp.asarray(px)).mean
+        cond = cond.transpose(0, 4, 1, 2, 3)  # NCDHW
+        cond = self.vae.normalize_latents(cond)
+        expanded = jnp.concatenate(
+            [cond, jnp.zeros((1, zc, lat_t - 1, lat_h, lat_w), cond.dtype)],
+            axis=2)
+        mask = jnp.zeros((1, 1, lat_t, lat_h, lat_w), cond.dtype)
+        mask = mask.at[:, :, 0].set(1.0)
+        batch.image_latent = jnp.concatenate([expanded, mask], axis=1)
+        return batch
+
+
 class WanImageVAEEncodingStage(PipelineStage):
     """First-frame VAE conditioning (reference image_encoding.py:430-500)."""
 

@@ -89,6 +89,15 @@ def _register_builtin() -> None:
                     priority=10)
     register_config(frag("hunyuan"), hy_cfg.HunyuanConfig, priority=1)
 
+    from fastvideo_tpu.configs.pipelines import hunyuan15 as hy15_cfg
+
+    register_config(frag("hunyuanvideo-1.5", "720"),
+                    hy15_cfg.Hunyuan15T2V720PConfig, priority=12)
+    register_config(frag("hunyuanvideo-1.5", "i2v"),
+                    hy15_cfg.Hunyuan15I2V480PConfig, priority=12)
+    register_config(frag("hunyuanvideo-1.5"),
+                    hy15_cfg.Hunyuan15T2V480PConfig, priority=11)
+
     from fastvideo_tpu.configs.pipelines import sd35 as sd_cfg
 
     register_config(frag("stable-diffusion-3"), sd_cfg.SD35Config,

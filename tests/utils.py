@@ -62,7 +62,13 @@ def _export_torch_layout(model) -> dict[str, np.ndarray]:
                 out[f"{path}.weight"] = np.asarray(child.kernel.value).T
                 if child.bias is not None:
                     out[f"{path}.bias"] = np.asarray(child.bias.value)
-            elif isinstance(child, (CausalConv3d, HYCausalConv3d, Conv1x1)):
+            elif isinstance(child, HYCausalConv3d):
+                # HF layout wraps nn.Conv3d in `.conv` (the VAE param
+                # mappings strip it back on load)
+                w = np.asarray(child.weight.value)  # DHWIO
+                out[f"{path}.conv.weight"] = w.transpose(4, 3, 0, 1, 2)
+                out[f"{path}.conv.bias"] = np.asarray(child.bias.value)
+            elif isinstance(child, (CausalConv3d, Conv1x1)):
                 w = np.asarray(child.weight.value)  # DHWIO
                 out[f"{path}.weight"] = w.transpose(4, 3, 0, 1, 2)
                 out[f"{path}.bias"] = np.asarray(child.bias.value)
@@ -627,5 +633,138 @@ def make_tiny_cosmos_checkpoint(root: str, seed: int = 0) -> str:
         json.dump({
             "_class_name": "FlowMatchEulerDiscreteScheduler",
             "num_train_timesteps": 1000,
+        }, fh)
+    return root
+
+
+TINY_HY15_DIT = dict(in_channels=9, out_channels=4, num_attention_heads=2,
+                     attention_head_dim=8, num_layers=1,
+                     num_refiner_layers=1, patch_size=1, patch_size_t=1,
+                     text_embed_dim=32, text_embed_2_dim=32,
+                     image_embed_dim=32, rope_theta=256.0,
+                     rope_axes_dim=[4, 2, 2])
+TINY_HY15_VAE = dict(latent_channels=4, block_out_channels=[8, 16, 16],
+                     layers_per_block=1, spatial_compression_ratio=4,
+                     temporal_compression_ratio=2, scaling_factor=1.0)
+TINY_QWEN = dict(vocab_size=128, hidden_size=32, intermediate_size=48,
+                 num_hidden_layers=2, num_attention_heads=2,
+                 num_key_value_heads=1, max_position_embeddings=2048)
+TINY_SIGLIP = dict(hidden_size=32, intermediate_size=48,
+                   num_hidden_layers=1, num_attention_heads=2,
+                   image_size=28, patch_size=14)
+
+
+def make_tiny_hunyuan15_checkpoint(root: str, seed: int = 0,
+                                   i2v: bool = False) -> str:
+    """Tiny random-weight HunyuanVideo-1.5 checkpoint (diffusers layout).
+
+    in_channels = latent(4) + cond(4) + mask(1) = 9: the hy1.5 DiT always
+    receives the channel-concat condition block (zeros for T2V), matching
+    /root/reference/fastvideo/pipelines/stages/image_encoding.py:168-178.
+    """
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.dits.hunyuan15 import (
+        HunyuanVideo15ArchConfig)
+    from fastvideo_tpu.configs.models.encoders.t5 import T5ArchConfig
+    from fastvideo_tpu.models.dits.hunyuan15 import (
+        HunyuanVideo15Transformer3DModel)
+    from fastvideo_tpu.models.encoders.qwen2_5 import (Qwen2ArchConfig,
+                                                       Qwen2EncoderModel)
+    from fastvideo_tpu.models.encoders.t5 import T5EncoderModel
+    from fastvideo_tpu.models.vaes.hunyuan15 import (
+        AutoencoderKLHunyuanVideo15, Hunyuan15VAEArchConfig)
+
+    os.makedirs(root, exist_ok=True)
+    index = {
+        "_class_name": ("HunyuanVideo15ImageToVideoPipeline"
+                        if i2v else "HunyuanVideo15Pipeline"),
+        "_diffusers_version": "0.33.0",
+        "scheduler": ["diffusers", "FlowMatchEulerDiscreteScheduler"],
+        "text_encoder": ["transformers", "Qwen2Model"],
+        "text_encoder_2": ["transformers", "T5EncoderModel"],
+        "tokenizer": ["transformers", "PreTrainedTokenizerFast"],
+        "tokenizer_2": ["transformers", "PreTrainedTokenizerFast"],
+        "transformer": ["diffusers", "HunyuanVideo15Transformer3DModel"],
+        "vae": ["diffusers", "AutoencoderKLHunyuanVideo15"],
+    }
+    if i2v:
+        index["image_encoder"] = ["transformers", "SiglipVisionModel"]
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump(index, fh)
+
+    tdir = os.path.join(root, "transformer")
+    os.makedirs(tdir, exist_ok=True)
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "HunyuanVideo15Transformer3DModel",
+                   **TINY_HY15_DIT}, fh)
+    arch = HunyuanVideo15ArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_HY15_DIT.items()})
+    dit = HunyuanVideo15Transformer3DModel(arch, param_dtype=jnp.float32,
+                                           rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+
+    vdir = os.path.join(root, "vae")
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "AutoencoderKLHunyuanVideo15",
+                   **TINY_HY15_VAE}, fh)
+    varch = Hunyuan15VAEArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_HY15_VAE.items()})
+    vae = AutoencoderKLHunyuanVideo15(varch, param_dtype=jnp.float32,
+                                      rngs=nnx.Rngs(seed + 1))
+    _save_safetensors(os.path.join(vdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(vae))
+
+    edir = os.path.join(root, "text_encoder")
+    os.makedirs(edir, exist_ok=True)
+    with open(os.path.join(edir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["Qwen2Model"], **TINY_QWEN}, fh)
+    qwen = Qwen2EncoderModel(Qwen2ArchConfig(**TINY_QWEN),
+                             param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 2))
+    _save_safetensors(os.path.join(edir, "model.safetensors"),
+                      _export_torch_layout(qwen))
+
+    e2dir = os.path.join(root, "text_encoder_2")
+    os.makedirs(e2dir, exist_ok=True)
+    byt5_kwargs = {k: v for k, v in TINY_T5.items() if k != "model_type"}
+    with open(os.path.join(e2dir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["T5EncoderModel"], **byt5_kwargs}, fh)
+    byt5 = T5EncoderModel(T5ArchConfig(**byt5_kwargs),
+                          param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 3))
+    _save_safetensors(os.path.join(e2dir, "model.safetensors"),
+                      _export_torch_layout(byt5))
+
+    if i2v:
+        from fastvideo_tpu.models.encoders.siglip import (
+            SiglipVisionArchConfig, SiglipVisionModel)
+
+        idir = os.path.join(root, "image_encoder")
+        os.makedirs(idir, exist_ok=True)
+        with open(os.path.join(idir, "config.json"), "w") as fh:
+            json.dump({"architectures": ["SiglipVisionModel"],
+                       **TINY_SIGLIP}, fh)
+        sig = SiglipVisionModel(SiglipVisionArchConfig(**TINY_SIGLIP),
+                                param_dtype=jnp.float32,
+                                rngs=nnx.Rngs(seed + 4))
+        _save_safetensors(os.path.join(idir, "model.safetensors"),
+                          _export_torch_layout(sig))
+
+    _make_tokenizer(os.path.join(root, "tokenizer"),
+                    TINY_QWEN["vocab_size"])
+    _make_tokenizer(os.path.join(root, "tokenizer_2"), 128)
+    sdir = os.path.join(root, "scheduler")
+    os.makedirs(sdir, exist_ok=True)
+    with open(os.path.join(sdir, "scheduler_config.json"), "w") as fh:
+        json.dump({
+            "_class_name": "FlowMatchEulerDiscreteScheduler",
+            "num_train_timesteps": 1000,
+            "shift": 5.0,
         }, fh)
     return root
