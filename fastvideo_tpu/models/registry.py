@@ -33,6 +33,9 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "FluxTransformer2DModel":
     ("fastvideo_tpu.models.dits.flux", "FluxTransformer2DModel",
      "fastvideo_tpu.models.dits.flux:FluxArchConfig"),
+    "Flux2Transformer2DModel":
+    ("fastvideo_tpu.models.dits.flux_2", "Flux2Transformer2DModel",
+     "fastvideo_tpu.models.dits.flux_2:Flux2ArchConfig"),
     "CosmosTransformer3DModel":
     ("fastvideo_tpu.models.dits.cosmos", "CosmosTransformer3DModel",
      "fastvideo_tpu.models.dits.cosmos:CosmosArchConfig"),
@@ -48,6 +51,9 @@ _VAE_REGISTRY: dict[str, tuple[str, str, str]] = {
     "AutoencoderKL":
     ("fastvideo_tpu.models.vaes.autoencoder_kl", "AutoencoderKL",
      "fastvideo_tpu.models.vaes.autoencoder_kl:AutoencoderKLArchConfig"),
+    "AutoencoderKLFlux2":
+    ("fastvideo_tpu.models.vaes.flux2", "AutoencoderKLFlux2",
+     "fastvideo_tpu.models.vaes.flux2:Flux2VAEArchConfig"),
     "AutoencoderKLHunyuanVideo15":
     ("fastvideo_tpu.models.vaes.hunyuan15", "AutoencoderKLHunyuanVideo15",
      "fastvideo_tpu.models.vaes.hunyuan15:Hunyuan15VAEArchConfig"),

@@ -36,6 +36,10 @@ _PIPELINES: dict[str, str] = {
     "StableDiffusion3Pipeline",
     "FluxPipeline":
     "fastvideo_tpu.pipelines.basic.flux.flux_pipeline:FluxPipeline",
+    "Flux2Pipeline":
+    "fastvideo_tpu.pipelines.basic.flux2.flux2_pipeline:Flux2Pipeline",
+    "Flux2KleinPipeline":
+    "fastvideo_tpu.pipelines.basic.flux2.flux2_pipeline:Flux2Pipeline",
     "Cosmos2VideoToWorldPipeline":
     "fastvideo_tpu.pipelines.basic.cosmos.cosmos_pipeline:"
     "Cosmos2VideoToWorldPipeline",

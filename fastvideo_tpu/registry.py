@@ -108,6 +108,15 @@ def _register_builtin() -> None:
 
     register_config(frag("flux"), flux_cfg.FluxPipelineConfig, priority=2)
 
+    from fastvideo_tpu.configs.pipelines import flux2 as flux2_cfg
+
+    register_config(frag("flux.2", "klein"),
+                    flux2_cfg.Flux2KleinPipelineConfig, priority=12)
+    register_config(frag("flux.2"), flux2_cfg.Flux2PipelineConfig,
+                    priority=11)
+    register_config(frag("flux2"), flux2_cfg.Flux2PipelineConfig,
+                    priority=10)
+
     from fastvideo_tpu.configs.pipelines import cosmos as cosmos_cfg
 
     register_config(frag("cosmos"), cosmos_cfg.CosmosConfig, priority=2)

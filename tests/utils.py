@@ -768,3 +768,93 @@ def make_tiny_hunyuan15_checkpoint(root: str, seed: int = 0,
             "shift": 5.0,
         }, fh)
     return root
+
+
+TINY_FLUX2_DIT = dict(in_channels=16, num_layers=1, num_single_layers=2,
+                      attention_head_dim=8, num_attention_heads=2,
+                      joint_attention_dim=96, timestep_guidance_channels=16,
+                      mlp_ratio=3.0, axes_dims_rope=[2, 2, 2, 2],
+                      rope_theta=2000.0, guidance_embeds=True)
+TINY_FLUX2_VAE = dict(latent_channels=4, block_out_channels=[8, 16],
+                      layers_per_block=1, norm_num_groups=4,
+                      attn_encoder_blocks=[1], attn_decoder_blocks=[0],
+                      patch_size=[2, 2])
+TINY_MISTRAL = dict(vocab_size=128, hidden_size=32, intermediate_size=48,
+                    num_hidden_layers=2, num_attention_heads=2,
+                    num_key_value_heads=1, head_dim=16,
+                    max_position_embeddings=2048)
+
+
+def make_tiny_flux2_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny random-weight FLUX.2 checkpoint (diffusers layout)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.models.dits.flux_2 import (Flux2ArchConfig,
+                                                  Flux2Transformer2DModel)
+    from fastvideo_tpu.models.encoders.mistral import (MistralArchConfig,
+                                                       MistralEncoderModel)
+    from fastvideo_tpu.models.vaes.flux2 import (AutoencoderKLFlux2,
+                                                 Flux2VAEArchConfig)
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump({
+            "_class_name": "Flux2Pipeline",
+            "_diffusers_version": "0.33.0",
+            "scheduler": ["diffusers", "FlowMatchEulerDiscreteScheduler"],
+            "text_encoder": ["transformers", "MistralModel"],
+            "tokenizer": ["transformers", "PreTrainedTokenizerFast"],
+            "transformer": ["diffusers", "Flux2Transformer2DModel"],
+            "vae": ["diffusers", "AutoencoderKLFlux2"],
+        }, fh)
+
+    tdir = os.path.join(root, "transformer")
+    os.makedirs(tdir, exist_ok=True)
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "Flux2Transformer2DModel",
+                   **TINY_FLUX2_DIT}, fh)
+    arch = Flux2ArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_FLUX2_DIT.items()})
+    dit = Flux2Transformer2DModel(arch, param_dtype=jnp.float32,
+                                  rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+
+    vdir = os.path.join(root, "vae")
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "AutoencoderKLFlux2", **TINY_FLUX2_VAE},
+                  fh)
+    varch = Flux2VAEArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_FLUX2_VAE.items()})
+    vae = AutoencoderKLFlux2(varch, param_dtype=jnp.float32,
+                             rngs=nnx.Rngs(seed + 1))
+    _save_safetensors(os.path.join(vdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(vae))
+
+    edir = os.path.join(root, "text_encoder")
+    os.makedirs(edir, exist_ok=True)
+    with open(os.path.join(edir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["MistralModel"], **TINY_MISTRAL}, fh)
+    enc = MistralEncoderModel(MistralArchConfig(**TINY_MISTRAL),
+                              param_dtype=jnp.float32,
+                              rngs=nnx.Rngs(seed + 2))
+    _save_safetensors(os.path.join(edir, "model.safetensors"),
+                      _export_torch_layout(enc))
+
+    _make_tokenizer(os.path.join(root, "tokenizer"),
+                    TINY_MISTRAL["vocab_size"])
+    sdir = os.path.join(root, "scheduler")
+    os.makedirs(sdir, exist_ok=True)
+    with open(os.path.join(sdir, "scheduler_config.json"), "w") as fh:
+        json.dump({
+            "_class_name": "FlowMatchEulerDiscreteScheduler",
+            "num_train_timesteps": 1000,
+            "use_dynamic_shifting": True,
+        }, fh)
+    return root
