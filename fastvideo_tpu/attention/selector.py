@@ -46,6 +46,11 @@ from fastvideo_tpu.attention.backends.sage import (  # noqa: E402
 
 register_backend(SageAttentionBackend)
 
+from fastvideo_tpu.attention.backends.nabla import (  # noqa: E402
+    NablaAttentionBackend)
+
+register_backend(NablaAttentionBackend)
+
 # Aliases for reference-compatible names.
 _ALIASES = {
     "SDPA": "TORCH_SDPA",
