@@ -181,6 +181,80 @@ def _cmd_train(args: argparse.Namespace) -> int:
     return train_main(argv)
 
 
+def _add_eval(sub: argparse._SubParsersAction) -> None:
+    """``fastvideo eval run|list`` (reference entrypoints/cli/eval.py:96)."""
+    p = sub.add_parser("eval", help="Evaluate generated videos")
+    esub = p.add_subparsers(dest="eval_command", required=True)
+
+    run = esub.add_parser("run", help="Compute metrics over videos")
+    run.add_argument("--videos", nargs="+", required=True,
+                     help="generated video files (mp4) or glob patterns")
+    run.add_argument("--reference", default=None,
+                     help="reference video file/glob (paired by index)")
+    run.add_argument("--metrics", default="psnr,ssim",
+                     help="comma list: psnr,ssim,mse,temporal_consistency,"
+                     "lpips,fvd (or 'all')")
+    run.add_argument("--fvd-extractor", default="pixel",
+                     choices=["pixel", "clip", "i3d"])
+    run.add_argument("--output", default=None, help="write JSON here")
+    run.set_defaults(func=_cmd_eval_run)
+
+    lst = esub.add_parser("list", help="List available metrics")
+    lst.set_defaults(func=_cmd_eval_list)
+
+
+def _cmd_eval_list(args: argparse.Namespace) -> int:
+    from fastvideo_tpu.eval.metrics import list_metrics
+
+    for name in list_metrics() + ["fvd"]:
+        print(name)
+    return 0
+
+
+def _expand_globs(patterns: list[str]) -> list[str]:
+    import glob as _glob
+
+    out: list[str] = []
+    for p in patterns:
+        hits = sorted(_glob.glob(p))
+        out.extend(hits if hits else [p])
+    return out
+
+
+def _cmd_eval_run(args: argparse.Namespace) -> int:
+    import json
+
+    from fastvideo_tpu.eval.metrics import Evaluator, list_metrics
+    from fastvideo_tpu.pipelines.preprocess.preprocess_pipeline import (
+        load_video_frames)
+
+    metrics = (list_metrics() + ["fvd"] if args.metrics == "all" else
+               [m.strip() for m in args.metrics.split(",") if m.strip()])
+    videos = _expand_globs(args.videos)
+    refs = _expand_globs([args.reference]) if args.reference else None
+    ev = Evaluator(metrics, fvd_extractor=args.fvd_extractor)
+    per_video = []
+    for i, vp in enumerate(videos):
+        gen = load_video_frames(vp)
+        if refs is not None:
+            ref = load_video_frames(refs[i] if i < len(refs) else refs[0])
+        else:
+            ref = gen
+        per_video.append({"video": vp,
+                          "scores": ev.evaluate_pair(gen, ref)})
+    payload: dict = {"videos": per_video}
+    if ev._fvd is not None:
+        payload["fvd"] = ev._fvd.finalize()
+    text = json.dumps(payload, indent=2)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(text)
+        logger.info("Wrote results to %s", args.output)
+    else:
+        print(text)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="fastvideo",
                                      description="fastvideo_tpu CLI")
@@ -190,6 +264,7 @@ def main(argv: list[str] | None = None) -> int:
     _add_serve(sub)
     _add_preprocess(sub)
     _add_train(sub)
+    _add_eval(sub)
     args = parser.parse_args(argv)
     return args.func(args)
 

@@ -99,15 +99,40 @@ def temporal_consistency(a: np.ndarray, b: np.ndarray | None = None) -> float:
     return float(np.mean(vals)) if vals else 1.0
 
 
-class Evaluator:
-    """Batch evaluation over (generated, reference) video pairs
-    (reference eval/evaluator.py:30)."""
+@register_metric("lpips")
+def lpips(a: np.ndarray, b: np.ndarray, weights=None) -> float:
+    """Perceptual distance; gated on local AlexNet-LPIPS weights
+    (eval/lpips.py; set $FASTVIDEO_LPIPS_WEIGHTS)."""
+    from fastvideo_tpu.eval.lpips import LPIPS
 
-    def __init__(self, metrics: list[str] | None = None):
-        self.metrics = metrics or ["psnr", "ssim"]
+    return LPIPS(weights)(a, b)
+
+
+# FVD is a SET metric (distribution vs distribution) — exposed via
+# fastvideo_tpu.eval.fvd.FVD accumulate/finalize and the eval CLI's
+# --metric fvd path, not through the per-pair registry.
+
+
+class Evaluator:
+    """Batch evaluation over (generated, reference) video pairs, plus
+    set-level FVD accumulation (reference eval/evaluator.py:30-296)."""
+
+    def __init__(self, metrics: list[str] | None = None,
+                 fvd_extractor: str = "pixel"):
+        metrics = metrics or ["psnr", "ssim"]
+        self.use_fvd = "fvd" in metrics
+        self.metrics = [m for m in metrics if m != "fvd"]
+        self._fvd = None
+        if self.use_fvd:
+            from fastvideo_tpu.eval.fvd import FVD
+
+            self._fvd = FVD(extractor=fvd_extractor)
 
     def evaluate_pair(self, generated: np.ndarray,
                       reference: np.ndarray) -> dict[str, float]:
+        if self._fvd is not None:
+            self._fvd.accumulate(_to_float(generated), role="generated")
+            self._fvd.accumulate(_to_float(reference), role="reference")
         return {
             m: compute_metric(m, generated, reference)
             for m in self.metrics
@@ -118,4 +143,7 @@ class Evaluator:
         for gen, ref in pairs:
             for m, v in self.evaluate_pair(gen, ref).items():
                 results[m].append(v)
-        return {m: float(np.mean(v)) for m, v in results.items()}
+        out = {m: float(np.mean(v)) for m, v in results.items()}
+        if self._fvd is not None:
+            out["fvd"] = self._fvd.finalize()["fvd"]
+        return out
