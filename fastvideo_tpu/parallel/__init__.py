@@ -23,6 +23,7 @@ from fastvideo_tpu.parallel.mesh import (
     get_tp_size,
     get_dp_size,
     init_mesh,
+    maybe_init_distributed,
     maybe_init_mesh,
     mesh_context,
     destroy_mesh,
@@ -50,6 +51,7 @@ __all__ = [
     "local_head_parallel_attention",
     "MeshConfig",
     "init_mesh",
+    "maybe_init_distributed",
     "maybe_init_mesh",
     "get_mesh",
     "get_sp_size",

@@ -79,8 +79,48 @@ def init_mesh(mesh_config: MeshConfig | None = None,
     return mesh
 
 
+_DISTRIBUTED_INITIALIZED = False
+
+
+def maybe_init_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> bool:
+    """Multi-host runtime init (``jax.distributed.initialize``).
+
+    Role analog of the reference's Ray executor bootstrap
+    (/root/reference/fastvideo/worker/ray_distributed_executor.py:52):
+    after this, ``jax.devices()`` spans every host and the mesh's
+    outermost ``dp`` axis rides DCN with no other code changes.
+
+    Reads ``FASTVIDEO_COORDINATOR_ADDRESS`` / ``FASTVIDEO_NUM_PROCESSES``
+    / ``FASTVIDEO_PROCESS_ID`` when args are omitted. No-op (returns
+    False) for single-process runs or when already initialized.
+    """
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return True
+    import os
+
+    coordinator_address = coordinator_address or os.getenv(
+        "FASTVIDEO_COORDINATOR_ADDRESS")
+    if num_processes is None:
+        num_processes = int(os.getenv("FASTVIDEO_NUM_PROCESSES", "1"))
+    if process_id is None:
+        process_id = int(os.getenv("FASTVIDEO_PROCESS_ID", "0"))
+    if num_processes <= 1 or not coordinator_address:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    _DISTRIBUTED_INITIALIZED = True
+    logger.info("jax.distributed initialized: process %d/%d via %s",
+                process_id, num_processes, coordinator_address)
+    return True
+
+
 def maybe_init_mesh(mesh_config: MeshConfig | None = None) -> Mesh:
     if _STATE.mesh is None:
+        maybe_init_distributed()
         return init_mesh(mesh_config)
     return _STATE.mesh
 
