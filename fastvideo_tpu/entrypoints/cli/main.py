@@ -181,6 +181,23 @@ def _cmd_train(args: argparse.Namespace) -> int:
     return train_main(argv)
 
 
+def _add_router_serve(sub: argparse._SubParsersAction) -> None:
+    """``fastvideo router-serve`` (reference cli/router_serve.py:27-69)."""
+    p = sub.add_parser(
+        "router-serve",
+        help="Start the streaming router (multi-replica load balancer)")
+    p.add_argument("--config", required=True,
+                   help="YAML/JSON with a top-level router: block")
+    p.set_defaults(func=_cmd_router_serve)
+
+
+def _cmd_router_serve(args: argparse.Namespace) -> int:
+    from fastvideo_tpu.entrypoints.streaming.router import run_router
+
+    run_router(args.config)
+    return 0
+
+
 def _add_eval(sub: argparse._SubParsersAction) -> None:
     """``fastvideo eval run|list`` (reference entrypoints/cli/eval.py:96)."""
     p = sub.add_parser("eval", help="Evaluate generated videos")
@@ -265,6 +282,7 @@ def main(argv: list[str] | None = None) -> int:
     _add_preprocess(sub)
     _add_train(sub)
     _add_eval(sub)
+    _add_router_serve(sub)
     args = parser.parse_args(argv)
     return args.func(args)
 

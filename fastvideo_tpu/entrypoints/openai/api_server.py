@@ -29,10 +29,11 @@ class VideoStore:
         self._jobs: dict[str, dict[str, Any]] = {}
         self._lock = threading.Lock()
 
-    def create(self, request: dict) -> dict:
+    def create(self, request: dict, kind: str = "video") -> dict:
         job = {
-            "id": f"video_{uuid.uuid4().hex[:12]}",
-            "object": "video",
+            "id": f"{kind}_{uuid.uuid4().hex[:12]}",
+            "object": kind,
+            "kind": kind,
             "status": "queued",
             "created_at": int(time.time()),
             "request": request,
@@ -75,6 +76,9 @@ class GenerationWorker(threading.Thread):
             self.store.update(job_id, status="in_progress")
             try:
                 req = job["request"]
+                if job.get("kind") == "image":
+                    self._run_image(job_id, req)
+                    continue
                 if "sampling" in req or "output" in req or "inputs" in req:
                     # typed api.GenerationRequest body (reference
                     # entrypoints/openai/video_api.py nested schema)
@@ -111,6 +115,40 @@ class GenerationWorker(threading.Thread):
                 logger.exception("generation failed")
                 self.store.update(job_id, status="failed", error=str(e))
 
+    def _run_image(self, job_id: str, req: dict) -> None:
+        """/v1/images(+/edits) jobs (reference image_api.py:89-256):
+        one-frame generation saved as PNG."""
+        import os
+
+        try:
+            size = req.get("size") or "1024x1024"
+            w, h = (int(v) for v in size.lower().split("x"))
+            kwargs: dict[str, Any] = dict(
+                prompt=req.get("prompt", ""),
+                negative_prompt=req.get("negative_prompt"),
+                height=h, width=w, num_frames=1,
+                num_inference_steps=int(req.get("num_inference_steps", 28)),
+                guidance_scale=float(req.get("guidance_scale", 4.0)),
+                seed=int(req.get("seed", 1024)),
+                save_video=False,
+            )
+            if req.get("_pil_image") is not None:  # /v1/images/edits
+                kwargs["pil_image"] = req["_pil_image"]
+            result = self.generator.generate_video(**kwargs)
+            frame = result["frames"][0][0]  # [H, W, 3] uint8
+            out_dir = req.get("output_path", "outputs/images")
+            os.makedirs(out_dir, exist_ok=True)
+            path = os.path.join(out_dir, f"{job_id}.png")
+            import PIL.Image
+
+            PIL.Image.fromarray(frame).save(path)
+            self.store.update(job_id, status="completed", progress=100,
+                              video_path=path,
+                              generation_time=result.get("generation_time"))
+        except Exception as e:  # pragma: no cover
+            logger.exception("image generation failed")
+            self.store.update(job_id, status="failed", error=str(e))
+
 
 def make_handler(model_id: str, store: VideoStore, worker: GenerationWorker):
     class Handler(BaseHTTPRequestHandler):
@@ -140,18 +178,94 @@ def make_handler(model_id: str, store: VideoStore, worker: GenerationWorker):
                     self._send(404, {"error": "not found"})
                 else:
                     self._send(200, store.public(job))
+            elif (self.path.startswith("/v1/images/")
+                  and self.path.endswith("/content")):
+                # reference image_api.py:256 GET /{image_id}/content
+                image_id = self.path.split("/")[3]
+                job = store.get(image_id)
+                if job is None or not job.get("video_path"):
+                    self._send(404, {"error": "not found"})
+                    return
+                with open(job["video_path"], "rb") as fh:
+                    body = fh.read()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "not found"})
 
-        def do_POST(self) -> None:
-            if self.path not in ("/v1/videos", "/v1/videos/generations"):
-                self._send(404, {"error": "not found"})
-                return
+        def _read_json(self) -> dict | None:
             length = int(self.headers.get("Content-Length", "0"))
             try:
-                request = json.loads(self.rfile.read(length) or b"{}")
+                return json.loads(self.rfile.read(length) or b"{}")
             except json.JSONDecodeError:
                 self._send(400, {"error": "invalid json"})
+                return None
+
+        def _image_request(self, request: dict, *, edit: bool) -> None:
+            """Synchronous image generation (reference image_api.py:89-154
+            awaits completion in-request); work still runs on the single
+            generation worker so videos/images never race on the mesh."""
+            if not request.get("prompt"):
+                self._send(400, {"error": "prompt required"})
+                return
+            if edit:
+                import base64
+                import io
+
+                b64 = request.get("image")
+                if not b64:
+                    self._send(400, {"error": "image required for edits"})
+                    return
+                import PIL.Image
+
+                request["_pil_image"] = PIL.Image.open(
+                    io.BytesIO(base64.b64decode(b64))).convert("RGB")
+            job = store.create(request, kind="image")
+            worker.submit(job["id"])
+            deadline = time.time() + float(request.get("timeout", 600))
+            while time.time() < deadline:
+                job = store.get(job["id"])
+                if job["status"] in ("completed", "failed"):
+                    break
+                time.sleep(0.05)
+            if job["status"] != "completed":
+                self._send(500, {"error": job.get("error") or "timeout"})
+                return
+            resp_format = (request.get("response_format") or
+                           "b64_json").lower()
+            data: dict[str, Any]
+            if resp_format == "url":
+                data = {"url": f"/v1/images/{job['id']}/content",
+                        "revised_prompt": request["prompt"]}
+            else:
+                import base64
+
+                with open(job["video_path"], "rb") as fh:
+                    data = {"b64_json":
+                            base64.b64encode(fh.read()).decode(),
+                            "revised_prompt": request["prompt"]}
+            self._send(200, {
+                "id": job["id"],
+                "created": job["created_at"],
+                "data": [data],
+                "inference_time_s": job.get("generation_time"),
+            })
+
+        def do_POST(self) -> None:
+            request = self._read_json()
+            if request is None:
+                return
+            if self.path in ("/v1/images", "/v1/images/generations"):
+                self._image_request(request, edit=False)
+                return
+            if self.path == "/v1/images/edits":
+                self._image_request(request, edit=True)
+                return
+            if self.path not in ("/v1/videos", "/v1/videos/generations"):
+                self._send(404, {"error": "not found"})
                 return
             if not request.get("prompt"):
                 self._send(400, {"error": "prompt required"})

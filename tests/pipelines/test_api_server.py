@@ -64,5 +64,27 @@ def test_api_server_generate(tmp_path):
             time.sleep(1)
         assert job["status"] == "completed", job
         assert job["video_path"]
+
+        # /v1/images: synchronous single-frame generation -> b64 PNG
+        img = _req(server.port, "/v1/images", {
+            "prompt": "w1 w2", "size": "16x16",
+            "num_inference_steps": 1, "guidance_scale": 1.0, "seed": 9,
+            "output_path": str(tmp_path / "img"),
+        })
+        assert img["data"][0]["b64_json"], img
+        import base64
+        png = base64.b64decode(img["data"][0]["b64_json"])
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+        # url response_format + content fetch
+        img2 = _req(server.port, "/v1/images", {
+            "prompt": "w1 w2", "size": "16x16", "response_format": "url",
+            "num_inference_steps": 1, "guidance_scale": 1.0, "seed": 9,
+            "output_path": str(tmp_path / "img"),
+        })
+        url = img2["data"][0]["url"]
+        raw = urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}{url}", timeout=30).read()
+        assert raw[:8] == b"\x89PNG\r\n\x1a\n"
     finally:
         server.shutdown()
