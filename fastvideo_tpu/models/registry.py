@@ -39,6 +39,9 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "CosmosTransformer3DModel":
     ("fastvideo_tpu.models.dits.cosmos", "CosmosTransformer3DModel",
      "fastvideo_tpu.models.dits.cosmos:CosmosArchConfig"),
+    "Kandinsky5Transformer3DModel":
+    ("fastvideo_tpu.models.dits.kandinsky5", "Kandinsky5Transformer3DModel",
+     "fastvideo_tpu.models.dits.kandinsky5:Kandinsky5ArchConfig"),
 }
 
 _VAE_REGISTRY: dict[str, tuple[str, str, str]] = {

@@ -40,6 +40,12 @@ _PIPELINES: dict[str, str] = {
     "fastvideo_tpu.pipelines.basic.flux2.flux2_pipeline:Flux2Pipeline",
     "Flux2KleinPipeline":
     "fastvideo_tpu.pipelines.basic.flux2.flux2_pipeline:Flux2Pipeline",
+    "Kandinsky5Pipeline":
+    "fastvideo_tpu.pipelines.basic.kandinsky5.kandinsky5_pipeline:"
+    "Kandinsky5Pipeline",
+    "Kandinsky5T2VPipeline":
+    "fastvideo_tpu.pipelines.basic.kandinsky5.kandinsky5_pipeline:"
+    "Kandinsky5Pipeline",
     "Cosmos2VideoToWorldPipeline":
     "fastvideo_tpu.pipelines.basic.cosmos.cosmos_pipeline:"
     "Cosmos2VideoToWorldPipeline",

@@ -117,6 +117,13 @@ def _register_builtin() -> None:
     register_config(frag("flux2"), flux2_cfg.Flux2PipelineConfig,
                     priority=10)
 
+    from fastvideo_tpu.configs.pipelines import kandinsky5 as k5_cfg
+
+    register_config(frag("kandinsky", "i2v"), k5_cfg.Kandinsky5I2VConfig,
+                    priority=11)
+    register_config(frag("kandinsky"), k5_cfg.Kandinsky5T2VConfig,
+                    priority=10)
+
     from fastvideo_tpu.configs.pipelines import cosmos as cosmos_cfg
 
     register_config(frag("cosmos"), cosmos_cfg.CosmosConfig, priority=2)

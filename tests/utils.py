@@ -858,3 +858,99 @@ def make_tiny_flux2_checkpoint(root: str, seed: int = 0) -> str:
             "use_dynamic_shifting": True,
         }, fh)
     return root
+
+
+TINY_K5_DIT = dict(in_visual_dim=4, in_text_dim=32, in_text_dim2=16,
+                   time_dim=24, out_visual_dim=4, patch_size=[1, 2, 2],
+                   model_dim=16, ff_dim=32, num_text_blocks=1,
+                   num_visual_blocks=1, axes_dims=[4, 2, 2])
+
+
+def make_tiny_kandinsky5_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny random-weight Kandinsky-5.0 checkpoint (diffusers layout)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.models.dits.kandinsky5 import (
+        Kandinsky5ArchConfig, Kandinsky5Transformer3DModel)
+    from fastvideo_tpu.models.encoders.clip import (CLIPTextArchConfig,
+                                                    CLIPTextModel)
+    from fastvideo_tpu.models.encoders.qwen2_5 import (Qwen2ArchConfig,
+                                                       Qwen2EncoderModel)
+    from fastvideo_tpu.models.vaes.hunyuan import (AutoencoderKLHunyuanVideo,
+                                                   HunyuanVAEArchConfig)
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump({
+            "_class_name": "Kandinsky5Pipeline",
+            "_diffusers_version": "0.33.0",
+            "scheduler": ["diffusers", "FlowMatchEulerDiscreteScheduler"],
+            "text_encoder": ["transformers", "Qwen2Model"],
+            "text_encoder_2": ["transformers", "CLIPTextModel"],
+            "tokenizer": ["transformers", "PreTrainedTokenizerFast"],
+            "tokenizer_2": ["transformers", "PreTrainedTokenizerFast"],
+            "transformer": ["diffusers", "Kandinsky5Transformer3DModel"],
+            "vae": ["diffusers", "AutoencoderKLHunyuanVideo"],
+        }, fh)
+
+    tdir = os.path.join(root, "transformer")
+    os.makedirs(tdir, exist_ok=True)
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "Kandinsky5Transformer3DModel",
+                   **TINY_K5_DIT}, fh)
+    arch = Kandinsky5ArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_K5_DIT.items()})
+    dit = Kandinsky5Transformer3DModel(arch, param_dtype=jnp.float32,
+                                       rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+
+    vdir = os.path.join(root, "vae")
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "AutoencoderKLHunyuanVideo",
+                   **TINY_HY_VAE}, fh)
+    varch = HunyuanVAEArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_HY_VAE.items()})
+    vae = AutoencoderKLHunyuanVideo(varch, param_dtype=jnp.float32,
+                                    rngs=nnx.Rngs(seed + 1))
+    _save_safetensors(os.path.join(vdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(vae))
+
+    edir = os.path.join(root, "text_encoder")
+    os.makedirs(edir, exist_ok=True)
+    with open(os.path.join(edir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["Qwen2Model"], **TINY_QWEN}, fh)
+    qwen = Qwen2EncoderModel(Qwen2ArchConfig(**TINY_QWEN),
+                             param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 2))
+    _save_safetensors(os.path.join(edir, "model.safetensors"),
+                      _export_torch_layout(qwen))
+
+    e2dir = os.path.join(root, "text_encoder_2")
+    os.makedirs(e2dir, exist_ok=True)
+    with open(os.path.join(e2dir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["CLIPTextModel"], **TINY_CLIP_TEXT},
+                  fh)
+    clip = CLIPTextModel(CLIPTextArchConfig(**TINY_CLIP_TEXT),
+                         param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 3))
+    _save_safetensors(os.path.join(e2dir, "model.safetensors"),
+                      _export_torch_layout(clip))
+
+    _make_tokenizer(os.path.join(root, "tokenizer"),
+                    TINY_QWEN["vocab_size"])
+    _make_tokenizer(os.path.join(root, "tokenizer_2"),
+                    TINY_CLIP_TEXT["vocab_size"])
+    sdir = os.path.join(root, "scheduler")
+    os.makedirs(sdir, exist_ok=True)
+    with open(os.path.join(sdir, "scheduler_config.json"), "w") as fh:
+        json.dump({
+            "_class_name": "FlowMatchEulerDiscreteScheduler",
+            "num_train_timesteps": 1000,
+            "shift": 5.0,
+        }, fh)
+    return root
