@@ -4,17 +4,24 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Workload (north star, BASELINE.json): 81 frames @ 480x832 (5s @ 16fps),
-FastWan 3-step DMD sampling (no CFG), full bf16 Wan2.1-1.3B architecture
-(30 layers, dim 1536, heads 12) with random weights + Wan2.1 VAE decoder.
-Latent grid 21x60x104 -> 32760 DiT tokens. vs_baseline is the driver
-target (5 s on v6e-8) divided by our measured E2E; >1 beats target.
+FastWan 3-step DMD sampling (no CFG) with VIDEO_SPARSE_ATTN at sparsity
+0.8 — the reference FastWan-1.3B inference config
+(/root/reference/scripts/inference/inference_wan_VSA_DMD_1_3B.yaml:18) —
+full bf16 Wan2.1-1.3B architecture (30 layers, dim 1536, heads 12) with
+random weights + Wan2.1 VAE decoder. Latent grid 21x60x104 -> 32760 DiT
+tokens. vs_baseline is the driver target (5 s on v6e-8) divided by our
+measured E2E; >1 beats target.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+os.environ.setdefault("FASTVIDEO_ATTENTION_BACKEND", "VIDEO_SPARSE_ATTN")
+VSA_SPARSITY = 0.8
 
 
 def build_models(dtype):
@@ -58,33 +65,33 @@ def main() -> None:
     lat_h, lat_w = height // 8, width // 8
     sigmas = [t / 1000.0 for t in dmd_steps] + [0.0]
 
+    from fastvideo_tpu.attention.backends.abstract import AttentionMetadata
+    from fastvideo_tpu.forward_context import set_forward_context
+
+    vsa_metadata = AttentionMetadata(
+        extra={"VSA_sparsity": VSA_SPARSITY})
+
     def denoise(dit_state, latents, ctx):
         m = nnx.merge(dit_def, dit_state)
         lat = latents
-        for i, t in enumerate(dmd_steps):
-            t_arr = jnp.full((1,), t, jnp.float32)
-            pred = m(lat.astype(dtype), ctx, t_arr)
-            sigma, nsig = sigmas[i], sigmas[i + 1]
-            x0 = lat - sigma * pred.astype(jnp.float32)
-            lat = x0 if nsig == 0 else (1 - nsig) * x0 + nsig * latents
+        with set_forward_context(attn_metadata=vsa_metadata):
+            for i, t in enumerate(dmd_steps):
+                t_arr = jnp.full((1,), t, jnp.float32)
+                pred = m(lat.astype(dtype), ctx, t_arr)
+                sigma, nsig = sigmas[i], sigmas[i + 1]
+                x0 = lat - sigma * pred.astype(jnp.float32)
+                lat = x0 if nsig == 0 else (1 - nsig) * x0 + nsig * latents
         return lat
 
-    # ONE jitted program for the full clip: 3-step DMD + VAE decode. On this
-    # platform per-dispatch latency is high (remote tunnel), so the sampler
-    # must be a single dispatch — matching the reference's one denoising
-    # graph per clip rather than one launch per op.
-    @jax.jit
-    def sample_and_decode(dit_state, vae_state, latents, ctx):
-        lat = denoise(dit_state, latents, ctx)
-        m = nnx.merge(vae_def, vae_state)
-        return m.decode(lat.astype(jnp.bfloat16))
-
+    # The 3-step DMD sampler is ONE jitted program; the VAE decode runs as
+    # python-dispatched chunks with donated conv caches (decode_dispatched)
+    # — a single fused decode program peaks ~13 GB next to the resident
+    # 2.6 GB DiT and OOMs the 16 GB chip; per-chunk dispatch bounds the
+    # peak to one chunk's working set. Costs ~27 ms dispatch per chunk.
     denoise_jit = jax.jit(denoise)
 
-    @jax.jit
-    def vae_decode(state, z):
-        m = nnx.merge(vae_def, state)
-        return m.decode(z)
+    def vae_decode(_state, z):
+        return vae.decode_dispatched(z)
 
     key = jax.random.PRNGKey(0)
     latents = jax.random.normal(key, (1, 16, lat_t, lat_h, lat_w),
@@ -96,6 +103,10 @@ def main() -> None:
         # NOTE: on this platform block_until_ready() is async-no-op; the only
         # true sync is a host fetch, so we reduce to a scalar and pull it.
         return float(jnp.sum(x.astype(jnp.float32)))
+
+    def sample_and_decode(dit_state, vae_state, latents, ctx):
+        lat = denoise_jit(dit_state, latents, ctx)
+        return vae_decode(vae_state, lat.astype(jnp.bfloat16))
 
     # warmup / compile (+ first execution)
     t0 = time.perf_counter()

@@ -51,6 +51,11 @@ from fastvideo_tpu.attention.backends.nabla import (  # noqa: E402
 
 register_backend(NablaAttentionBackend)
 
+from fastvideo_tpu.attention.backends.sla import (  # noqa: E402
+    SLAAttentionBackend)
+
+register_backend(SLAAttentionBackend)
+
 # Aliases for reference-compatible names.
 _ALIASES = {
     "SDPA": "TORCH_SDPA",
