@@ -56,6 +56,11 @@ from fastvideo_tpu.attention.backends.sla import (  # noqa: E402
 
 register_backend(SLAAttentionBackend)
 
+from fastvideo_tpu.attention.backends.bsa import (  # noqa: E402
+    BSAAttentionBackend)
+
+register_backend(BSAAttentionBackend)
+
 # Aliases for reference-compatible names.
 _ALIASES = {
     "SDPA": "TORCH_SDPA",

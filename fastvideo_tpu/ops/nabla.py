@@ -59,7 +59,7 @@ def nabla_block_mask(q: Array, k: Array, sta_mask: Array | None,
 
 def _dyn_sparse_kernel(sizes_ref, idx_ref, cnt_ref, q_ref, k_hbm, v_hbm,
                        o_ref, acc_ref, k_buf, v_buf, sems, *, scale: float,
-                       tile_elems: int):
+                       tile_elems: int, q_rows: int | None = None):
     """VSA gather kernel with a per-row DYNAMIC kv-block count
     (ops/vsa.py:_sparse_kernel structure; trip count from cnt_ref)."""
     b = pl.program_id(0)
@@ -122,9 +122,10 @@ def _dyn_sparse_kernel(sizes_ref, idx_ref, cnt_ref, q_ref, k_hbm, v_hbm,
         acc_ref[...] = acc_ref[...] * alpha + pv
         return m_next, l_next
 
+    rows = q_rows or tile_elems
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    m0 = jnp.full((tile_elems, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((tile_elems, 1), jnp.float32)
+    m0 = jnp.full((rows, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((rows, 1), jnp.float32)
     _, l = jax.lax.fori_loop(0, nb, body, (m0, l0))
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
     o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
