@@ -61,6 +61,11 @@ from fastvideo_tpu.attention.backends.bsa import (  # noqa: E402
 
 register_backend(BSAAttentionBackend)
 
+from fastvideo_tpu.attention.backends.vmoba import (  # noqa: E402
+    VMOBAAttentionBackend)
+
+register_backend(VMOBAAttentionBackend)
+
 # Aliases for reference-compatible names.
 _ALIASES = {
     "SDPA": "TORCH_SDPA",
