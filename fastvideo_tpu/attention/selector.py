@@ -66,13 +66,25 @@ from fastvideo_tpu.attention.backends.vmoba import (  # noqa: E402
 
 register_backend(VMOBAAttentionBackend)
 
+from fastvideo_tpu.attention.backends.attn_qat import (  # noqa: E402
+    AttnQatTrainBackend)
+
+register_backend(AttnQatTrainBackend)
+
 # Aliases for reference-compatible names.
 _ALIASES = {
     "SDPA": "TORCH_SDPA",
     "FLASH_ATTN_2": "FLASH_ATTN",
     "FLASH_ATTN_3": "FLASH_ATTN",
     "PALLAS_FLASH": "FLASH_ATTN",
+    # SAGE3's Blackwell-FP4 microscaling has no v5e hardware grid; the
+    # int8 per-block SAGE path is the TPU analog of both names.
     "SAGE_ATTN_THREE": "SAGE_ATTN",
+    "ATTN_QAT": "SAGE_ATTN",  # serving-side int8 (train side: ATTN_QAT_TRAIN)
+    "NABLA": "NABLA_ATTN",
+    "VMOBA": "VMOBA_ATTN",
+    "BSA": "BSA_ATTN",
+    "SLA": "SLA_ATTN",
 }
 
 _scope_backend: contextvars.ContextVar[str | None] = contextvars.ContextVar(
