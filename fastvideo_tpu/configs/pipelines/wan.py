@@ -86,3 +86,23 @@ class Wan2_2_T2V_A14B_Config(WanT2V480PConfig):
 
     flow_shift: float | None = 12.0
     boundary_ratio: float | None = 0.875
+
+
+@dataclasses.dataclass
+class TurboDiffusionT2VConfig(WanT2V480PConfig):
+    """TurboDiffusion 1-4 step rCM sampling (reference configs/pipelines/
+    turbodiffusion.py:22-66); RCM scheduler installed by the pipeline."""
+
+    flow_shift: float | None = 3.0
+
+
+@dataclasses.dataclass
+class TurboDiffusionT2V14BConfig(TurboDiffusionT2VConfig):
+    flow_shift: float | None = 5.0
+
+
+@dataclasses.dataclass
+class TurboDiffusionI2VConfig(WanI2V480PConfig):
+    """I2V rCM (sigma_max 200; reference turbodiffusion.py:77-108)."""
+
+    flow_shift: float | None = 5.0

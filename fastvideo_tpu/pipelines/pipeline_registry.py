@@ -46,6 +46,12 @@ _PIPELINES: dict[str, str] = {
     "Kandinsky5T2VPipeline":
     "fastvideo_tpu.pipelines.basic.kandinsky5.kandinsky5_pipeline:"
     "Kandinsky5Pipeline",
+    "TurboDiffusionPipeline":
+    "fastvideo_tpu.pipelines.basic.turbodiffusion.turbodiffusion_pipeline:"
+    "TurboDiffusionPipeline",
+    "TurboDiffusionI2VPipeline":
+    "fastvideo_tpu.pipelines.basic.turbodiffusion.turbodiffusion_pipeline:"
+    "TurboDiffusionI2VPipeline",
     "Cosmos2VideoToWorldPipeline":
     "fastvideo_tpu.pipelines.basic.cosmos.cosmos_pipeline:"
     "Cosmos2VideoToWorldPipeline",

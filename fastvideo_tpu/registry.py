@@ -124,6 +124,13 @@ def _register_builtin() -> None:
     register_config(frag("kandinsky"), k5_cfg.Kandinsky5T2VConfig,
                     priority=10)
 
+    register_config(frag("turbodiffusion", "i2v"),
+                    wan_cfg.TurboDiffusionI2VConfig, priority=11)
+    register_config(frag("turbodiffusion", "14b"),
+                    wan_cfg.TurboDiffusionT2V14BConfig, priority=11)
+    register_config(frag("turbodiffusion"), wan_cfg.TurboDiffusionT2VConfig,
+                    priority=10)
+
     from fastvideo_tpu.configs.pipelines import cosmos as cosmos_cfg
 
     register_config(frag("cosmos"), cosmos_cfg.CosmosConfig, priority=2)
