@@ -39,6 +39,12 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "CosmosTransformer3DModel":
     ("fastvideo_tpu.models.dits.cosmos", "CosmosTransformer3DModel",
      "fastvideo_tpu.models.dits.cosmos:CosmosArchConfig"),
+    "Cosmos25Transformer3DModel":
+    ("fastvideo_tpu.models.dits.cosmos2_5", "Cosmos25Transformer3DModel",
+     "fastvideo_tpu.models.dits.cosmos2_5:Cosmos25ArchConfig"),
+    "MiniTrainDIT":
+    ("fastvideo_tpu.models.dits.cosmos2_5", "Cosmos25Transformer3DModel",
+     "fastvideo_tpu.models.dits.cosmos2_5:Cosmos25ArchConfig"),
     "Kandinsky5Transformer3DModel":
     ("fastvideo_tpu.models.dits.kandinsky5", "Kandinsky5Transformer3DModel",
      "fastvideo_tpu.models.dits.kandinsky5:Kandinsky5ArchConfig"),

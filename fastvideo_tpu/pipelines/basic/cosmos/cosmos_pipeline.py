@@ -60,3 +60,49 @@ class Cosmos2VideoToWorldPipeline(ComposedPipelineBase):
 
 
 EntryClass = Cosmos2VideoToWorldPipeline
+
+
+class Cosmos2_5Pipeline(ComposedPipelineBase):
+    """Cosmos-Predict2.5 T2W (reference pipelines/basic/cosmos/
+    cosmos2_5_pipeline.py:14-44): Reason1 full-concat text encoding,
+    Karras flow-match sigmas (shift 5), velocity-predicting DiT with the
+    condition/padding-mask channels, Wan-style VAE decode."""
+
+    _required_config_modules = [
+        "text_encoder", "tokenizer", "vae", "transformer", "scheduler"
+    ]
+
+    def initialize_pipeline(self, fastvideo_args: FastVideoArgs) -> None:
+        self.modules["scheduler"] = FlowMatchEulerDiscreteScheduler(
+            shift=self.pipeline_config.flow_shift or 5.0,
+            use_karras_sigmas=True)
+
+    def create_pipeline_stages(self, fastvideo_args: FastVideoArgs) -> None:
+        from fastvideo_tpu.pipelines.stages.cosmos import (
+            Cosmos25DenoisingStage)
+        from fastvideo_tpu.pipelines.stages.latent_preparation import (
+            LatentPreparationStage)
+
+        cfg = self.pipeline_config
+        self.add_stage("input_validation_stage", InputValidationStage())
+        self.add_stage(
+            "prompt_encoding_stage",
+            TextEncodingStage(
+                text_encoders=[self.get_module("text_encoder")],
+                tokenizers=[self.get_module("tokenizer")],
+                postprocess_funcs=cfg.postprocess_text_funcs,
+                encoder_kwargs=getattr(cfg, "text_encoder_extra_kwargs", ()),
+            ))
+        self.add_stage("timestep_preparation_stage",
+                       TimestepPreparationStage(self.get_module("scheduler"),
+                                                cfg))
+        self.add_stage("latent_preparation_stage",
+                       LatentPreparationStage(self.get_module("scheduler"),
+                                              self.get_module("transformer"),
+                                              cfg.vae_config))
+        self.add_stage("denoising_stage",
+                       Cosmos25DenoisingStage(self.get_module("transformer"),
+                                              self.get_module("scheduler"),
+                                              cfg))
+        self.add_stage("decoding_stage",
+                       DecodingStage(self.get_module("vae"), cfg))

@@ -121,3 +121,68 @@ class CosmosDenoisingStage(PipelineStage):
                                               jnp.float32)
         batch.latents = latents
         return batch
+
+
+class Cosmos25DenoisingStage(PipelineStage):
+    """Cosmos-Predict2.5 flow-match denoising (reference
+    stages/denoising.py:993-1201): the model predicts VELOCITY directly
+    (no EDM preconditioning), timesteps pass as t * 0.001 in model units
+    with per-frame support, CFG combines uncond + g * (cond - uncond),
+    and a zero condition mask / unit padding mask feed the T2W path."""
+
+    def __init__(self, transformer, scheduler, pipeline_config=None):
+        self.transformer = transformer
+        self.scheduler = scheduler
+        self.pipeline_config = pipeline_config
+        self._step = None
+
+    def _get_step(self):
+        if self._step is None:
+            graphdef, state = nnx.split(self.transformer)
+
+            @jax.jit
+            def step(state, latents, ctx, t, fps):
+                m = nnx.merge(graphdef, state)
+                return m(latents, ctx, t, fps=fps)
+
+            self._step = (step, state)
+        return self._step
+
+    def forward(self, batch: ForwardBatch,
+                fastvideo_args: FastVideoArgs) -> ForwardBatch:
+        target_dtype = jnp.bfloat16 if (
+            self.pipeline_config is None
+            or self.pipeline_config.precision == "bf16") else jnp.float32
+        latents = batch.latents.astype(jnp.float32)
+        pos_ctx = batch.prompt_embeds[0].astype(target_dtype)
+        neg_ctx = (batch.negative_prompt_embeds[0].astype(target_dtype)
+                   if batch.negative_prompt_embeds else None)
+        do_cfg = batch.do_classifier_free_guidance and neg_ctx is not None
+        guidance = float(batch.guidance_scale)
+
+        shift = (self.pipeline_config.flow_shift
+                 if self.pipeline_config is not None else 5.0) or 5.0
+        self.scheduler.set_timesteps(batch.num_inference_steps)
+        timesteps = np.asarray(self.scheduler.timesteps)
+        batch.timesteps = timesteps
+        del shift  # scheduler carries the shift from pipeline init
+
+        b = latents.shape[0]
+        fps = float(batch.fps or 16)
+        step, state = self._get_step()
+        for t in timesteps:
+            # model units: t * 0.001 (reference :1090)
+            t_model = jnp.full((b, 1), float(t) * 0.001, jnp.float32)
+            pred = step(state, latents.astype(target_dtype), pos_ctx,
+                        t_model, fps).astype(jnp.float32)
+            if do_cfg:
+                upred = step(state, latents.astype(target_dtype), neg_ctx,
+                             t_model, fps).astype(jnp.float32)
+                v = upred + guidance * (pred - upred)
+            else:
+                v = pred
+            latents = self.scheduler.step(v, float(t),
+                                          latents).prev_sample.astype(
+                                              jnp.float32)
+        batch.latents = latents
+        return batch

@@ -133,6 +133,11 @@ def _register_builtin() -> None:
 
     from fastvideo_tpu.configs.pipelines import cosmos as cosmos_cfg
 
+    register_config(frag("cosmos-predict2.5"), cosmos_cfg.Cosmos25Config,
+                    priority=12)
+    register_config(frag("cosmos2.5"), cosmos_cfg.Cosmos25Config,
+                    priority=12)
+
     register_config(frag("cosmos"), cosmos_cfg.CosmosConfig, priority=2)
 
 

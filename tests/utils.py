@@ -954,3 +954,90 @@ def make_tiny_kandinsky5_checkpoint(root: str, seed: int = 0) -> str:
             "shift": 5.0,
         }, fh)
     return root
+
+
+TINY_COSMOS25_DIT = dict(in_channels=4, out_channels=4,
+                         num_attention_heads=2, attention_head_dim=12,
+                         num_layers=1, mlp_ratio=2.0, text_embed_dim=24,
+                         adaln_lora_dim=8, patch_size=[1, 2, 2],
+                         max_size=[16, 32, 32], rope_scale=[1.0, 1.0, 1.0],
+                         use_crossattn_projection=True,
+                         crossattn_proj_in_channels=128)
+
+
+def make_tiny_cosmos25_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny random-weight Cosmos-Predict2.5 checkpoint.
+
+    crossattn_proj_in_channels = (num_layers+2) * hidden of the tiny Qwen
+    (Reason1 full-concat stacks every hidden state: (2 layers + embed +
+    final) * 32 = 128).
+    """
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.models.dits.cosmos2_5 import (
+        Cosmos25ArchConfig, Cosmos25Transformer3DModel)
+    from fastvideo_tpu.configs.models.vaes.wan import WanVAEArchConfig
+    from fastvideo_tpu.models.encoders.qwen2_5 import (Qwen2ArchConfig,
+                                                       Qwen2EncoderModel)
+    from fastvideo_tpu.models.vaes.wan import AutoencoderKLWan
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump({
+            "_class_name": "Cosmos2_5Pipeline",
+            "_diffusers_version": "0.33.0",
+            "scheduler": ["diffusers", "FlowMatchEulerDiscreteScheduler"],
+            "text_encoder": ["transformers", "Qwen2Model"],
+            "tokenizer": ["transformers", "PreTrainedTokenizerFast"],
+            "transformer": ["diffusers", "Cosmos25Transformer3DModel"],
+            "vae": ["diffusers", "AutoencoderKLWan"],
+        }, fh)
+
+    tdir = os.path.join(root, "transformer")
+    os.makedirs(tdir, exist_ok=True)
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "Cosmos25Transformer3DModel",
+                   **TINY_COSMOS25_DIT}, fh)
+    arch = Cosmos25ArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_COSMOS25_DIT.items()})
+    dit = Cosmos25Transformer3DModel(arch, param_dtype=jnp.float32,
+                                     rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+
+    vdir = os.path.join(root, "vae")
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "AutoencoderKLWan", **TINY_VAE}, fh)
+    varch = WanVAEArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_VAE.items()})
+    vae = AutoencoderKLWan(varch, param_dtype=jnp.float32,
+                           rngs=nnx.Rngs(seed + 1))
+    _save_safetensors(os.path.join(vdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(vae))
+
+    edir = os.path.join(root, "text_encoder")
+    os.makedirs(edir, exist_ok=True)
+    with open(os.path.join(edir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["Qwen2Model"], **TINY_QWEN}, fh)
+    qwen = Qwen2EncoderModel(Qwen2ArchConfig(**TINY_QWEN),
+                             param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 2))
+    _save_safetensors(os.path.join(edir, "model.safetensors"),
+                      _export_torch_layout(qwen))
+
+    _make_tokenizer(os.path.join(root, "tokenizer"),
+                    TINY_QWEN["vocab_size"])
+    sdir = os.path.join(root, "scheduler")
+    os.makedirs(sdir, exist_ok=True)
+    with open(os.path.join(sdir, "scheduler_config.json"), "w") as fh:
+        json.dump({
+            "_class_name": "FlowMatchEulerDiscreteScheduler",
+            "num_train_timesteps": 1000,
+            "shift": 5.0,
+        }, fh)
+    return root
