@@ -45,6 +45,9 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "MiniTrainDIT":
     ("fastvideo_tpu.models.dits.cosmos2_5", "Cosmos25Transformer3DModel",
      "fastvideo_tpu.models.dits.cosmos2_5:Cosmos25ArchConfig"),
+    "LTX2Transformer3DModel":
+    ("fastvideo_tpu.models.dits.ltx2", "LTX2Transformer3DModel",
+     "fastvideo_tpu.models.dits.ltx2:LTX2ArchConfig"),
     "Kandinsky5Transformer3DModel":
     ("fastvideo_tpu.models.dits.kandinsky5", "Kandinsky5Transformer3DModel",
      "fastvideo_tpu.models.dits.kandinsky5:Kandinsky5ArchConfig"),
