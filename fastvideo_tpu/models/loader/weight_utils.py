@@ -27,6 +27,7 @@ from fastvideo_tpu.layers.linear import Linear
 from fastvideo_tpu.logger import init_logger
 from fastvideo_tpu.models.vaes.autoencoder_kl import Conv2d
 from fastvideo_tpu.models.vaes.hunyuan import Conv1x1, HYCausalConv3d
+from fastvideo_tpu.models.vaes.ltx2 import LTXCausalConv3d
 from fastvideo_tpu.models.vaes.wan import CausalConv3d
 
 logger = init_logger(__name__)
@@ -88,8 +89,8 @@ def assign_param(model: nnx.Module, target_name: str, value: np.ndarray,
                 f"Unexpected conv2d weight rank {value.ndim} for "
                 f"{target_name}")
         value = value.transpose(2, 3, 1, 0)  # torch OIHW -> HWIO
-    elif isinstance(owner, (CausalConv3d, HYCausalConv3d, Conv1x1)) \
-            and leaf == "weight":
+    elif isinstance(owner, (CausalConv3d, HYCausalConv3d, Conv1x1,
+                            LTXCausalConv3d)) and leaf == "weight":
         param = owner.weight
         if value.ndim == 5:
             # torch OIDHW -> DHWIO

@@ -63,6 +63,9 @@ _VAE_REGISTRY: dict[str, tuple[str, str, str]] = {
     "AutoencoderKL":
     ("fastvideo_tpu.models.vaes.autoencoder_kl", "AutoencoderKL",
      "fastvideo_tpu.models.vaes.autoencoder_kl:AutoencoderKLArchConfig"),
+    "LTX2CausalVideoAutoencoder":
+    ("fastvideo_tpu.models.vaes.ltx2", "LTX2CausalVideoAutoencoder",
+     "fastvideo_tpu.models.vaes.ltx2:LTX2VAEArchConfig"),
     "AutoencoderKLFlux2":
     ("fastvideo_tpu.models.vaes.flux2", "AutoencoderKLFlux2",
      "fastvideo_tpu.models.vaes.flux2:Flux2VAEArchConfig"),
