@@ -27,7 +27,7 @@ from fastvideo_tpu.layers.linear import Linear
 from fastvideo_tpu.logger import init_logger
 from fastvideo_tpu.models.vaes.autoencoder_kl import Conv2d
 from fastvideo_tpu.models.vaes.hunyuan import Conv1x1, HYCausalConv3d
-from fastvideo_tpu.models.vaes.ltx2 import LTXCausalConv3d
+from fastvideo_tpu.models.vaes.ltx2 import LTXCausalConv3d, LTXConv1x1
 from fastvideo_tpu.models.vaes.wan import CausalConv3d
 
 logger = init_logger(__name__)
@@ -111,6 +111,17 @@ def assign_param(model: nnx.Module, target_name: str, value: np.ndarray,
         else:
             raise ValueError(
                 f"Unexpected linear weight rank {value.ndim} for "
+                f"{target_name}")
+    elif isinstance(owner, LTXConv1x1) and leaf == "weight":
+        param = owner.weight
+        if value.ndim == 5:
+            # torch 1x1x1 Conv3d [out, in, 1, 1, 1] -> [in, out]
+            value = value.reshape(value.shape[0], value.shape[1]).T
+        elif value.ndim == 2:
+            value = value.T
+        else:
+            raise ValueError(
+                f"Unexpected 1x1 conv weight rank {value.ndim} for "
                 f"{target_name}")
     elif isinstance(owner, Linear) and leaf == "bias":
         param = owner.bias

@@ -69,13 +69,26 @@ class LTX2VAEArchConfig(VAEArchConfig):
     causal_decoder: bool = False
     scaling_factor: float = 1.0
 
+    _SPATIAL_STRIDES = {"compress_all": 2, "compress_space": 2,
+                        "compress_all_res": 2, "compress_space_res": 2,
+                        "compress_all_x_y": 2}
+    _TEMPORAL_STRIDES = {"compress_all": 2, "compress_time": 2,
+                         "compress_all_res": 2, "compress_time_res": 2,
+                         "compress_all_x_y": 2}
+
     @property
     def spatial_compression_ratio(self) -> int:
-        return 32
+        r = self.patch_size
+        for name, _ in self.encoder_blocks:
+            r *= self._SPATIAL_STRIDES.get(name, 1)
+        return r
 
     @property
     def temporal_compression_ratio(self) -> int:
-        return 8
+        r = 1
+        for name, _ in self.encoder_blocks:
+            r *= self._TEMPORAL_STRIDES.get(name, 1)
+        return r
 
     @property
     def z_dim(self) -> int:

@@ -46,6 +46,8 @@ _PIPELINES: dict[str, str] = {
     "Kandinsky5T2VPipeline":
     "fastvideo_tpu.pipelines.basic.kandinsky5.kandinsky5_pipeline:"
     "Kandinsky5Pipeline",
+    "LTX2Pipeline":
+    "fastvideo_tpu.pipelines.basic.ltx2.ltx2_pipeline:LTX2Pipeline",
     "Cosmos2_5Pipeline":
     "fastvideo_tpu.pipelines.basic.cosmos.cosmos_pipeline:Cosmos2_5Pipeline",
     "TurboDiffusionPipeline":

@@ -133,6 +133,11 @@ def _register_builtin() -> None:
 
     from fastvideo_tpu.configs.pipelines import cosmos as cosmos_cfg
 
+    from fastvideo_tpu.configs.pipelines import ltx2 as ltx2_cfg
+
+    register_config(frag("ltx-2"), ltx2_cfg.LTX2T2VConfig, priority=12)
+    register_config(frag("ltx2"), ltx2_cfg.LTX2T2VConfig, priority=11)
+
     register_config(frag("cosmos-predict2.5"), cosmos_cfg.Cosmos25Config,
                     priority=12)
     register_config(frag("cosmos2.5"), cosmos_cfg.Cosmos25Config,

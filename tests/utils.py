@@ -40,6 +40,7 @@ def _export_torch_layout(model) -> dict[str, np.ndarray]:
     from fastvideo_tpu.layers.linear import Linear
     from fastvideo_tpu.models.vaes.autoencoder_kl import Conv2d
     from fastvideo_tpu.models.vaes.hunyuan import Conv1x1, HYCausalConv3d
+    from fastvideo_tpu.models.vaes.ltx2 import LTXCausalConv3d, LTXConv1x1
     from fastvideo_tpu.models.vaes.wan import CausalConv3d
 
     out: dict[str, np.ndarray] = {}
@@ -68,9 +69,19 @@ def _export_torch_layout(model) -> dict[str, np.ndarray]:
                 w = np.asarray(child.weight.value)  # DHWIO
                 out[f"{path}.conv.weight"] = w.transpose(4, 3, 0, 1, 2)
                 out[f"{path}.conv.bias"] = np.asarray(child.bias.value)
+            elif isinstance(child, LTXCausalConv3d):
+                # HF layout wraps nn.Conv3d in `.conv` (the LTX2 VAE
+                # mapping strips it back on load)
+                w = np.asarray(child.weight.value)  # DHWIO
+                out[f"{path}.conv.weight"] = w.transpose(4, 3, 0, 1, 2)
+                out[f"{path}.conv.bias"] = np.asarray(child.bias.value)
             elif isinstance(child, (CausalConv3d, Conv1x1)):
                 w = np.asarray(child.weight.value)  # DHWIO
                 out[f"{path}.weight"] = w.transpose(4, 3, 0, 1, 2)
+                out[f"{path}.bias"] = np.asarray(child.bias.value)
+            elif isinstance(child, LTXConv1x1):
+                w = np.asarray(child.weight.value)  # [in, out]
+                out[f"{path}.weight"] = w.T[..., None, None, None]
                 out[f"{path}.bias"] = np.asarray(child.bias.value)
             elif isinstance(child, Conv2d):
                 w = np.asarray(child.weight.value)  # HWIO -> OIHW
@@ -1040,4 +1051,104 @@ def make_tiny_cosmos25_checkpoint(root: str, seed: int = 0) -> str:
             "num_train_timesteps": 1000,
             "shift": 5.0,
         }, fh)
+    return root
+
+
+TINY_LTX2_DIT = dict(num_attention_heads=2, attention_head_dim=8,
+                     in_channels=8, out_channels=8, num_layers=1,
+                     cross_attention_dim=16, caption_channels=32,
+                     audio_num_attention_heads=2,
+                     audio_attention_head_dim=8,
+                     # audio tokens flatten (channels * mel) = 8 * 16
+                     audio_in_channels=128, audio_out_channels=128,
+                     audio_cross_attention_dim=16, rope_type="split")
+TINY_LTX2_VAE = dict(latent_channels=8, patch_size=2,
+                     encoder_blocks=[["res_x", {"num_layers": 1}],
+                                     ["compress_all_res",
+                                      {"multiplier": 2}],
+                                     ["res_x", {"num_layers": 1}]],
+                     decoder_blocks=[["res_x", {"num_layers": 1}],
+                                     ["compress_all",
+                                      {"residual": True, "multiplier": 2}],
+                                     ["res_x", {"num_layers": 1}]],
+                     causal_decoder=False, timestep_conditioning=True)
+TINY_GEMMA = dict(vocab_size=128, hidden_size=32, intermediate_size=48,
+                  num_hidden_layers=2, num_attention_heads=2,
+                  num_key_value_heads=1, head_dim=16,
+                  max_position_embeddings=512)
+
+
+def make_tiny_ltx2_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny random-weight LTX-2 checkpoint (diffusers layout).
+
+    caption_channels must equal the Gemma hidden size (32; the
+    connector-less text path feeds hidden states directly).
+    """
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.models.dits.ltx2 import (LTX2ArchConfig,
+                                                LTX2Transformer3DModel)
+    from fastvideo_tpu.models.encoders.gemma import (GemmaArchConfig,
+                                                     GemmaEncoderModel)
+    from fastvideo_tpu.models.vaes.ltx2 import (LTX2CausalVideoAutoencoder,
+                                                LTX2VAEArchConfig)
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump({
+            "_class_name": "LTX2Pipeline",
+            "_diffusers_version": "0.33.0",
+            "scheduler": ["diffusers", "FlowMatchEulerDiscreteScheduler"],
+            "text_encoder": ["transformers", "GemmaModel"],
+            "tokenizer": ["transformers", "PreTrainedTokenizerFast"],
+            "transformer": ["diffusers", "LTX2Transformer3DModel"],
+            "vae": ["diffusers", "LTX2CausalVideoAutoencoder"],
+        }, fh)
+
+    tdir = os.path.join(root, "transformer")
+    os.makedirs(tdir, exist_ok=True)
+    dit_cfg = dict(TINY_LTX2_DIT)
+    dit_cfg["caption_channels"] = TINY_GEMMA["hidden_size"]
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "LTX2Transformer3DModel", **dit_cfg}, fh)
+    arch = LTX2ArchConfig(**dit_cfg)
+    dit = LTX2Transformer3DModel(arch, param_dtype=jnp.float32,
+                                 rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+
+    vdir = os.path.join(root, "vae")
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "LTX2CausalVideoAutoencoder",
+                   **TINY_LTX2_VAE}, fh)
+    varch = LTX2VAEArchConfig(**{
+        k: (tuple((n, dict(p)) for n, p in v)
+            if k.endswith("_blocks") else v)
+        for k, v in TINY_LTX2_VAE.items()})
+    vae = LTX2CausalVideoAutoencoder(varch, param_dtype=jnp.float32,
+                                     rngs=nnx.Rngs(seed + 1))
+    _save_safetensors(os.path.join(vdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(vae))
+
+    edir = os.path.join(root, "text_encoder")
+    os.makedirs(edir, exist_ok=True)
+    with open(os.path.join(edir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["GemmaModel"], **TINY_GEMMA}, fh)
+    enc = GemmaEncoderModel(GemmaArchConfig(**TINY_GEMMA),
+                            param_dtype=jnp.float32,
+                            rngs=nnx.Rngs(seed + 2))
+    _save_safetensors(os.path.join(edir, "model.safetensors"),
+                      _export_torch_layout(enc))
+
+    _make_tokenizer(os.path.join(root, "tokenizer"),
+                    TINY_GEMMA["vocab_size"])
+    sdir = os.path.join(root, "scheduler")
+    os.makedirs(sdir, exist_ok=True)
+    with open(os.path.join(sdir, "scheduler_config.json"), "w") as fh:
+        json.dump({"_class_name": "FlowMatchEulerDiscreteScheduler",
+                   "num_train_timesteps": 1000}, fh)
     return root
