@@ -102,9 +102,9 @@ class Hunyuan15T2V480PConfig(PipelineConfig):
 
 @dataclasses.dataclass
 class Hunyuan15T2V720PConfig(Hunyuan15T2V480PConfig):
-    """720p preset: higher shift (reference hunyuan15.py:137-160)."""
+    """720p preset: higher shift (reference hunyuan15.py:128-133)."""
 
-    flow_shift: float = 7.0
+    flow_shift: float = 9.0
 
 
 @dataclasses.dataclass
@@ -112,3 +112,21 @@ class Hunyuan15I2V480PConfig(Hunyuan15T2V480PConfig):
     """I2V task: SigLIP image embeds + latent-channel condition concat."""
 
     i2v_task: bool = True
+
+
+@dataclasses.dataclass
+class Hunyuan15I2V720PConfig(Hunyuan15I2V480PConfig):
+    """720p I2V (reference hunyuan15.py:136-141)."""
+
+    flow_shift: float = 7.0
+
+
+@dataclasses.dataclass
+class Hunyuan15SR1080PConfig(Hunyuan15T2V480PConfig):
+    """Two-pass SR preset (reference hunyuan15.py:144-153): base denoise
+    at 720p (shift 7), SR refinement pass at shift 2 on transformer_2
+    conditioned on the upsampled low-res latents."""
+
+    flow_shift: float = 7.0
+    flow_shift_sr: float = 2.0
+    upsampler_precision: str = "fp32"

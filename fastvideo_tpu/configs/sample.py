@@ -55,6 +55,11 @@ class SamplingParam:
     # distilled sampling
     dmd_denoising_steps: list[int] | None = None
 
+    # two-pass super-resolution (hy1.5 SR)
+    height_sr: int | None = None
+    width_sr: int | None = None
+    num_inference_steps_sr: int | None = None
+
     # output
     return_frames: bool = False
     save_video: bool = True

@@ -137,6 +137,9 @@ class VideoGenerator:
             guidance_scale=param.guidance_scale,
             guidance_rescale=param.guidance_rescale,
             dmd_denoising_steps=dmd_steps,
+            height_sr=param.height_sr,
+            width_sr=param.width_sr,
+            num_inference_steps_sr=param.num_inference_steps_sr or 10,
             save_video=param.save_video,
             return_frames=param.return_frames,
             return_trajectory_latents=param.return_trajectory_latents,

@@ -118,6 +118,13 @@ class PipelineComponentLoader:
                     fastvideo_args=None):
         if module_name in ("transformer", "transformer_2"):
             cfg = pipeline_config.dit_config
+            if module_name == "transformer_2":
+                import copy
+
+                # the SR / second expert may have a different architecture
+                # (e.g. hy1.5 SR in_channels): don't clobber the primary
+                # dit_config's arch with it.
+                cfg = copy.copy(cfg)
             return load_model_component(
                 component_dir, precision=pipeline_config.precision,
                 model_config=cfg)
@@ -147,4 +154,25 @@ class PipelineComponentLoader:
                 model_config=pipeline_config.image_encoder_config)
         if module_name == "image_processor":
             return None
+        if module_name == "upsampler":
+            # hy1.5 latent SR refiners (reference component_loader.py
+            # UpsamplerLoader); plain-dataclass configs, fp32 weights.
+            from fastvideo_tpu.models.upsamplers import hunyuan15 as ups
+
+            hf = dict(load_json_config(
+                os.path.join(component_dir, "config.json")))
+            cls_name = hf.pop("_class_name", "SRTo720pUpsampler")
+            model_cls = getattr(ups, cls_name)
+            cfg_cls = getattr(ups, cls_name + "Config")
+            valid = {f.name for f in dataclasses.fields(cfg_cls)}
+            cfg = cfg_cls(**{
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in hf.items() if k in valid})
+            model = model_cls(cfg, param_dtype=jnp.float32, rngs=nnx.Rngs(0))
+            n = load_weights(model, iterate_safetensors(component_dir),
+                             ups.HY15_UPSAMPLER_PARAM_NAMES_MAPPING,
+                             dtype=jnp.float32)
+            logger.info("Loaded %d tensors for %s from %s", n, cls_name,
+                        component_dir)
+            return model
         raise ValueError(f"Unknown pipeline module {module_name!r}")

@@ -17,6 +17,7 @@ from fastvideo_tpu.pipelines.stages.decoding import DecodingStage
 from fastvideo_tpu.pipelines.stages.denoising import DenoisingStage
 from fastvideo_tpu.pipelines.stages.image_encoding import (
     Hy15ImageEncodingStage)
+from fastvideo_tpu.pipelines.stages.base import PipelineStage
 from fastvideo_tpu.pipelines.stages.input_validation import (
     InputValidationStage)
 from fastvideo_tpu.pipelines.stages.latent_preparation import (
@@ -85,6 +86,60 @@ class HunyuanVideo15I2VPipeline(HunyuanVideo15Pipeline):
         "text_encoder", "text_encoder_2", "tokenizer", "tokenizer_2",
         "image_encoder", "vae", "transformer", "scheduler"
     ]
+
+
+class _SRHandoffStage(PipelineStage):
+    """Move the base-pass latents into ``lq_latents`` and switch the
+    batch geometry to the SR grid (reference hunyuan15_sr_pipeline.py
+    :102-107 does this inline in forward)."""
+
+    def forward(self, batch, fastvideo_args):
+        batch.lq_latents = batch.latents
+        batch.latents = None
+        batch.image_latent = None
+        if batch.height_sr:
+            batch.height = batch.height_sr
+        if batch.width_sr:
+            batch.width = batch.width_sr
+        return batch
+
+
+class HunyuanVideo15SRPipeline(HunyuanVideo15Pipeline):
+    """Two-pass SR pipeline (reference hunyuan15_sr_pipeline.py:24-121):
+    base denoise at (height, width), then an SR refinement pass on
+    ``transformer_2`` conditioned on the upsampled low-res latents."""
+
+    _required_config_modules = [
+        "text_encoder", "text_encoder_2", "tokenizer", "tokenizer_2",
+        "vae", "transformer", "transformer_2", "scheduler", "upsampler"
+    ]
+
+    def create_pipeline_stages(self, fastvideo_args: FastVideoArgs) -> None:
+        from fastvideo_tpu.pipelines.stages.sr_denoising import (
+            Hy15SRDenoisingStage)
+
+        super().create_pipeline_stages(fastvideo_args)
+        cfg = self.pipeline_config
+        # re-order: the decode stage must run after the SR pass
+        decoding = self._stages.pop()
+        self.add_stage("sr_handoff_stage", _SRHandoffStage())
+        self.add_stage(
+            "sr_latent_preparation_stage",
+            LatentPreparationStage(self.get_module("scheduler"),
+                                   self.get_module("transformer_2"),
+                                   cfg.vae_config))
+        self.add_stage(
+            "sr_image_encoding_stage",
+            Hy15ImageEncodingStage(
+                image_encoder=self.modules.get("image_encoder"),
+                vae=self.modules.get("vae"),
+                vae_config=cfg.vae_config))
+        self.add_stage(
+            "sr_denoising_stage",
+            Hy15SRDenoisingStage(self.get_module("transformer_2"),
+                                 self.get_module("scheduler"),
+                                 self.get_module("upsampler"), cfg))
+        self._stages.append(decoding)
 
 
 EntryClass = HunyuanVideo15Pipeline

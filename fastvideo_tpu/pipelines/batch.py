@@ -92,6 +92,14 @@ class ForwardBatch:
     # TI2V (Wan2.2 5B) expanded per-token timesteps
     ti2v_task: bool = False
 
+    # super-resolution second pass (hy1.5 SR; reference
+    # pipeline_batch_info.py:131,170-182)
+    lq_latents: Array | None = None
+    video_latent: Array | None = None
+    height_sr: int | None = None
+    width_sr: int | None = None
+    num_inference_steps_sr: int = 10
+
     # free-form extensions
     extra: dict[str, Any] = dataclasses.field(default_factory=dict)
     logging_info: PipelineLoggingInfo = dataclasses.field(

@@ -29,6 +29,9 @@ _PIPELINES: dict[str, str] = {
     "HunyuanVideo15ImageToVideoPipeline":
     "fastvideo_tpu.pipelines.basic.hunyuan15.hunyuan15_pipeline:"
     "HunyuanVideo15I2VPipeline",
+    "HunyuanVideo15SRPipeline":
+    "fastvideo_tpu.pipelines.basic.hunyuan15.hunyuan15_pipeline:"
+    "HunyuanVideo15SRPipeline",
     "SD35Pipeline":
     "fastvideo_tpu.pipelines.basic.sd35.sd35_pipeline:SD35Pipeline",
     "StableDiffusion3Pipeline":

@@ -80,12 +80,16 @@ class DenoisingStage(PipelineStage):
 
         @functools.partial(jax.jit, static_argnames=("image_cond",))
         def step_fn(state, latents, ctx, t, image_embeds=None,
-                    image_cond: bool = False, guidance=None):
+                    image_cond: bool = False, guidance=None,
+                    timestep_r=None):
             m = nnx.merge(graphdef, state)
             kwargs = {}
             if guidance is not None:
                 # Hunyuan-style distilled embedded guidance
                 kwargs["guidance"] = guidance
+            if timestep_r is not None:
+                # meanflow next-step timestep (hy1.5 SR / step-distilled)
+                kwargs["timestep_r"] = timestep_r
             return m(latents, ctx, t,
                      encoder_hidden_states_image=(image_embeds
                                                   if image_cond else None),

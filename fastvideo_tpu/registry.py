@@ -93,8 +93,12 @@ def _register_builtin() -> None:
 
     register_config(frag("hunyuanvideo-1.5", "720"),
                     hy15_cfg.Hunyuan15T2V720PConfig, priority=12)
+    register_config(frag("hunyuanvideo-1.5", "i2v", "720"),
+                    hy15_cfg.Hunyuan15I2V720PConfig, priority=13)
     register_config(frag("hunyuanvideo-1.5", "i2v"),
                     hy15_cfg.Hunyuan15I2V480PConfig, priority=12)
+    register_config(frag("hunyuanvideo-1.5", "sr"),
+                    hy15_cfg.Hunyuan15SR1080PConfig, priority=13)
     register_config(frag("hunyuanvideo-1.5"),
                     hy15_cfg.Hunyuan15T2V480PConfig, priority=11)
 

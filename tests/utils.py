@@ -666,7 +666,8 @@ TINY_SIGLIP = dict(hidden_size=32, intermediate_size=48,
 
 
 def make_tiny_hunyuan15_checkpoint(root: str, seed: int = 0,
-                                   i2v: bool = False) -> str:
+                                   i2v: bool = False,
+                                   sr: bool = False) -> str:
     """Tiny random-weight HunyuanVideo-1.5 checkpoint (diffusers layout).
 
     in_channels = latent(4) + cond(4) + mask(1) = 9: the hy1.5 DiT always
@@ -689,7 +690,8 @@ def make_tiny_hunyuan15_checkpoint(root: str, seed: int = 0,
 
     os.makedirs(root, exist_ok=True)
     index = {
-        "_class_name": ("HunyuanVideo15ImageToVideoPipeline"
+        "_class_name": ("HunyuanVideo15SRPipeline" if sr else
+                        "HunyuanVideo15ImageToVideoPipeline"
                         if i2v else "HunyuanVideo15Pipeline"),
         "_diffusers_version": "0.33.0",
         "scheduler": ["diffusers", "FlowMatchEulerDiscreteScheduler"],
@@ -702,6 +704,10 @@ def make_tiny_hunyuan15_checkpoint(root: str, seed: int = 0,
     }
     if i2v:
         index["image_encoder"] = ["transformers", "SiglipVisionModel"]
+    if sr:
+        index["transformer_2"] = ["diffusers",
+                                  "HunyuanVideo15Transformer3DModel"]
+        index["upsampler"] = ["diffusers", "SRTo720pUpsampler"]
     with open(os.path.join(root, "model_index.json"), "w") as fh:
         json.dump(index, fh)
 
@@ -718,6 +724,39 @@ def make_tiny_hunyuan15_checkpoint(root: str, seed: int = 0,
     _save_safetensors(os.path.join(tdir,
                                    "diffusion_pytorch_model.safetensors"),
                       _export_torch_layout(dit))
+
+    if sr:
+        from fastvideo_tpu.models.upsamplers.hunyuan15 import (
+            SRTo720pUpsampler, SRTo720pUpsamplerConfig)
+
+        # SR expert: latent(4) + cond(4+1) + lq(4+1) = 14 input channels
+        sr_dit_cfg = dict(TINY_HY15_DIT, in_channels=14)
+        t2dir = os.path.join(root, "transformer_2")
+        os.makedirs(t2dir, exist_ok=True)
+        with open(os.path.join(t2dir, "config.json"), "w") as fh:
+            json.dump({"_class_name": "HunyuanVideo15Transformer3DModel",
+                       **sr_dit_cfg}, fh)
+        arch2 = HunyuanVideo15ArchConfig(**{
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in sr_dit_cfg.items()})
+        dit2 = HunyuanVideo15Transformer3DModel(
+            arch2, param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 7))
+        _save_safetensors(
+            os.path.join(t2dir, "diffusion_pytorch_model.safetensors"),
+            _export_torch_layout(dit2))
+
+        ups_cfg = dict(in_channels=4, out_channels=4, hidden_channels=8,
+                       num_blocks=1, global_residual=True)
+        udir = os.path.join(root, "upsampler")
+        os.makedirs(udir, exist_ok=True)
+        with open(os.path.join(udir, "config.json"), "w") as fh:
+            json.dump({"_class_name": "SRTo720pUpsampler", **ups_cfg}, fh)
+        upsampler = SRTo720pUpsampler(SRTo720pUpsamplerConfig(**ups_cfg),
+                                      param_dtype=jnp.float32,
+                                      rngs=nnx.Rngs(seed + 8))
+        _save_safetensors(
+            os.path.join(udir, "diffusion_pytorch_model.safetensors"),
+            _export_torch_layout(upsampler))
 
     vdir = os.path.join(root, "vae")
     os.makedirs(vdir, exist_ok=True)
