@@ -24,6 +24,14 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     ("fastvideo_tpu.models.dits.hunyuan15",
      "HunyuanVideo15Transformer3DModel",
      "fastvideo_tpu.configs.models.dits.hunyuan15:HunyuanVideo15ArchConfig"),
+    "HunyuanGameCraftTransformer3DModel":
+    ("fastvideo_tpu.models.dits.hunyuangamecraft",
+     "HunyuanGameCraftTransformer3DModel",
+     "fastvideo_tpu.configs.models.dits.hunyuangamecraft:"
+     "HunyuanGameCraftArchConfig"),
+    "LongCatTransformer3DModel":
+    ("fastvideo_tpu.models.dits.longcat", "LongCatTransformer3DModel",
+     "fastvideo_tpu.configs.models.dits.longcat:LongCatArchConfig"),
     "WanModel":
     ("fastvideo_tpu.models.dits.wan", "WanTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.wan:WanArchConfig"),

@@ -32,6 +32,9 @@ _PIPELINES: dict[str, str] = {
     "HunyuanVideo15SRPipeline":
     "fastvideo_tpu.pipelines.basic.hunyuan15.hunyuan15_pipeline:"
     "HunyuanVideo15SRPipeline",
+    "HunyuanGameCraftPipeline":
+    "fastvideo_tpu.pipelines.basic.gamecraft.gamecraft_pipeline:"
+    "HunyuanGameCraftPipeline",
     "SD35Pipeline":
     "fastvideo_tpu.pipelines.basic.sd35.sd35_pipeline:SD35Pipeline",
     "StableDiffusion3Pipeline":

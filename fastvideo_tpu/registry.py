@@ -89,6 +89,12 @@ def _register_builtin() -> None:
                     priority=10)
     register_config(frag("hunyuan"), hy_cfg.HunyuanConfig, priority=1)
 
+    from fastvideo_tpu.configs.pipelines.hunyuangamecraft import (
+        HunyuanGameCraftPipelineConfig)
+
+    register_config(frag("gamecraft"), HunyuanGameCraftPipelineConfig,
+                    priority=12)
+
     from fastvideo_tpu.configs.pipelines import hunyuan15 as hy15_cfg
 
     register_config(frag("hunyuanvideo-1.5", "720"),

@@ -271,8 +271,13 @@ TINY_CLIP_TEXT = dict(vocab_size=128, hidden_size=16, intermediate_size=32,
                       max_position_embeddings=77, eos_token_id=1)
 
 
-def make_tiny_hunyuan_checkpoint(root: str, seed: int = 0) -> str:
-    """Tiny random-weight HunyuanVideo checkpoint (diffusers layout)."""
+def make_tiny_hunyuan_checkpoint(root: str, seed: int = 0,
+                                 gamecraft: bool = False) -> str:
+    """Tiny random-weight HunyuanVideo checkpoint (diffusers layout).
+
+    ``gamecraft=True`` swaps the DiT for HunyuanGameCraft (9 = 4 latent
+    + 4 gt + 1 mask input channels, CameraNet, no embedded guidance).
+    """
     import jax.numpy as jnp
     from flax import nnx
 
@@ -287,31 +292,59 @@ def make_tiny_hunyuan_checkpoint(root: str, seed: int = 0) -> str:
     from fastvideo_tpu.models.vaes.hunyuan import (AutoencoderKLHunyuanVideo,
                                                    HunyuanVAEArchConfig)
 
+    dit_class = ("HunyuanGameCraftTransformer3DModel" if gamecraft
+                 else "HunyuanVideoTransformer3DModel")
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, "model_index.json"), "w") as fh:
         json.dump({
-            "_class_name": "HunyuanVideoPipeline",
+            "_class_name": ("HunyuanGameCraftPipeline" if gamecraft
+                            else "HunyuanVideoPipeline"),
             "_diffusers_version": "0.33.0",
             "scheduler": ["diffusers", "FlowMatchEulerDiscreteScheduler"],
             "text_encoder": ["transformers", "LlamaModel"],
             "text_encoder_2": ["transformers", "CLIPTextModel"],
             "tokenizer": ["transformers", "PreTrainedTokenizerFast"],
             "tokenizer_2": ["transformers", "PreTrainedTokenizerFast"],
-            "transformer": ["diffusers", "HunyuanVideoTransformer3DModel"],
+            "transformer": ["diffusers", dit_class],
             "vae": ["diffusers", "AutoencoderKLHunyuanVideo"],
         }, fh)
 
     tdir = os.path.join(root, "transformer")
     os.makedirs(tdir, exist_ok=True)
+    dit_kwargs = dict(TINY_HY_DIT)
+    if gamecraft:
+        dit_kwargs.update(in_channels=9, out_channels=4,
+                          guidance_embeds=False, camera_in_channels=6,
+                          camera_downscale_coef=8)
     with open(os.path.join(tdir, "config.json"), "w") as fh:
-        json.dump({"_class_name": "HunyuanVideoTransformer3DModel",
-                   **TINY_HY_DIT}, fh)
-    arch = HunyuanVideoArchConfig(**{
-        k: tuple(v) if isinstance(v, list) else v
-        for k, v in TINY_HY_DIT.items()
-    })
-    dit = HunyuanVideoTransformer3DModel(arch, param_dtype=jnp.float32,
-                                         rngs=nnx.Rngs(seed))
+        json.dump({"_class_name": dit_class, **dit_kwargs}, fh)
+    if gamecraft:
+        from fastvideo_tpu.configs.models.dits.hunyuangamecraft import (
+            HunyuanGameCraftArchConfig)
+        from fastvideo_tpu.models.dits.hunyuangamecraft import (
+            HunyuanGameCraftTransformer3DModel)
+
+        arch = HunyuanGameCraftArchConfig(**{
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in dit_kwargs.items()
+        })
+        dit = HunyuanGameCraftTransformer3DModel(
+            arch, param_dtype=jnp.float32, rngs=nnx.Rngs(seed))
+        # the reference zero-inits camera_net.final_proj (conditioning off
+        # at init); randomize it so tiny-checkpoint tests exercise a LIVE
+        # camera signal.
+        import jax as _jax
+
+        dit.camera_net.final_proj.kernel.value = 0.2 * _jax.random.normal(
+            _jax.random.PRNGKey(seed + 99),
+            dit.camera_net.final_proj.kernel.value.shape, jnp.float32)
+    else:
+        arch = HunyuanVideoArchConfig(**{
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in dit_kwargs.items()
+        })
+        dit = HunyuanVideoTransformer3DModel(arch, param_dtype=jnp.float32,
+                                             rngs=nnx.Rngs(seed))
     _save_safetensors(os.path.join(tdir,
                                    "diffusion_pytorch_model.safetensors"),
                       _export_torch_layout(dit))
