@@ -35,6 +35,11 @@ _PIPELINES: dict[str, str] = {
     "HunyuanGameCraftPipeline":
     "fastvideo_tpu.pipelines.basic.gamecraft.gamecraft_pipeline:"
     "HunyuanGameCraftPipeline",
+    "LongCatPipeline":
+    "fastvideo_tpu.pipelines.basic.longcat.longcat_pipeline:LongCatPipeline",
+    "LongCatImageToVideoPipeline":
+    "fastvideo_tpu.pipelines.basic.longcat.longcat_pipeline:"
+    "LongCatImageToVideoPipeline",
     "SD35Pipeline":
     "fastvideo_tpu.pipelines.basic.sd35.sd35_pipeline:SD35Pipeline",
     "StableDiffusion3Pipeline":

@@ -95,6 +95,15 @@ def _register_builtin() -> None:
     register_config(frag("gamecraft"), HunyuanGameCraftPipelineConfig,
                     priority=12)
 
+    from fastvideo_tpu.configs.pipelines import longcat as lc_cfg
+
+    register_config(frag("longcat", "704"), lc_cfg.LongCatT2V704PConfig,
+                    priority=13)
+    register_config(frag("longcat", "i2v"), lc_cfg.LongCatI2VConfig,
+                    priority=13)
+    register_config(frag("longcat"), lc_cfg.LongCatT2V480PConfig,
+                    priority=12)
+
     from fastvideo_tpu.configs.pipelines import hunyuan15 as hy15_cfg
 
     register_config(frag("hunyuanvideo-1.5", "720"),

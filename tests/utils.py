@@ -202,6 +202,92 @@ def make_tiny_wan_checkpoint(root: str, seed: int = 0) -> str:
     return root
 
 
+TINY_LONGCAT_DIT = dict(hidden_size=32, depth=2, num_attention_heads=2,
+                        attention_head_dim=16, in_channels=4, out_channels=4,
+                        patch_size=[1, 2, 2], mlp_ratio=2,
+                        adaln_tembed_dim=16, caption_channels=32,
+                        frequency_embedding_size=16)
+
+
+def make_tiny_longcat_checkpoint(root: str, seed: int = 0,
+                                 i2v: bool = False) -> str:
+    """Tiny random-weight LongCat-Video checkpoint (diffusers layout):
+    UMT5 text encoder + Wan VAE + LongCat DiT."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.dits.longcat import LongCatArchConfig
+    from fastvideo_tpu.configs.models.encoders.t5 import T5ArchConfig
+    from fastvideo_tpu.configs.models.vaes.wan import WanVAEArchConfig
+    from fastvideo_tpu.models.dits.longcat import LongCatTransformer3DModel
+    from fastvideo_tpu.models.encoders.t5 import T5EncoderModel
+    from fastvideo_tpu.models.vaes.wan import AutoencoderKLWan
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump({
+            "_class_name": ("LongCatImageToVideoPipeline"
+                            if i2v else "LongCatPipeline"),
+            "_diffusers_version": "0.33.0",
+            "scheduler": ["diffusers", "FlowMatchEulerDiscreteScheduler"],
+            "text_encoder": ["transformers", "UMT5EncoderModel"],
+            "tokenizer": ["transformers", "T5TokenizerFast"],
+            "transformer": ["diffusers", "LongCatTransformer3DModel"],
+            "vae": ["diffusers", "AutoencoderKLWan"],
+        }, fh)
+
+    tdir = os.path.join(root, "transformer")
+    os.makedirs(tdir, exist_ok=True)
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "LongCatTransformer3DModel",
+                   **TINY_LONGCAT_DIT}, fh)
+    arch = LongCatArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_LONGCAT_DIT.items()
+    })
+    dit = LongCatTransformer3DModel(arch, param_dtype=jnp.float32,
+                                    rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+
+    vdir = os.path.join(root, "vae")
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "AutoencoderKLWan", **TINY_VAE}, fh)
+    varch = WanVAEArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_VAE.items()
+    })
+    vae = AutoencoderKLWan(varch, param_dtype=jnp.float32,
+                           rngs=nnx.Rngs(seed + 1))
+    _save_safetensors(os.path.join(vdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(vae))
+
+    edir = os.path.join(root, "text_encoder")
+    os.makedirs(edir, exist_ok=True)
+    with open(os.path.join(edir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["UMT5EncoderModel"], **TINY_T5}, fh)
+    earch_kwargs = {k: v for k, v in TINY_T5.items() if k != "model_type"}
+    earch = T5ArchConfig(**earch_kwargs, is_umt5=True)
+    enc = T5EncoderModel(earch, param_dtype=jnp.float32,
+                         rngs=nnx.Rngs(seed + 2))
+    _save_safetensors(os.path.join(edir, "model.safetensors"),
+                      _export_torch_layout(enc))
+
+    _make_tokenizer(os.path.join(root, "tokenizer"), TINY_T5["vocab_size"])
+    sdir = os.path.join(root, "scheduler")
+    os.makedirs(sdir, exist_ok=True)
+    with open(os.path.join(sdir, "scheduler_config.json"), "w") as fh:
+        json.dump({
+            "_class_name": "FlowMatchEulerDiscreteScheduler",
+            "num_train_timesteps": 1000,
+            "shift": 1.0,
+        }, fh)
+    return root
+
+
 TINY_CLIP = dict(hidden_size=32, intermediate_size=48, num_hidden_layers=1,
                  num_attention_heads=2, image_size=28, patch_size=14,
                  num_channels=3, hidden_act="quick_gelu")
