@@ -32,6 +32,9 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "LongCatTransformer3DModel":
     ("fastvideo_tpu.models.dits.longcat", "LongCatTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.longcat:LongCatArchConfig"),
+    "ZImageTransformer2DModel":
+    ("fastvideo_tpu.models.dits.zimage", "ZImageTransformer2DModel",
+     "fastvideo_tpu.configs.models.dits.zimage:ZImageArchConfig"),
     "WanModel":
     ("fastvideo_tpu.models.dits.wan", "WanTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.wan:WanArchConfig"),

@@ -40,6 +40,8 @@ _PIPELINES: dict[str, str] = {
     "LongCatImageToVideoPipeline":
     "fastvideo_tpu.pipelines.basic.longcat.longcat_pipeline:"
     "LongCatImageToVideoPipeline",
+    "ZImagePipeline":
+    "fastvideo_tpu.pipelines.basic.zimage.zimage_pipeline:ZImagePipeline",
     "SD35Pipeline":
     "fastvideo_tpu.pipelines.basic.sd35.sd35_pipeline:SD35Pipeline",
     "StableDiffusion3Pipeline":

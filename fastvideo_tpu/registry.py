@@ -104,6 +104,11 @@ def _register_builtin() -> None:
     register_config(frag("longcat"), lc_cfg.LongCatT2V480PConfig,
                     priority=12)
 
+    from fastvideo_tpu.configs.pipelines.zimage import ZImagePipelineConfig
+
+    register_config(frag("z-image"), ZImagePipelineConfig, priority=12)
+    register_config(frag("zimage"), ZImagePipelineConfig, priority=12)
+
     from fastvideo_tpu.configs.pipelines import hunyuan15 as hy15_cfg
 
     register_config(frag("hunyuanvideo-1.5", "720"),

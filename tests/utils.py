@@ -593,6 +593,92 @@ def make_tiny_sd35_checkpoint(root: str, seed: int = 0) -> str:
     return root
 
 
+TINY_ZIMAGE_DIT = dict(all_patch_size=[2], all_f_patch_size=[1],
+                       in_channels=4, dim=48, n_layers=1,
+                       n_refiner_layers=1, n_heads=2, n_kv_heads=2,
+                       cap_feat_dim=32, axes_dims=[8, 8, 8],
+                       axes_lens=[64, 32, 32], adaln_embed_dim=32,
+                       frequency_embedding_size=16, timestep_mid_size=32,
+                       seq_multi_of=4)
+TINY_QWEN3 = dict(vocab_size=128, hidden_size=32, intermediate_size=48,
+                  num_hidden_layers=2, num_attention_heads=2,
+                  num_key_value_heads=1, head_dim=16,
+                  max_position_embeddings=2048)
+
+
+def make_tiny_zimage_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny random-weight Z-Image checkpoint (diffusers layout)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.dits.zimage import ZImageArchConfig
+    from fastvideo_tpu.models.dits.zimage import ZImageTransformer2DModel
+    from fastvideo_tpu.models.encoders.qwen3 import (Qwen3ArchConfig,
+                                                     Qwen3EncoderModel)
+    from fastvideo_tpu.models.vaes.autoencoder_kl import (
+        AutoencoderKL, AutoencoderKLArchConfig)
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump({
+            "_class_name": "ZImagePipeline",
+            "_diffusers_version": "0.33.0",
+            "scheduler": ["diffusers", "FlowMatchEulerDiscreteScheduler"],
+            "text_encoder": ["transformers", "Qwen3Model"],
+            "tokenizer": ["transformers", "PreTrainedTokenizerFast"],
+            "transformer": ["diffusers", "ZImageTransformer2DModel"],
+            "vae": ["diffusers", "AutoencoderKL"],
+        }, fh)
+
+    tdir = os.path.join(root, "transformer")
+    os.makedirs(tdir, exist_ok=True)
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "ZImageTransformer2DModel",
+                   **TINY_ZIMAGE_DIT}, fh)
+    arch = ZImageArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_ZIMAGE_DIT.items()})
+    dit = ZImageTransformer2DModel(arch, param_dtype=jnp.float32,
+                                   rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+
+    vdir = os.path.join(root, "vae")
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "AutoencoderKL", **TINY_KL_VAE}, fh)
+    varch = AutoencoderKLArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_KL_VAE.items()})
+    vae = AutoencoderKL(varch, param_dtype=jnp.float32,
+                        rngs=nnx.Rngs(seed + 1))
+    _save_safetensors(os.path.join(vdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(vae))
+
+    edir = os.path.join(root, "text_encoder")
+    os.makedirs(edir, exist_ok=True)
+    with open(os.path.join(edir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["Qwen3Model"], **TINY_QWEN3}, fh)
+    enc = Qwen3EncoderModel(Qwen3ArchConfig(**TINY_QWEN3),
+                            param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 2))
+    _save_safetensors(os.path.join(edir, "model.safetensors"),
+                      _export_torch_layout(enc))
+
+    _make_tokenizer(os.path.join(root, "tokenizer"),
+                    TINY_QWEN3["vocab_size"])
+    sdir = os.path.join(root, "scheduler")
+    os.makedirs(sdir, exist_ok=True)
+    with open(os.path.join(sdir, "scheduler_config.json"), "w") as fh:
+        json.dump({
+            "_class_name": "FlowMatchEulerDiscreteScheduler",
+            "num_train_timesteps": 1000,
+            "shift": 3.0,
+        }, fh)
+    return root
+
+
 TINY_FLUX_DIT = dict(patch_size=1, in_channels=16, num_layers=1,
                      num_single_layers=1, attention_head_dim=8,
                      num_attention_heads=2, joint_attention_dim=32,
