@@ -35,6 +35,9 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "ZImageTransformer2DModel":
     ("fastvideo_tpu.models.dits.zimage", "ZImageTransformer2DModel",
      "fastvideo_tpu.configs.models.dits.zimage:ZImageArchConfig"),
+    "MiniMaxH3Transformer3DModel":
+    ("fastvideo_tpu.models.dits.minimax_h3", "MiniMaxH3Transformer3DModel",
+     "fastvideo_tpu.configs.models.dits.minimax_h3:MiniMaxH3ArchConfig"),
     "WanModel":
     ("fastvideo_tpu.models.dits.wan", "WanTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.wan:WanArchConfig"),
@@ -157,6 +160,8 @@ _SCHEDULER_REGISTRY: dict[str, tuple[str, str]] = {
      "FlowUniPCMultistepScheduler"),
     "RCMScheduler":
     ("fastvideo_tpu.models.schedulers.scheduling_rcm", "RCMScheduler"),
+    "MiniMaxH3Scheduler":
+    ("fastvideo_tpu.models.schedulers.minimax_h3", "MiniMaxH3Scheduler"),
     "SelfForcingFlowMatchScheduler":
     ("fastvideo_tpu.models.schedulers.scheduling_self_forcing_flow_match",
      "SelfForcingFlowMatchScheduler"),
