@@ -38,6 +38,9 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "MiniMaxH3Transformer3DModel":
     ("fastvideo_tpu.models.dits.minimax_h3", "MiniMaxH3Transformer3DModel",
      "fastvideo_tpu.configs.models.dits.minimax_h3:MiniMaxH3ArchConfig"),
+    "GlmImageTransformer2DModel":
+    ("fastvideo_tpu.models.dits.glm_image", "GlmImageTransformer2DModel",
+     "fastvideo_tpu.configs.models.dits.glm_image:GlmImageArchConfig"),
     "WanModel":
     ("fastvideo_tpu.models.dits.wan", "WanTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.wan:WanArchConfig"),
