@@ -41,6 +41,13 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "GlmImageTransformer2DModel":
     ("fastvideo_tpu.models.dits.glm_image", "GlmImageTransformer2DModel",
      "fastvideo_tpu.configs.models.dits.glm_image:GlmImageArchConfig"),
+    "MagiHumanDiT":
+    ("fastvideo_tpu.models.dits.magi_human", "MagiHumanDiT",
+     "fastvideo_tpu.configs.models.dits.magi_human:MagiHumanArchConfig"),
+    "DreamXWorldTransformer3DModel":
+    ("fastvideo_tpu.models.dits.dreamx_world",
+     "DreamXWorldTransformer3DModel",
+     "fastvideo_tpu.configs.models.dits.dreamx_world:DreamXWorldArchConfig"),
     "WanModel":
     ("fastvideo_tpu.models.dits.wan", "WanTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.wan:WanArchConfig"),
