@@ -25,7 +25,9 @@ def longcat_preprocess_text(prompt: str) -> str:
     try:
         import ftfy
 
-        text = ftfy.fix_text(text)
+        fixed = ftfy.fix_text(text)
+        if isinstance(fixed, str):  # guard against test-time ftfy stubs
+            text = fixed
     except Exception:
         pass
     text = html.unescape(html.unescape(text))
