@@ -48,6 +48,9 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     ("fastvideo_tpu.models.dits.dreamx_world",
      "DreamXWorldTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.dreamx_world:DreamXWorldArchConfig"),
+    "Gen3CTransformer3DModel":
+    ("fastvideo_tpu.models.dits.gen3c", "Gen3CTransformer3DModel",
+     "fastvideo_tpu.configs.models.dits.gen3c:Gen3CArchConfig"),
     "WanModel":
     ("fastvideo_tpu.models.dits.wan", "WanTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.wan:WanArchConfig"),
