@@ -51,6 +51,12 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "Gen3CTransformer3DModel":
     ("fastvideo_tpu.models.dits.gen3c", "Gen3CTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.gen3c:Gen3CArchConfig"),
+    "StableAudioDiT":
+    ("fastvideo_tpu.models.dits.stable_audio", "StableAudioDiT",
+     "fastvideo_tpu.configs.models.dits.stable_audio:StableAudioArchConfig"),
+    "OobleckVAE":
+    ("fastvideo_tpu.models.vaes.oobleck", "OobleckVAE",
+     "fastvideo_tpu.models.vaes.oobleck:OobleckVAEArchConfig"),
     "WanModel":
     ("fastvideo_tpu.models.dits.wan", "WanTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.wan:WanArchConfig"),
