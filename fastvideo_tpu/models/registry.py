@@ -51,6 +51,9 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "Gen3CTransformer3DModel":
     ("fastvideo_tpu.models.dits.gen3c", "Gen3CTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.gen3c:Gen3CArchConfig"),
+    "HYWorldTransformer3DModel":
+    ("fastvideo_tpu.models.dits.hyworld", "HYWorldTransformer3DModel",
+     "fastvideo_tpu.configs.models.dits.hyworld:HYWorldArchConfig"),
     "StableAudioDiT":
     ("fastvideo_tpu.models.dits.stable_audio", "StableAudioDiT",
      "fastvideo_tpu.configs.models.dits.stable_audio:StableAudioArchConfig"),
