@@ -54,6 +54,11 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "HYWorldTransformer3DModel":
     ("fastvideo_tpu.models.dits.hyworld", "HYWorldTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.hyworld:HYWorldArchConfig"),
+    "LingBotVideoTransformer3DModel":
+    ("fastvideo_tpu.models.dits.lingbot_video",
+     "LingBotVideoTransformer3DModel",
+     "fastvideo_tpu.configs.models.dits.lingbot_video:"
+     "LingBotVideoArchConfig"),
     "StableAudioDiT":
     ("fastvideo_tpu.models.dits.stable_audio", "StableAudioDiT",
      "fastvideo_tpu.configs.models.dits.stable_audio:StableAudioArchConfig"),
