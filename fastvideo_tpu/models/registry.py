@@ -59,6 +59,9 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
      "LingBotVideoTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.lingbot_video:"
      "LingBotVideoArchConfig"),
+    "MatrixGame3WanModel":
+    ("fastvideo_tpu.models.dits.matrixgame3", "MatrixGame3WanModel",
+     "fastvideo_tpu.configs.models.dits.matrixgame3:MatrixGame3ArchConfig"),
     "StableAudioDiT":
     ("fastvideo_tpu.models.dits.stable_audio", "StableAudioDiT",
      "fastvideo_tpu.configs.models.dits.stable_audio:StableAudioArchConfig"),
