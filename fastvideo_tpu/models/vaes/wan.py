@@ -23,6 +23,7 @@ convolutions — with the reference's NCDHW at the public API boundary.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -32,10 +33,6 @@ from flax import nnx
 from fastvideo_tpu.configs.models.vaes.wan import WanVAEArchConfig
 
 Array = jax.Array
-
-# See CausalConv3d.__call__; flip to experiment with temporal-tap conv
-# decomposition.
-TEMPORAL_TAP_DECOMPOSE = False
 
 
 class StreamCache:
@@ -117,29 +114,53 @@ class CausalConv3d(nnx.Module):
                 tail = jnp.pad(
                     tail, ((0, 0), (need - tail.shape[1], 0), (0, 0), (0, 0),
                            (0, 0)))
-            ctx.push(tail)
-        if tp or ph or pw:
-            x = jnp.pad(x, ((0, 0), (tp, 0), (ph, ph), (pw, pw), (0, 0)))
+            # Anchor the tail so it materializes as its own (tiny) buffer
+            # right here. Left to its own devices XLA schedules these cache
+            # slices at the end of the chunk-scan body, which keeps every
+            # conv's full-size normed input alive simultaneously (observed
+            # as ~7 live [T,480,832,96] buffers in the HBM OOM dump).
+            ctx.push(jax.lax.optimization_barrier(tail))
         w = self.weight.value.astype(x.dtype)
-        kt = self.kernel_size[0]
+        kt, kh, kw = self.kernel_size
         st, sh, sw = self.stride
-        if kt > 1 and TEMPORAL_TAP_DECOMPOSE:
-            # Decompose the temporal kernel into kt taps of (1, kh, kw)
-            # convs. In ISOLATION this is ~24x faster than XLA's 3D conv
-            # lowering (1 vs 16 TF/s measured on v5e), but inside the full
-            # decoder XLA's fusion choices make it slightly slower — kept
-            # opt-in pending a profiler-guided layout fix.
-            n_out = (x.shape[1] - kt) // st + 1
+        if (kh, kw) != (1, 1) and st == 1:
+            # Temporal-tap decomposition into TRUE 2D NHWC convs with the
+            # time dim folded into the conv batch. Measured 87.6 TF/s on
+            # v5e at the decoder's hot shape vs 61.2 TF/s for XLA's direct
+            # NDHWC 3D lowering (scripts/bench_vae_conv.py, overhead-
+            # corrected) — the 5D (1,kh,kw) tap form is also slower.
+            # Memory discipline (the decoder's full-res stage runs within
+            # ~1 GB of HBM capacity): pad once, then make each temporal tap
+            # a zero-copy leading-dim slice of the flattened batch.
+            # Spatial padding inside the per-tap conv looks cheaper but
+            # makes XLA materialize a padded copy per tap -> OOM.
+            if tp or ph or pw:
+                x = jnp.pad(x, ((0, 0), (tp, 0), (ph, ph), (pw, pw), (0, 0)))
+            b, t_in, hh, ww, cin = x.shape
+            n_out = t_in - kt + 1
+            xflat = x.reshape(b * t_in, hh, ww, cin)
             out = None
             for dt in range(kt):
-                xt = jax.lax.slice_in_dim(x, dt, dt + (n_out - 1) * st + 1,
-                                          stride=st, axis=1)
+                if b == 1:
+                    xt = xflat[dt:dt + n_out]
+                else:
+                    xt = x[:, dt:dt + n_out].reshape(b * n_out, hh, ww, cin)
                 o = jax.lax.conv_general_dilated(
-                    xt, w[dt:dt + 1], window_strides=(1, sh, sw),
-                    padding="VALID",
-                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-                out = o if out is None else out + o
+                    xt, w[dt], window_strides=(sh, sw), padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                # The barrier forces each tap's partial sum to retire before
+                # the next tap's conv output materializes. Without it XLA
+                # fuses all tap adds into one op whose operands are every
+                # tap's full-size output at once — at the decoder's full-res
+                # stage that blows past HBM (seen as add_add_fusion with 7
+                # live [T,480,832,96] operands in the OOM allocation dump).
+                out = o if out is None else jax.lax.optimization_barrier(
+                    out + o)
+            out = out.reshape(b, n_out, *out.shape[1:])
         else:
+            if tp or ph or pw:
+                x = jnp.pad(x,
+                            ((0, 0), (tp, 0), (ph, ph), (pw, pw), (0, 0)))
             out = jax.lax.conv_general_dilated(
                 x, w, window_strides=self.stride, padding="VALID",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
@@ -212,9 +233,12 @@ class WanAttentionBlock(nnx.Module):
         qkv = self.to_qkv(self.norm(x))  # [B, T, H, W, 3C]
         qkv = qkv.reshape(b * t, h * w, 3 * c)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        out = jax.nn.dot_product_attention(q[:, :, None], k[:, :, None],
-                                           v[:, :, None])[:, :, 0]
-        out = out.reshape(b, t, h, w, c)
+        # Pallas flash kernel: 12 ms vs 242 ms for XLA SDPA at the
+        # mid-block's [21, 6240, 1, 384] shape (v5e, overhead-corrected) —
+        # XLA materializes the 3.3 GB score tensor, flash never does.
+        from fastvideo_tpu.ops.flash_attention import flash_attention
+        out = flash_attention(q[:, :, None], k[:, :, None], v[:, :, None])
+        out = out[:, :, 0].reshape(b, t, h, w, c)
         return self.proj(out) + identity
 
 
@@ -728,6 +752,94 @@ class AutoencoderKLWan(nnx.Module):
         out = out.transpose(0, 4, 1, 2, 3)
         if self.config.patch_size:
             out = pixel_unpatchify(out, self.config.patch_size)
+        if self.config.clip_output:
+            out = jnp.clip(out, -1.0, 1.0)
+        return out
+
+    def decode_dispatched(self, z: Array, *, denormalize: bool = False,
+                          chunk_frames: int | None = None) -> Array:
+        """Chunked decode as SEPARATE dispatches (one jitted program per
+        chunk) with the conv caches DONATED between them.
+
+        Bit-identical to ``decode()``'s lax.scan path, but HBM peak is one
+        chunk's working set: the scan double-buffers its carry (the conv
+        caches) and keeps the stacked per-chunk outputs alive inside one
+        program, which pushes the 81-frame 480p decode past what fits next
+        to a resident 1.3B DiT. Costs one ~27 ms dispatch per chunk.
+        Must be called OUTSIDE jit (it drives the dispatch loop in python).
+        """
+        assert self.decoder is not None
+        if chunk_frames is None:
+            # 3.5e8-elem full-res budget (~2 latent frames at 480p): the
+            # per-chunk working set must leave room for a co-resident DiT
+            # (2.6 GB at 1.3B bf16) — measured: chunk=4 OOMs 16 GB HBM
+            # next to that DiT, chunk=2 leaves ~3 GB headroom.
+            b, _, t, h, w = z.shape
+            full_elems = b * t * 4 * h * 8 * w * 8 * 96
+            chunk_frames = (max(1, int(3.5e8 / (full_elems / t)))
+                            if full_elems > 3.5e8 and t > 2 else t)
+        if not hasattr(self, "_disp"):
+            graphdef, st = nnx.split(self)
+
+            @functools.partial(jax.jit, static_argnames=("first", "denorm"))
+            def first_fn(st, zc, first, denorm):
+                m = nnx.merge(graphdef, st)
+                if denorm:
+                    zc = m.denormalize_latents_nchw_last(zc)
+                x = m.post_quant_conv(zc)
+                ctx = StreamCache(None)
+                out = m.decoder(x, first_len=int(first), ctx=ctx)
+                return m._finish_chunk(out), ctx.out
+
+            @functools.partial(jax.jit, donate_argnums=(2,),
+                               static_argnames=("denorm",))
+            def next_fn(st, zc, cache, denorm):
+                m = nnx.merge(graphdef, st)
+                if denorm:
+                    zc = m.denormalize_latents_nchw_last(zc)
+                x = m.post_quant_conv(zc)
+                ctx = StreamCache(cache)
+                out = m.decoder(x, first_len=0, ctx=ctx)
+                return m._finish_chunk(out), ctx.out
+
+            self._disp = (first_fn, next_fn, st)
+        first_fn, next_fn, st = self._disp
+
+        def _settle(x: Array) -> None:
+            # Force the enqueued chunk to finish before dispatching the
+            # next: async dispatch otherwise allocates EVERY chunk's conv
+            # caches (~1.5 GB per generation) simultaneously and OOMs.
+            # On this platform block_until_ready() is an async no-op, so
+            # settle with a 1-element host fetch (~1 RTT per chunk).
+            jax.device_get(x[:1, :1, :1, :1, :1])
+
+        z = z.transpose(0, 2, 3, 4, 1)  # NDHWC
+        t = z.shape[1]
+        outs = []
+        out0, cache = first_fn(st, z[:, :1], True, denormalize)
+        outs.append(out0)
+        _settle(out0)
+        pos = 1
+        while pos < t:
+            end = min(pos + chunk_frames, t)
+            o, cache = next_fn(st, z[:, pos:end], cache, denormalize)
+            outs.append(o)
+            _settle(o)
+            pos = end
+        out = jnp.concatenate(outs, axis=2)
+        if self.config.patch_size:
+            out = pixel_unpatchify(out, self.config.patch_size)
+        return out
+
+    def denormalize_latents_nchw_last(self, z: Array) -> Array:
+        """``denormalize_latents`` for NDHWC layout (channels last)."""
+        mean = jnp.asarray(self.config.latents_mean_arr())
+        std = jnp.asarray(self.config.latents_std_arr())
+        return z.astype(jnp.float32) * std + mean
+
+    def _finish_chunk(self, out: Array) -> Array:
+        """Per-chunk epilogue of ``decode()``: f32 cast, NCDHW, clip."""
+        out = out.astype(jnp.float32).transpose(0, 4, 1, 2, 3)
         if self.config.clip_output:
             out = jnp.clip(out, -1.0, 1.0)
         return out

@@ -1,0 +1,185 @@
+"""Pallas TPU kernel: 3D convolution for the causal-VAE hot path.
+
+XLA:TPU lowers the Wan decoder's NDHWC 3x3x3 convolutions at ~20% of MXU
+peak (measured 38-42 TF/s on v5e across every conv formulation —
+scripts/bench_vae_conv.py). The bottleneck is HBM traffic: XLA re-reads the
+input window per tap. This kernel loads each [KT, BH+2, W+2, C] window into
+VMEM once and accumulates all KT*9 taps as MXU matmuls from VMEM.
+
+Reference behavior analog: the causal Conv3d modules of
+/root/reference/fastvideo/models/vaes/wanvae.py:157-206 (math only; the
+blocking/fusion strategy here is TPU-specific).
+
+Optionally fuses the preceding RMSNorm+SiLU (the WanResidualBlock prologue)
+into the same kernel, saving a full HBM round-trip per conv.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+try:  # element-offset block indexing (overlapping windows)
+    from jax.experimental.pallas import Element  # type: ignore
+except ImportError:  # pragma: no cover - version-dependent export
+    from jax._src.pallas.core import Element  # type: ignore
+
+Array = jax.Array
+
+
+def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, kt: int, bh: int, w_out: int,
+                 fuse_rms_silu: bool, gamma_ref=None, mode: str = "tap"):
+    """One (t, h-tile) output block: KT*3*3 tap matmuls from VMEM.
+
+    x_ref: [kt, bh+2, w_out+2, C] overlapping input window
+    w_ref: [kt, 3, 3, C, Co]; b_ref: [1, Co]; o_ref: [1, bh, w_out, Co]
+
+    mode: how taps map onto MXU contractions
+      - "tap":   kt*9 matmuls with K=C
+      - "dw":    kt*3 matmuls with K=3C (dw folded via channel concat)
+      - "dhw":   kt matmuls with K=9C
+      - "full":  1 matmul with K=kt*9*C
+    """
+    c = x_ref.shape[-1]
+    co = o_ref.shape[-1]
+    x = x_ref[...]
+    if fuse_rms_silu:
+        xf = x.astype(jnp.float32)
+        sq = jnp.sum(jnp.square(xf), axis=-1, keepdims=True)
+        inv = (c**0.5) * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+        xn = (xf * inv * gamma_ref[...].astype(jnp.float32)).astype(x.dtype)
+        x = xn * jax.nn.sigmoid(xn.astype(jnp.float32)).astype(x.dtype)
+    rows = bh * w_out
+    acc = jnp.zeros((rows, co), jnp.float32)
+    if mode == "tap":
+        for dt in range(kt):
+            for dh in range(3):
+                for dw in range(3):
+                    xs = x[dt, dh:dh + bh, dw:dw + w_out, :]
+                    xs = xs.reshape(rows, c)
+                    acc = acc + jnp.dot(xs, w_ref[dt, dh, dw],
+                                        preferred_element_type=jnp.float32)
+    elif mode == "dw":
+        for dt in range(kt):
+            for dh in range(3):
+                xs = jnp.concatenate(
+                    [x[dt, dh:dh + bh, dw:dw + w_out, :] for dw in range(3)],
+                    axis=-1).reshape(rows, 3 * c)
+                wr = w_ref[dt, dh].reshape(3 * c, co)
+                acc = acc + jnp.dot(xs, wr,
+                                    preferred_element_type=jnp.float32)
+    elif mode == "dhw":
+        for dt in range(kt):
+            xs = jnp.concatenate([
+                x[dt, dh:dh + bh, dw:dw + w_out, :]
+                for dh in range(3) for dw in range(3)
+            ], axis=-1).reshape(rows, 9 * c)
+            wr = w_ref[dt].reshape(9 * c, co)
+            acc = acc + jnp.dot(xs, wr, preferred_element_type=jnp.float32)
+    else:  # full
+        xs = jnp.concatenate([
+            x[dt, dh:dh + bh, dw:dw + w_out, :]
+            for dt in range(kt) for dh in range(3) for dw in range(3)
+        ], axis=-1).reshape(rows, kt * 9 * c)
+        wr = w_ref[...].reshape(kt * 9 * c, co)
+        acc = acc + jnp.dot(xs, wr, preferred_element_type=jnp.float32)
+    acc = acc + b_ref[0].astype(jnp.float32)
+    o_ref[0] = acc.reshape(bh, w_out, co).astype(o_ref.dtype)
+
+
+def _pick_bh(h: int, w: int, c: int, kt: int) -> int:
+    """Largest h-tile whose double-buffered window fits a VMEM budget."""
+    budget = 6 * 1024 * 1024
+    for bh in (16, 8, 4, 2, 1):
+        if h % bh:
+            continue
+        win = kt * (bh + 2) * (w + 2) * c * 2 * 2  # bf16, double-buffered
+        acc = bh * w * c * 4 * 2
+        if win + acc < budget:
+            return bh
+    return 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kt", "fuse_rms_silu", "out_dtype", "mode",
+                     "bh_override"))
+def _conv3d_pallas(x: Array, w: Array, b: Array, gamma: Array | None, *,
+                   kt: int, fuse_rms_silu: bool, out_dtype,
+                   mode: str = "tap", bh_override: int | None = None) -> Array:
+    """x: [T_out+kt-1, H+2, W+2, C] pre-padded. w: [kt,3,3,C,Co]."""
+    tp, hp, wp, c = x.shape
+    t_out, h, w_out = tp - kt + 1, hp - 2, wp - 2
+    co = w.shape[-1]
+    bh = bh_override or _pick_bh(h, w_out, c, kt)
+    grid = (t_out, h // bh)
+
+    kernel = functools.partial(_conv_kernel, kt=kt, bh=bh, w_out=w_out,
+                               fuse_rms_silu=fuse_rms_silu, mode=mode)
+    in_specs = [
+        pl.BlockSpec(
+            (Element(kt), Element(bh + 2), Element(wp), Element(c)),
+            lambda t, i: (t, i * bh, 0, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    args = [x, w, b.reshape(1, co)]
+    if fuse_rms_silu:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(gamma.reshape(1, c))
+
+        def kernel(x_ref, w_ref, b_ref, g_ref, o_ref):  # noqa: F811
+            _conv_kernel(x_ref, w_ref, b_ref, o_ref, kt=kt, bh=bh,
+                         w_out=w_out, fuse_rms_silu=True, gamma_ref=g_ref,
+                         mode=mode)
+
+    flops = 2 * t_out * h * w_out * c * co * kt * 9
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bh, w_out, co),
+                               lambda t, i: (t, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_out, h, w_out, co), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * x.dtype.itemsize * 2,
+            transcendentals=0),
+    )(*args)
+
+
+def conv3d_ndhwc(x: Array, w: Array, b: Array, *, time_pad: int,
+                 gamma: Array | None = None, mode: str = "tap",
+                 bh_override: int | None = None) -> Array:
+    """Causal 3D conv on [B, T, H, W, C] with kernel [kt, 3, 3, C, Co].
+
+    ``time_pad`` zeros are prepended temporally (causal); spatial padding is
+    SAME (1, 1). When ``gamma`` is given, computes
+    ``conv(silu(rmsnorm(x) * sqrt(C) * gamma))`` fused in one kernel pass.
+    """
+    kt = w.shape[0]
+    bsz = x.shape[0]
+    pads = ((0, 0), (time_pad, 0), (1, 1), (1, 1), (0, 0))
+    x = jnp.pad(x, pads)
+    outs = []
+    for i in range(bsz):  # decode batch is ~1; tiles fold into T upstream
+        outs.append(_conv3d_pallas(
+            x[i], w.astype(x.dtype), b, gamma, kt=kt,
+            fuse_rms_silu=gamma is not None, out_dtype=x.dtype, mode=mode,
+            bh_override=bh_override))
+    return jnp.stack(outs, axis=0)
+
+
+def supports(kernel_size: tuple[int, int, int], stride: tuple[int, int, int],
+             padding: tuple[int, int, int], cin: int, cout: int) -> bool:
+    """Shapes this kernel accelerates; everything else falls back to XLA."""
+    kt, kh, kw = kernel_size
+    return (kh == 3 and kw == 3 and kt in (1, 3) and stride == (1, 1, 1)
+            and padding[1] == 1 and padding[2] == 1 and cin % 8 == 0
+            and cout % 8 == 0)
