@@ -36,6 +36,9 @@ class AttentionBackend:
     # Sparse backends operate on (t, h, w) tile layouts and need the video
     # grid; dense ones ignore it.
     needs_grid: bool = False
+    # True when the backend can consume tokens already in tile-major order
+    # (the model hoists the tile permutation to patch-embed/unpatchify).
+    supports_pre_tiled: bool = False
 
     def __init__(self, num_heads: int, head_size: int,
                  softmax_scale: float | None = None, causal: bool = False,

@@ -89,12 +89,15 @@ class DistributedAttention(nnx.Module):
         kv_valid: int | None = None,
         grid: tuple[int, int, int] | None = None,
         gate: Array | None = None,
+        pre_tiled: bool = False,
     ) -> Array:
         """q/k/v: [B, S(_local logical), H, D]; returns same layout.
 
         ``freqs_cis``: (cos, sin) tables covering the full (padded) sequence;
         they are indexed positionally so they must align with the token order
-        of q/k. ``grid``/``gate`` feed the sparse video backends (VSA).
+        of q/k. ``grid``/``gate`` feed the sparse video backends (VSA);
+        ``pre_tiled`` marks tokens already in tile-major order (permutation
+        hoisted to the model's patch-embed/unpatchify).
         """
         if freqs_cis is not None:
             cos, sin = freqs_cis
@@ -107,6 +110,10 @@ class DistributedAttention(nnx.Module):
         extra_kwargs = {}
         if self.backend.needs_grid:
             extra_kwargs["grid"] = grid
+        if pre_tiled:
+            assert self.backend.supports_pre_tiled, (
+                f"{self.backend.name} cannot consume pre-tiled tokens")
+            extra_kwargs["pre_tiled"] = True
 
         def local_attn(q, k, v, g=None):
             if g is not None:

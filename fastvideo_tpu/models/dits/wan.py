@@ -225,7 +225,8 @@ class WanTransformerBlock(nnx.Module):
     def __call__(self, hidden_states: Array, encoder_hidden_states: Array,
                  temb: Array, freqs_cis: tuple[Array, Array],
                  kv_valid: int | None = None,
-                 grid: tuple[int, int, int] | None = None) -> Array:
+                 grid: tuple[int, int, int] | None = None,
+                 pre_tiled: bool = False) -> Array:
         orig_dtype = hidden_states.dtype
         b = hidden_states.shape[0]
         n, d = self.num_heads, self.dim // self.num_heads
@@ -250,7 +251,7 @@ class WanTransformerBlock(nnx.Module):
         v = self.to_v(norm_hidden).reshape(b, -1, n, d)
         gate = self._gate_compress(norm_hidden)
         attn_out = self.attn1(q, k, v, freqs_cis=freqs_cis, kv_valid=kv_valid,
-                              grid=grid, gate=gate)
+                              grid=grid, gate=gate, pre_tiled=pre_tiled)
         attn_out = self.to_out(attn_out.reshape(b, -1, self.dim))
 
         zero = jnp.zeros((), jnp.float32)
@@ -315,6 +316,14 @@ class WanTransformer3DModel(nnx.Module):
                 block_cls = WanTransformerBlockVSA
         except ValueError:
             pass
+        # VSA runs the whole transformer in tile-major token order: the
+        # tile permutation is applied ONCE after patch-embed (rope tables
+        # and per-token modulation are permuted with it — both are
+        # per-token, so they commute with a static permutation) and
+        # inverted ONCE before the output head, instead of scattering /
+        # gathering q/k/v/gate inside every block (which erased the sparse
+        # kernel's win on TPU).
+        self.vsa_tiled_order = block_cls is WanTransformerBlockVSA
         self.blocks = nnx.List([
             block_cls(inner_dim, config.ffn_dim,
                                 config.num_attention_heads, config.qk_norm,
@@ -343,7 +352,7 @@ class WanTransformer3DModel(nnx.Module):
         self.scan_layers = False
 
     def _scan_blocks(self, x, encoder_hidden_states, timestep_proj,
-                     freqs_cis, kv_valid, grid):
+                     freqs_cis, kv_valid, grid, pre_tiled=False):
         from flax import nnx as _nnx
 
         graphdef, state0 = _nnx.split(self.blocks[0])
@@ -354,9 +363,11 @@ class WanTransformer3DModel(nnx.Module):
             blk = _nnx.merge(graphdef, layer_state)
             fn = (jax.checkpoint(lambda x_: blk(
                 x_, encoder_hidden_states, timestep_proj, freqs_cis,
-                kv_valid, grid=grid)) if self.gradient_checkpointing else
+                kv_valid, grid=grid, pre_tiled=pre_tiled))
+                if self.gradient_checkpointing else
                 (lambda x_: blk(x_, encoder_hidden_states, timestep_proj,
-                                freqs_cis, kv_valid, grid=grid)))
+                                freqs_cis, kv_valid, grid=grid,
+                                pre_tiled=pre_tiled)))
             return fn(carry), None
 
         x, _ = jax.lax.scan(body, x, stacked)
@@ -382,12 +393,31 @@ class WanTransformer3DModel(nnx.Module):
                                             start_frame=start_frame)
 
         x = self.patch_embedding(hidden_states)  # [B, S, C]
+        pre_tiled = self.vsa_tiled_order
+        if pre_tiled:
+            from fastvideo_tpu.attention.backends.vsa import resolve_vsa_tile
+            from fastvideo_tpu.ops.vsa import (tile_tokens,
+                                               tile_tokens_exact,
+                                               untile_tokens,
+                                               untile_tokens_exact)
+
+            vsa_tile, vsa_exact = resolve_vsa_tile((gt, gh, gw))
+            _tile = tile_tokens_exact if vsa_exact else tile_tokens
+            _untile = untile_tokens_exact if vsa_exact else untile_tokens
+
+            # hoisted VSA permutation: tokens + rope tables enter tile-major
+            # order here and leave it just before the output projection.
+            x = _tile(x, (gt, gh, gw), vsa_tile)
+            cos = _tile(cos[None], (gt, gh, gw), vsa_tile)[0]
+            sin = _tile(sin[None], (gt, gh, gw), vsa_tile)[0]
         x, orig_seq_len = shard_seq(x)
         if x.shape[1] != cos.shape[0]:
             pad = x.shape[1] - cos.shape[0]
             cos = jnp.pad(cos, ((0, pad), (0, 0)), constant_values=1.0)
             sin = jnp.pad(sin, ((0, pad), (0, 0)))
         kv_valid = orig_seq_len if x.shape[1] != orig_seq_len else None
+        if pre_tiled:
+            kv_valid = None  # per-tile masking via block_sizes instead
 
         ts_seq_len = timestep.shape[1] if timestep.ndim == 2 else None
         if ts_seq_len is not None:
@@ -400,6 +430,10 @@ class WanTransformer3DModel(nnx.Module):
             # [B, S, 6, C]
             timestep_proj = timestep_proj.reshape(
                 *timestep_proj.shape[:2], 6, -1)
+            if pre_tiled:
+                # per-token modulation follows the token permutation
+                timestep_proj = _tile(timestep_proj, (gt, gh, gw), vsa_tile)
+                temb = _tile(temb, (gt, gh, gw), vsa_tile)
         else:
             # [B, 6, C]
             timestep_proj = timestep_proj.reshape(timestep_proj.shape[0], 6,
@@ -412,19 +446,21 @@ class WanTransformer3DModel(nnx.Module):
         freqs_cis = (cos, sin)
         if self.scan_layers:
             x = self._scan_blocks(x, encoder_hidden_states, timestep_proj,
-                                  freqs_cis, kv_valid, (gt, gh, gw))
+                                  freqs_cis, kv_valid, (gt, gh, gw),
+                                  pre_tiled)
         else:
             for block in self.blocks:
                 if self.gradient_checkpointing:
                     def run_block(x_, ehs_, tp_, blk=block):
                         return blk(x_, ehs_, tp_, freqs_cis, kv_valid,
-                                   grid=(gt, gh, gw))
+                                   grid=(gt, gh, gw), pre_tiled=pre_tiled)
 
                     x = jax.checkpoint(run_block)(x, encoder_hidden_states,
                                                   timestep_proj)
                 else:
                     x = block(x, encoder_hidden_states, timestep_proj,
-                              freqs_cis, kv_valid, grid=(gt, gh, gw))
+                              freqs_cis, kv_valid, grid=(gt, gh, gw),
+                              pre_tiled=pre_tiled)
 
         # Output head (wanvideo.py:781-806).
         if temb.ndim == 3:
@@ -438,6 +474,10 @@ class WanTransformer3DModel(nnx.Module):
             shift, scale = e[:, 0:1], e[:, 1:2]
         x = self.norm_out(x, shift, scale)
         x = unshard_seq(x, orig_seq_len)
+        if pre_tiled:
+            # leave tile-major order once, before the (cheaper) head
+            # projection over the true token count.
+            x = _untile(x, (gt, gh, gw), vsa_tile)
         x = self.proj_out(x)
         return unpatchify(x, gt, gh, gw, cfg.patch_size, cfg.out_channels)
 

@@ -39,6 +39,7 @@ def _use_interpret() -> bool:
 VSA_TILE_SIZE = (4, 4, 4)
 TILE_ELEMS = 64
 MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+_LANE = 128
 
 
 # -- static tile index tables (host numpy, cached per shape) ----------------
@@ -77,6 +78,93 @@ def tile_layout(dit_seq_shape: tuple[int, int, int],
     return (scatter, gather_back, block_sizes, (nt, nh, nw), padded_len)
 
 
+@functools.lru_cache(maxsize=64)
+def select_vsa_tile(dit_seq_shape: tuple[int, int, int],
+                    min_elems: int = 128,
+                    max_elems: int = 640) -> tuple[int, int, int] | None:
+    """Pick a tile geometry that divides the token grid EXACTLY.
+
+    Exact division makes the tile permutation a pure reshape/transpose
+    (copy-speed on TPU, vs ~30 ms for an index scatter at production
+    shapes) and removes all intra-tile padding, so the sparse kernel needs
+    no validity masking and the linears see no extra tokens. Preference:
+    tile-token count closest to 256 (MXU-sized 256-row blocks / 64 KB KV
+    DMAs), tie-broken toward more-cubic tiles. Returns None when the grid
+    has no suitable divisors (caller falls back to the padded (4,8,8)
+    scatter layout). The reference's (4,4,4) cubes
+    (video_sparse_attn.py:28-58) are a CUDA-warp geometry; on TPU the tile
+    is a free parameter of the same algorithm.
+    """
+    T, H, W = dit_seq_shape
+
+    def divisors(n, cap=32):
+        return [d for d in range(1, min(n, cap) + 1) if n % d == 0]
+
+    best = None
+    for ts in divisors(T, 21):
+        for hs in divisors(H):
+            for ws in divisors(W):
+                elems = ts * hs * ws
+                if elems % 8 != 0 or not min_elems <= elems <= max_elems:
+                    continue
+                nb = (T // ts) * (H // hs) * (W // ws)
+                if nb < 4:
+                    continue
+                # prefer ~256 tokens/tile, then squarer spatial footprint
+                score = (abs(elems - 256), abs(hs - ws), -ts)
+                if best is None or score < best[0]:
+                    best = (score, (ts, hs, ws))
+    return best[1] if best else None
+
+
+def tile_tokens_exact(x: Array, dit_seq_shape: tuple[int, int, int],
+                      tile_size: tuple[int, int, int]) -> Array:
+    """[B, S, ...] raster order -> tile-major order via reshape/transpose.
+
+    Requires ``tile_size`` to divide ``dit_seq_shape`` exactly. Identical
+    ordering to :func:`tile_tokens` (tiles enumerated t-major, raster order
+    within each tile) but runs at copy speed.
+    """
+    T, H, W = dit_seq_shape
+    ts, hs, ws = tile_size
+    assert T % ts == 0 and H % hs == 0 and W % ws == 0
+    b = x.shape[0]
+    feat = x.shape[2:]
+    x = x.reshape(b, T // ts, ts, H // hs, hs, W // ws, ws, *feat)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6,
+                    *range(7, 7 + len(feat)))
+    return x.reshape(b, T * H * W, *feat)
+
+
+def untile_tokens_exact(x: Array, dit_seq_shape: tuple[int, int, int],
+                        tile_size: tuple[int, int, int]) -> Array:
+    """Inverse of :func:`tile_tokens_exact`."""
+    T, H, W = dit_seq_shape
+    ts, hs, ws = tile_size
+    b = x.shape[0]
+    feat = x.shape[2:]
+    x = x.reshape(b, T // ts, H // hs, W // ws, ts, hs, ws, *feat)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6,
+                    *range(7, 7 + len(feat)))
+    return x.reshape(b, T * H * W, *feat)
+
+
+@functools.lru_cache(maxsize=32)
+def tile_valid_mask(dit_seq_shape: tuple[int, int, int],
+                    tile_size: tuple[int, int, int] = VSA_TILE_SIZE):
+    """[S_pad] bool numpy mask: True where a tiled slot holds a real token.
+
+    Used by the pre-tiled (hoisted permutation) path: tokens flow through
+    the whole transformer in tile-major order, so tile-padding slots carry
+    garbage activations (bias terms etc.) and must be zeroed before they
+    enter the attention reductions (block_mean / kv)."""
+    _, _, block_sizes, _, padded = tile_layout(tuple(dit_seq_shape),
+                                               tuple(tile_size))
+    elems = tile_size[0] * tile_size[1] * tile_size[2]
+    pos = np.arange(padded)
+    return (pos % elems) < block_sizes[pos // elems]
+
+
 def tile_tokens(x: Array, dit_seq_shape: tuple[int, int, int],
                 tile_size: tuple[int, int, int] = VSA_TILE_SIZE) -> Array:
     """[B, S, ...] token order -> [B, S_pad, ...] tile-major padded order."""
@@ -105,7 +193,157 @@ def block_mean(x: Array, block_sizes: Array,
     return (sums / block_sizes[None, None, :, None]).astype(x.dtype)
 
 
-# -- Pallas block-sparse kernel --------------------------------------------
+# -- Pallas block-sparse kernel (flash-style, BlockSpec-gathered KV) --------
+#
+# The manual-DMA gather kernel below (block_sparse_attention) runs ~1 us per
+# tile visit — the serial wait->matmul->softmax->rescale chain never
+# overlaps across iterations. This variant mirrors the dense flash kernel's
+# structure instead: grid (b, h, q_tile, j) with the selected KV tile
+# fetched by Mosaic's OWN pipeline via a scalar-prefetched index in the
+# BlockSpec index map (the paged-attention pattern). Mosaic double-buffers
+# the gather DMAs against compute automatically, reaching dense-flash
+# efficiency on the sparse FLOPs. Requires full tiles (no intra-tile
+# padding): use with exact-divide geometries from select_vsa_tile.
+
+
+def _sparse_fast_kernel(idx_ref, q_ref, *rest, scale: float, topk: int,
+                        unroll: int):
+    """rest = k_0, v_0, ..., k_{u-1}, v_{u-1}, o_ref, m, l, acc."""
+    kv_refs = rest[:2 * unroll]
+    o_ref, m_ref, l_ref, acc_ref = rest[2 * unroll:]
+    j = pl.program_id(3)
+    nsteps = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]
+    # one wide [E, u*E] score matmul + one [u*E, D] pv matmul per grid step:
+    # per-step work amortizes Mosaic's fixed grid-step cost (~1.5 us), which
+    # dominates at single-tile granularity.
+    k = jnp.concatenate([kv_refs[2 * c][0, 0] for c in range(unroll)], axis=0)
+    v = jnp.concatenate([kv_refs[2 * c + 1][0, 0] for c in range(unroll)],
+                        axis=0)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if True:  # tail chunk masking (duplicate-index padding) — static check
+        e = q.shape[0]
+        col_chunk = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // e
+        valid = (j * unroll + col_chunk) < topk
+        s = jnp.where(valid, s, MASK_VALUE)
+    m_prev = m_ref[...]
+    l_prev = l_ref[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, :1])
+    l_ref[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    m_ref[...] = m_next
+    pv = jax.lax.dot(p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+
+    @pl.when(j == nsteps - 1)
+    def _store():
+        l = l_ref[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+
+
+def block_sparse_attention_fast(q: Array, k: Array, v: Array, indices: Array,
+                                *, scale: float | None = None,
+                                tile_elems: int = TILE_ELEMS,
+                                unroll: int | None = None) -> Array:
+    """Block-sparse attention over FULL tiles (no intra-tile padding).
+
+    q/k/v: [B, H, nB*E, D] tile-major; indices: [B, H, nG, K] int32 kv-tile
+    ids per query GROUP (all valid — no sentinel padding). A query group is
+    ``nB // nG`` consecutive tiles sharing one top-k set (q-grouping trades
+    selection granularity for a G-fold cut in gather DMA volume — the
+    binding constraint on TPU). ``unroll`` KV tiles are gathered per grid
+    step through separate BlockSpec operands (Mosaic pipelines the DMAs)
+    and reduced with one wide matmul.
+    """
+    b, h, s, d = q.shape
+    nb = s // tile_elems
+    ng = indices.shape[2]
+    assert nb % ng == 0, (nb, ng)
+    q_rows = (nb // ng) * tile_elems  # q rows per grid step
+    topk = indices.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if unroll is None:
+        # target ~2048 kv rows per grid step
+        unroll = max(1, min(topk, 2048 // tile_elems))
+    nsteps = -(-topk // unroll)
+    pad = nsteps * unroll - topk
+    if pad:
+        # duplicate-pad the index tail; the kernel masks those chunks.
+        indices = jnp.concatenate(
+            [indices, jnp.repeat(indices[..., -1:], pad, axis=-1)], axis=-1)
+
+    kernel = functools.partial(_sparse_fast_kernel, scale=scale, topk=topk,
+                               unroll=unroll)
+
+    def kv_spec(c):
+        return pl.BlockSpec(
+            (1, 1, tile_elems, d),
+            lambda b_, h_, qi, j, idx, c=c: (b_, h_, idx[b_, qi,
+                                                         j * unroll + c], 0))
+
+    def run_one_head(qh, kh, vh, idxh):
+        # per-head pallas_call keeps the scalar-prefetch index array small
+        # (b*ng*topk int32) — SMEM-friendly at production tile counts.
+        in_specs = [
+            pl.BlockSpec((1, 1, q_rows, d),
+                         lambda b_, h_, qi, j, idx: (b_, h_, qi, 0)),
+        ]
+        for c in range(unroll):
+            in_specs.append(kv_spec(c))
+            in_specs.append(kv_spec(c))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, 1, ng, nsteps),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1, q_rows, d),
+                                   lambda b_, h_, qi, j, idx: (b_, h_, qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((q_rows, _LANE), jnp.float32),  # m
+                pltpu.VMEM((q_rows, _LANE), jnp.float32),  # l
+                pltpu.VMEM((q_rows, d), jnp.float32),      # acc
+            ],
+        )
+        operands = [idxh, qh]
+        for _ in range(unroll):
+            operands.append(kh)
+            operands.append(vh)
+        return pl.pallas_call(
+            kernel,
+            interpret=_use_interpret(),
+            out_shape=jax.ShapeDtypeStruct(qh.shape, qh.dtype),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary")),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * s * topk * tile_elems * d,
+                bytes_accessed=2 * s * d * 4,
+                transcendentals=s * topk * tile_elems,
+            ),
+        )(*operands)
+
+    outs = []
+    for hi in range(h):
+        sl = slice(hi, hi + 1)
+        outs.append(run_one_head(q[:, sl], k[:, sl], v[:, sl],
+                                 indices[:, hi].astype(jnp.int32)))
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+
+# -- Pallas block-sparse kernel (manual-DMA gather; handles padded tiles) ---
 
 
 SPARSE_PIPELINE_SLOTS = 4
@@ -295,8 +533,17 @@ def video_sparse_attn(
     scale: float | None = None,
     use_pallas: bool = True,
     tile_elems: int = TILE_ELEMS,
+    full_tiles: bool = False,
+    q_group: int = 1,
 ) -> Array:
-    """VSA over tiled [B, H, S_pad, D] tensors (reference ops.py:69-145)."""
+    """VSA over tiled [B, H, S_pad, D] tensors (reference ops.py:69-145).
+
+    ``full_tiles=True`` asserts no intra-tile padding (exact-divide
+    geometry): the inference forward then runs the flash-style
+    BlockSpec-gather kernel; gradients still route through the LSE-emitting
+    manual kernels. ``q_group`` selects one shared top-k set per group of
+    consecutive query tiles (group coarse scores are averaged), cutting
+    gather DMA volume by the group factor."""
     b, h, s, d = q.shape
     nb = s // tile_elems
     if scale is None:
@@ -314,9 +561,19 @@ def video_sparse_attn(
     # broadcast each tile's coarse output to its tokens
     out_c = jnp.repeat(out_c, tile_elems, axis=2)
 
-    _, top_idx = jax.lax.top_k(scores, topk)  # [b,h,nq,topk]
+    if q_group > 1 and full_tiles and nb % q_group == 0:
+        # shared selection per q-group: average the group's coarse scores
+        scores_sel = scores.reshape(b, h, nb // q_group, q_group,
+                                    nb).mean(axis=3)
+    else:
+        q_group = 1
+        scores_sel = scores
+    _, top_idx = jax.lax.top_k(scores_sel, topk)  # [b,h,nG,topk]
 
-    if use_pallas:
+    if use_pallas and full_tiles:
+        out_s = _bsa_fast(q, k, v, jax.lax.stop_gradient(top_idx),
+                          block_sizes, scale, topk, tile_elems)
+    elif use_pallas:
         # differentiable path: Pallas fwd (with LSE) + Pallas dQ/dKV
         # backward kernels via custom_vjp. Indices come from top_k and
         # carry no gradient (matches the reference CUDA backward).
@@ -324,6 +581,8 @@ def video_sparse_attn(
             q, k, v, jax.lax.stop_gradient(top_idx), block_sizes,
             scale=scale, tile_elems=tile_elems)
     else:
+        if top_idx.shape[2] != nb:
+            top_idx = jnp.repeat(top_idx, nb // top_idx.shape[2], axis=2)
         out_s = _sparse_attention_reference(q, k, v, top_idx, block_sizes,
                                             scale, tile_elems)
 
@@ -731,6 +990,34 @@ def _bsa_vjp_bwd(scale, topk, tile_elems, res, do):
 
 
 _block_sparse_attention_vjp.defvjp(_bsa_vjp_fwd, _bsa_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _bsa_fast(q, k, v, idx, block_sizes, scale, topk, tile_elems):
+    """Inference primal = flash-style gather kernel; grad path reuses the
+    LSE-emitting manual kernels (full tiles make their masking a no-op)."""
+    del block_sizes
+    return block_sparse_attention_fast(q, k, v, idx, scale=scale,
+                                       tile_elems=tile_elems)
+
+
+def _bsa_fast_fwd(q, k, v, idx, block_sizes, scale, topk, tile_elems):
+    b, h, s, _ = q.shape
+    nq = s // tile_elems
+    if idx.shape[2] != nq:
+        # grouped selection -> expand to per-tile for the manual kernels
+        idx = jnp.repeat(idx, nq // idx.shape[2], axis=2)
+    nq_pad = math.ceil(nq / 8) * 8
+    topk_pad = math.ceil(topk / 128) * 128
+    idx_pad = jnp.zeros((b, h, nq_pad, topk_pad), jnp.int32)
+    idx_pad = idx_pad.at[:, :, :nq, :topk].set(idx.astype(jnp.int32))
+    out, lse = _block_sparse_fwd_lse(q, k, v, idx_pad, block_sizes,
+                                     scale=scale, topk=topk,
+                                     tile_elems=tile_elems)
+    return out, (q, k, v, idx_pad, block_sizes, out, lse)
+
+
+_bsa_fast.defvjp(_bsa_fast_fwd, _bsa_vjp_bwd)
 
 
 def block_sparse_attention_trainable(q, k, v, indices, block_sizes, *,

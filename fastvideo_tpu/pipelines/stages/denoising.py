@@ -249,11 +249,16 @@ class DmdDenoisingStage(DenoisingStage):
         num_train = self.scheduler.num_train_timesteps
         sigmas = [float(t) / num_train for t in timesteps]
 
+        attn_metadata = self._build_attn_metadata(batch, fastvideo_args)
         step_fn, state = self._get_step_fn("main")
         for i, t in enumerate(timesteps):
             t_arr = jnp.full((latents.shape[0],), float(t), jnp.float32)
             model_in = self._model_input(batch, latents.astype(target_dtype))
-            with set_forward_context(current_timestep=i, forward_batch=batch):
+            if attn_metadata is not None:
+                attn_metadata.current_timestep = i
+            with set_forward_context(current_timestep=i,
+                                     attn_metadata=attn_metadata,
+                                     forward_batch=batch):
                 flow_pred = step_fn(state, model_in, pos_ctx, t_arr, None,
                                     image_cond=False)
             sigma = sigmas[i]
