@@ -71,6 +71,10 @@ class FastWanT2V480PConfig(WanT2V480PConfig):
     flow_shift: float | None = 8.0
     dmd_denoising_steps: list[int] | None = dataclasses.field(
         default_factory=lambda: [1000, 757, 522])
+    # bf16 text encoding: MXU-native and halves encoder HBM residency
+    # (the fp32 default mirrors the reference's CUDA config; on TPU bf16
+    # matches the rest of the FastWan inference stack).
+    text_encoder_precisions: tuple = ("bf16",)
 
 
 @dataclasses.dataclass

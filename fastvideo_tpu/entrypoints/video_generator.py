@@ -151,7 +151,18 @@ class VideoGenerator:
 
         frames = None
         if batch.output is not None:
-            frames = self._postprocess(np.asarray(batch.output))
+            if hasattr(batch.output, "devices"):
+                # quantize to uint8 ON DEVICE: 4x less device->host traffic
+                # than fetching fp32 pixels (the fetch dominates on slow
+                # transports; identical numerics to _postprocess).
+                import jax.numpy as jnp
+                u8 = jnp.round(
+                    (jnp.clip(batch.output, -1, 1) + 1) * 127.5).astype(
+                        jnp.uint8)
+                video = np.asarray(u8)
+                frames = [v.transpose(1, 2, 3, 0) for v in video]
+            else:
+                frames = self._postprocess(np.asarray(batch.output))
         gen_time = time.perf_counter() - t0
 
         result: dict[str, Any] = {

@@ -38,6 +38,12 @@ environment_flags: dict[str, Callable[[], Any]] = {
     # Per-stage wall-time logging (reference: FASTVIDEO_STAGE_LOGGING).
     "FASTVIDEO_STAGE_LOGGING":
     lambda: os.getenv("FASTVIDEO_STAGE_LOGGING", "0") in ("1", "true", "True"),
+    # Force a device settle (1-element host fetch) at every stage boundary
+    # so stage wall times attribute async-dispatched device work to the
+    # stage that issued it (JAX dispatch is async; on some transports
+    # block_until_ready is a no-op). Costs ~1 RTT per stage.
+    "FASTVIDEO_STAGE_SYNC":
+    lambda: os.getenv("FASTVIDEO_STAGE_SYNC", "0") in ("1", "true", "True"),
     # Activation-trace JSONL dump (reference: FASTVIDEO_TRACE_ACTIVATIONS).
     "FASTVIDEO_TRACE_ACTIVATIONS":
     lambda: os.getenv("FASTVIDEO_TRACE_ACTIVATIONS", "0") in

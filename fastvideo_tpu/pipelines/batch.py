@@ -132,8 +132,28 @@ class TrainingBatch:
     extra: dict[str, Any] = dataclasses.field(default_factory=dict)
 
 
+def _settle_batch(batch: ForwardBatch) -> None:
+    """Force async-dispatched device work to finish by fetching one element
+    of the most-downstream device array on the batch (block_until_ready is
+    a no-op on some transports, so a host fetch is the only true sync)."""
+    import jax
+
+    for arr in (batch.output, batch.latents, *(batch.prompt_embeds or ())):
+        if arr is not None and hasattr(arr, "ravel"):
+            try:
+                jax.device_get(arr.ravel()[:1])
+            except Exception:  # non-jax array (numpy) — already settled
+                pass
+            return
+
+
 def timed_stage(batch: ForwardBatch, name: str):
-    """Context manager recording a stage's wall time into logging_info."""
+    """Context manager recording a stage's wall time into logging_info.
+
+    With FASTVIDEO_STAGE_SYNC=1 the stage settles the device queue before
+    the timer stops, so async-dispatched work lands in the right stage
+    (reference analog: per-stage metrics via PipelineLoggingInfo,
+    pipeline_batch_info.py:28-58)."""
 
     class _Timer:
         def __enter__(self):
@@ -141,6 +161,9 @@ def timed_stage(batch: ForwardBatch, name: str):
             return self
 
         def __exit__(self, *exc):
+            from fastvideo_tpu import envs
+            if envs.FASTVIDEO_STAGE_SYNC:
+                _settle_batch(batch)
             batch.logging_info.record(name, time.perf_counter() - self.t0)
             return False
 

@@ -38,10 +38,28 @@ class DecodingStage(PipelineStage):
             self._decode_fn = (decode_fn, state)
         return self._decode_fn
 
+    def _pixel_elems(self, latents) -> int:
+        """Estimated full-resolution activation element count."""
+        b, _, t, h, w = latents.shape
+        cfg = getattr(self.vae, "config", None)
+        st = getattr(cfg, "scale_factor_temporal", 4) or 4
+        ss = getattr(cfg, "scale_factor_spatial", 8) or 8
+        base = getattr(cfg, "base_dim", 96) or 96
+        return b * t * st * h * ss * w * ss * base
+
     def forward(self, batch: ForwardBatch,
                 fastvideo_args: FastVideoArgs) -> ForwardBatch:
         if batch.extra.get("output_type") == "latent":
             batch.output = batch.latents
+            return batch
+        if (hasattr(self.vae, "decode_dispatched")
+                and self._pixel_elems(batch.latents) > 7e8):
+            # large clips: python-dispatched chunked decode with donated
+            # conv caches bounds the HBM peak to one chunk's working set
+            # (a single fused decode program OOMs a 16 GB chip next to the
+            # resident DiT — see models/vaes/wan.py decode_dispatched).
+            batch.output = self.vae.decode_dispatched(
+                batch.latents.astype(jnp.float32), denormalize=True)
             return batch
         decode_fn, state = self._get_decode_fn()
         batch.output = decode_fn(state, batch.latents.astype(jnp.float32))

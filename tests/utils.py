@@ -26,99 +26,10 @@ TINY_T5 = dict(vocab_size=128, d_model=32, d_kv=8, d_ff=48, num_layers=2,
                feed_forward_proj="gated-gelu", model_type="umt5")
 
 
-def _save_safetensors(path: str, tensors: dict[str, np.ndarray]) -> None:
-    from safetensors.numpy import save_file
-
-    save_file(tensors, path)
-
-
-def _export_torch_layout(model) -> dict[str, np.ndarray]:
-    """Dump an nnx model's params under torch layout conventions."""
-    from flax import nnx
-
-    from fastvideo_tpu.layers.embeddings import PatchEmbed3D
-    from fastvideo_tpu.layers.linear import Linear
-    from fastvideo_tpu.models.vaes.autoencoder_kl import Conv2d
-    from fastvideo_tpu.models.vaes.hunyuan import Conv1x1, HYCausalConv3d
-    from fastvideo_tpu.models.vaes.ltx2 import LTXCausalConv3d, LTXConv1x1
-    from fastvideo_tpu.models.vaes.wan import CausalConv3d
-
-    out: dict[str, np.ndarray] = {}
-
-    def walk(mod, prefix: str):
-        for name, child in vars(mod).items():
-            name = str(name)
-            if name.startswith("_"):
-                continue
-            path = f"{prefix}{name}" if prefix else name
-            if isinstance(child, PatchEmbed3D):
-                # emit diffusers-style 5D conv weight for the patch embed
-                k = np.asarray(child.proj.kernel.value)  # [C*pt*ph*pw, O]
-                pt, ph, pw = child.patch_size
-                cin = k.shape[0] // (pt * ph * pw)
-                w = k.T.reshape(-1, cin, pt, ph, pw)
-                out[f"{path}.weight"] = w
-                out[f"{path}.bias"] = np.asarray(child.proj.bias.value)
-            elif isinstance(child, Linear):
-                out[f"{path}.weight"] = np.asarray(child.kernel.value).T
-                if child.bias is not None:
-                    out[f"{path}.bias"] = np.asarray(child.bias.value)
-            elif isinstance(child, HYCausalConv3d):
-                # HF layout wraps nn.Conv3d in `.conv` (the VAE param
-                # mappings strip it back on load)
-                w = np.asarray(child.weight.value)  # DHWIO
-                out[f"{path}.conv.weight"] = w.transpose(4, 3, 0, 1, 2)
-                out[f"{path}.conv.bias"] = np.asarray(child.bias.value)
-            elif isinstance(child, LTXCausalConv3d):
-                # HF layout wraps nn.Conv3d in `.conv` (the LTX2 VAE
-                # mapping strips it back on load)
-                w = np.asarray(child.weight.value)  # DHWIO
-                out[f"{path}.conv.weight"] = w.transpose(4, 3, 0, 1, 2)
-                out[f"{path}.conv.bias"] = np.asarray(child.bias.value)
-            elif isinstance(child, (CausalConv3d, Conv1x1)):
-                w = np.asarray(child.weight.value)  # DHWIO
-                out[f"{path}.weight"] = w.transpose(4, 3, 0, 1, 2)
-                out[f"{path}.bias"] = np.asarray(child.bias.value)
-            elif isinstance(child, LTXConv1x1):
-                w = np.asarray(child.weight.value)  # [in, out]
-                out[f"{path}.weight"] = w.T[..., None, None, None]
-                out[f"{path}.bias"] = np.asarray(child.bias.value)
-            elif isinstance(child, Conv2d):
-                w = np.asarray(child.weight.value)  # HWIO -> OIHW
-                out[f"{path}.weight"] = w.transpose(3, 2, 0, 1)
-                out[f"{path}.bias"] = np.asarray(child.bias.value)
-            elif isinstance(child, nnx.Module):
-                walk(child, path + ".")
-            elif isinstance(child, (list, nnx.List)):
-                for i, item in enumerate(child):
-                    if isinstance(item, nnx.Module):
-                        walk(item, f"{path}.{i}.")
-            elif isinstance(child, nnx.Variable):
-                out[path] = np.asarray(child.value)
-    walk(model, "")
-    return out
-
-
-def _make_tokenizer(dir_: str, vocab_size: int = 128) -> None:
-    from tokenizers import Tokenizer
-    from tokenizers.models import WordLevel
-    from tokenizers.pre_tokenizers import Whitespace
-
-    words = [f"w{i}" for i in range(vocab_size - 4)]
-    vocab = {"<pad>": 0, "</s>": 1, "<unk>": 2, " ": 3}
-    vocab.update({w: i + 4 for i, w in enumerate(words)})
-    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
-    tok.pre_tokenizer = Whitespace()
-    os.makedirs(dir_, exist_ok=True)
-    tok.save(os.path.join(dir_, "tokenizer.json"))
-    with open(os.path.join(dir_, "tokenizer_config.json"), "w") as fh:
-        json.dump({
-            "tokenizer_class": "PreTrainedTokenizerFast",
-            "pad_token": "<pad>",
-            "eos_token": "</s>",
-            "unk_token": "<unk>",
-            "model_max_length": 512,
-        }, fh)
+from fastvideo_tpu.models.loader.export import (  # noqa: E402
+    export_torch_layout as _export_torch_layout,
+    make_word_level_tokenizer as _make_tokenizer,
+    save_safetensors as _save_safetensors)
 
 
 def make_tiny_wan_checkpoint(root: str, seed: int = 0) -> str:
