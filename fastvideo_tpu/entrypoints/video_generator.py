@@ -178,6 +178,16 @@ class VideoGenerator:
             if param.save_video:
                 path = self._save_video(frames[0], param)
                 result["video_path"] = path
+        if batch.extra.get("audio") is not None:
+            # audio families (Stable Audio; LTX-2 joint AV) put a
+            # [samples, channels] float waveform on batch.extra
+            result["audio"] = batch.extra["audio"]
+            result["audio_sample_rate"] = batch.extra.get(
+                "audio_sample_rate", 44100)
+            if param.save_video:
+                result["audio_path"] = self._save_wav(
+                    batch.extra["audio"], result["audio_sample_rate"],
+                    param)
         result["latents"] = batch.latents
         logger.info("Generated video in %.2fs (stages: %s)", gen_time,
                     {k: round(v, 3)
@@ -207,6 +217,27 @@ class VideoGenerator:
             logger.warning("mp4 write failed (%s); writing .npy instead", e)
             np.save(path + ".npy", frames)
             return False
+
+    def _save_wav(self, audio: np.ndarray, sample_rate: int,
+                  param: SamplingParam) -> str:
+        """Write [samples, channels] float waveform as 16-bit PCM wav."""
+        import wave
+
+        os.makedirs(param.output_path, exist_ok=True)
+        name = param.output_video_name or "audio"
+        if name.endswith(".mp4"):
+            name = name[:-4]
+        if not name.endswith(".wav"):
+            name += ".wav"
+        path = os.path.join(param.output_path, name)
+        pcm = (np.clip(audio, -1.0, 1.0) * 32767.0).astype("<i2")
+        with wave.open(path, "wb") as fh:
+            fh.setnchannels(pcm.shape[1] if pcm.ndim == 2 else 1)
+            fh.setsampwidth(2)
+            fh.setframerate(int(sample_rate))
+            fh.writeframes(pcm.tobytes())
+        logger.info("Saved audio to %s", path)
+        return path
 
     def _save_video(self, frames: np.ndarray, param: SamplingParam) -> str:
         os.makedirs(param.output_path, exist_ok=True)

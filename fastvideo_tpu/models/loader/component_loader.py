@@ -154,6 +154,16 @@ class PipelineComponentLoader:
                 model_config=pipeline_config.image_encoder_config)
         if module_name == "image_processor":
             return None
+        if module_name == "conditioner":
+            # Stable Audio multi-conditioner: T5 weights + tokenizer live
+            # inside the component dir (zero-egress; the reference's
+            # ConditionerLoader pulls t5-base from the hub).
+            cond = load_model_component(
+                component_dir, precision=pipeline_config.precision)
+            tok_dir = os.path.join(component_dir, "tokenizer")
+            if os.path.isdir(tok_dir):
+                cond.tokenizer = load_tokenizer(tok_dir)
+            return cond
         if module_name == "upsampler":
             # hy1.5 latent SR refiners (reference component_loader.py
             # UpsamplerLoader); plain-dataclass configs, fp32 weights.

@@ -68,6 +68,11 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "OobleckVAE":
     ("fastvideo_tpu.models.vaes.oobleck", "OobleckVAE",
      "fastvideo_tpu.models.vaes.oobleck:OobleckVAEArchConfig"),
+    "StableAudioMultiConditioner":
+    ("fastvideo_tpu.models.encoders.stable_audio_conditioner",
+     "StableAudioMultiConditioner",
+     "fastvideo_tpu.models.encoders.stable_audio_conditioner:"
+     "StableAudioConditionerArchConfig"),
     "WanModel":
     ("fastvideo_tpu.models.dits.wan", "WanTransformer3DModel",
      "fastvideo_tpu.configs.models.dits.wan:WanArchConfig"),

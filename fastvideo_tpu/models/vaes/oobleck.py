@@ -236,8 +236,11 @@ class OobleckDecoder(nnx.Module):
         return self.conv2(self.snake1(x))
 
 
+from fastvideo_tpu.configs.models.base import ArchConfig
+
+
 @dataclasses.dataclass
-class OobleckVAEArchConfig:
+class OobleckVAEArchConfig(ArchConfig):
     encoder_hidden_size: int = 128
     downsampling_ratios: tuple[int, ...] = (2, 4, 4, 8, 8)
     channel_multiples: tuple[int, ...] = (1, 2, 4, 8, 16)

@@ -72,6 +72,9 @@ _PIPELINES: dict[str, str] = {
     "Cosmos2VideoToWorldPipeline":
     "fastvideo_tpu.pipelines.basic.cosmos.cosmos_pipeline:"
     "Cosmos2VideoToWorldPipeline",
+    "StableAudioPipeline":
+    "fastvideo_tpu.pipelines.basic.stable_audio.stable_audio_pipeline:"
+    "StableAudioPipeline",
     "CosmosVideoToWorldPipeline":
     "fastvideo_tpu.pipelines.basic.cosmos.cosmos_pipeline:"
     "Cosmos2VideoToWorldPipeline",

@@ -122,6 +122,14 @@ def _register_builtin() -> None:
     register_config(frag("hunyuanvideo-1.5"),
                     hy15_cfg.Hunyuan15T2V480PConfig, priority=11)
 
+    from fastvideo_tpu.configs.pipelines import stable_audio as sa_cfg
+
+    register_config(frag("stable-audio", "small"),
+                    sa_cfg.StableAudioSmallConfig,
+                    sa_cfg.StableAudioSamplingParam, priority=13)
+    register_config(frag("stable-audio"), sa_cfg.StableAudioOpenConfig,
+                    sa_cfg.StableAudioSamplingParam, priority=12)
+
     from fastvideo_tpu.configs.pipelines import sd35 as sd_cfg
 
     register_config(frag("stable-diffusion-3"), sd_cfg.SD35Config,

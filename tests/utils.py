@@ -1307,3 +1307,87 @@ def make_tiny_ltx2_checkpoint(root: str, seed: int = 0) -> str:
         json.dump({"_class_name": "FlowMatchEulerDiscreteScheduler",
                    "num_train_timesteps": 1000}, fh)
     return root
+
+
+# head_dim >= 64: the SA rope uses rot_dim = max(head_dim // 2, 32)
+TINY_SA_DIT = dict(io_channels=4, embed_dim=128, depth=2,
+                   num_attention_heads=2, cond_token_dim=128,
+                   global_cond_dim=256, project_cond_tokens=False,
+                   project_global_cond=True)
+TINY_SA_VAE = dict(encoder_hidden_size=8, downsampling_ratios=[2, 2],
+                   channel_multiples=[1, 2], decoder_channels=8,
+                   decoder_input_channels=4, audio_channels=2,
+                   sampling_rate=400)
+TINY_SA_COND = dict(cond_dim=128, number_embed_dim=8,
+                    cross_attention_cond_ids=["prompt", "seconds_start",
+                                              "seconds_total"],
+                    global_cond_ids=["seconds_start", "seconds_total"],
+                    min_val=0.0, max_val=512.0, t5_max_length=8,
+                    t5=dict(vocab_size=64, d_model=128, d_kv=8, d_ff=24,
+                            num_layers=2, num_heads=2,
+                            feed_forward_proj="relu"))
+
+
+def make_tiny_stable_audio_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny random-weight Stable Audio Open checkpoint (diffusers layout):
+    StableAudioDiT + OobleckVAE + multi-conditioner (T5 + numbers)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.models.dits.stable_audio import StableAudioDiT
+    from fastvideo_tpu.configs.models.dits.stable_audio import (
+        StableAudioArchConfig)
+    from fastvideo_tpu.models.encoders.stable_audio_conditioner import (
+        StableAudioConditionerArchConfig, StableAudioMultiConditioner)
+    from fastvideo_tpu.models.vaes.oobleck import (OobleckVAE,
+                                                   OobleckVAEArchConfig)
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump({
+            "_class_name": "StableAudioPipeline",
+            "_diffusers_version": "0.33.0",
+            "transformer": ["fastvideo", "StableAudioDiT"],
+            "vae": ["fastvideo", "OobleckVAE"],
+            "conditioner": ["fastvideo", "StableAudioMultiConditioner"],
+        }, fh)
+
+    def tup(d):
+        return {k: tuple(v) if isinstance(v, list) else v
+                for k, v in d.items()}
+
+    tdir = os.path.join(root, "transformer")
+    os.makedirs(tdir, exist_ok=True)
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "StableAudioDiT", **TINY_SA_DIT}, fh)
+    dit = StableAudioDiT(StableAudioArchConfig(**TINY_SA_DIT),
+                         param_dtype=jnp.float32, rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+
+    vdir = os.path.join(root, "vae")
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "OobleckVAE", **TINY_SA_VAE}, fh)
+    vae = OobleckVAE(OobleckVAEArchConfig(**tup(TINY_SA_VAE)),
+                     param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 1))
+    _save_safetensors(os.path.join(vdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(vae))
+
+    cdir = os.path.join(root, "conditioner")
+    os.makedirs(cdir, exist_ok=True)
+    with open(os.path.join(cdir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["StableAudioMultiConditioner"],
+                   **TINY_SA_COND}, fh)
+    cond_cfg = StableAudioConditionerArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_SA_COND.items()})
+    cond = StableAudioMultiConditioner(cond_cfg, param_dtype=jnp.float32,
+                                       rngs=nnx.Rngs(seed + 2))
+    _save_safetensors(os.path.join(cdir, "model.safetensors"),
+                      _export_torch_layout(cond))
+    _make_tokenizer(os.path.join(cdir, "tokenizer"),
+                    TINY_SA_COND["t5"]["vocab_size"])
+    return root
