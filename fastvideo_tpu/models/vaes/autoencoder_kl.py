@@ -42,6 +42,22 @@ class AutoencoderKLArchConfig(VAEArchConfig):
     use_post_quant_conv: bool = False
     mid_block_add_attention: bool = True
     sample_size: int = 1024
+    # per-channel latent statistics (GLM-Image style); None -> the scalar
+    # shift_factor/scaling_factor convention applies
+    latents_mean: tuple[float, ...] | None = None
+    latents_std: tuple[float, ...] | None = None
+
+    def latents_mean_arr(self):
+        import numpy as np
+        if self.latents_mean is None:
+            return np.asarray([self.shift_factor], dtype=np.float32)
+        return np.asarray(self.latents_mean, dtype=np.float32)
+
+    def latents_std_arr(self):
+        import numpy as np
+        if self.latents_std is None:
+            return np.asarray([1.0 / self.scaling_factor], dtype=np.float32)
+        return np.asarray(self.latents_std, dtype=np.float32)
 
     @property
     def spatial_compression_ratio(self) -> int:

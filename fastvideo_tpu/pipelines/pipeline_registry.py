@@ -75,6 +75,9 @@ _PIPELINES: dict[str, str] = {
     "StableAudioPipeline":
     "fastvideo_tpu.pipelines.basic.stable_audio.stable_audio_pipeline:"
     "StableAudioPipeline",
+    "GlmImagePipeline":
+    "fastvideo_tpu.pipelines.basic.glm_image.glm_image_pipeline:"
+    "GlmImagePipeline",
     "CosmosVideoToWorldPipeline":
     "fastvideo_tpu.pipelines.basic.cosmos.cosmos_pipeline:"
     "Cosmos2VideoToWorldPipeline",

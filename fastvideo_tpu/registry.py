@@ -122,6 +122,13 @@ def _register_builtin() -> None:
     register_config(frag("hunyuanvideo-1.5"),
                     hy15_cfg.Hunyuan15T2V480PConfig, priority=11)
 
+    from fastvideo_tpu.configs.pipelines import glm_image as glm_cfg
+
+    register_config(frag("glm-image"), glm_cfg.GlmImagePipelineConfig,
+                    glm_cfg.GlmImageSamplingParam, priority=12)
+    register_config(frag("glm_image"), glm_cfg.GlmImagePipelineConfig,
+                    glm_cfg.GlmImageSamplingParam, priority=12)
+
     from fastvideo_tpu.configs.pipelines import stable_audio as sa_cfg
 
     register_config(frag("stable-audio", "small"),

@@ -1391,3 +1391,86 @@ def make_tiny_stable_audio_checkpoint(root: str, seed: int = 0) -> str:
     _make_tokenizer(os.path.join(cdir, "tokenizer"),
                     TINY_SA_COND["t5"]["vocab_size"])
     return root
+
+
+TINY_GLM_DIT = dict(num_attention_heads=2, attention_head_dim=16,
+                    in_channels=4, out_channels=4, num_layers=2,
+                    text_embed_dim=24, time_embed_dim=32, condition_dim=8,
+                    prior_vq_quantizer_codebook_size=32, patch_size=2)
+TINY_GLM_VAE = dict(in_channels=3, out_channels=3, latent_channels=4,
+                    block_out_channels=[8, 8, 16, 16], layers_per_block=1,
+                    norm_num_groups=4, scaling_factor=1.0, shift_factor=0.0,
+                    latents_mean=[0.0] * 4, latents_std=[1.0] * 4,
+                    mid_block_add_attention=False)
+TINY_GLM_T5 = dict(vocab_size=64, d_model=24, d_kv=8, d_ff=32, num_layers=2,
+                   num_heads=2, feed_forward_proj="relu", model_type="t5")
+
+
+def make_tiny_glm_image_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny random-weight GLM-Image checkpoint (diffusers layout)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.dits.glm_image import GlmImageArchConfig
+    from fastvideo_tpu.configs.models.encoders.t5 import T5ArchConfig
+    from fastvideo_tpu.models.dits.glm_image import GlmImageTransformer2DModel
+    from fastvideo_tpu.models.encoders.t5 import T5EncoderModel
+    from fastvideo_tpu.models.vaes.autoencoder_kl import (
+        AutoencoderKL, AutoencoderKLArchConfig)
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump({
+            "_class_name": "GlmImagePipeline",
+            "_diffusers_version": "0.33.0",
+            "transformer": ["diffusers", "GlmImageTransformer2DModel"],
+            "vae": ["diffusers", "AutoencoderKL"],
+            "text_encoder": ["transformers", "T5EncoderModel"],
+            "tokenizer": ["transformers", "T5TokenizerFast"],
+            "scheduler": ["diffusers", "FlowMatchEulerDiscreteScheduler"],
+        }, fh)
+
+    def tup(d):
+        return {k: tuple(v) if isinstance(v, list) else v
+                for k, v in d.items()}
+
+    tdir = os.path.join(root, "transformer")
+    os.makedirs(tdir, exist_ok=True)
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "GlmImageTransformer2DModel",
+                   **TINY_GLM_DIT}, fh)
+    dit = GlmImageTransformer2DModel(GlmImageArchConfig(**TINY_GLM_DIT),
+                                     param_dtype=jnp.float32,
+                                     rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+
+    vdir = os.path.join(root, "vae")
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "AutoencoderKL", **TINY_GLM_VAE}, fh)
+    vae = AutoencoderKL(AutoencoderKLArchConfig(**tup(TINY_GLM_VAE)),
+                        param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 1))
+    _save_safetensors(os.path.join(vdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(vae))
+
+    edir = os.path.join(root, "text_encoder")
+    os.makedirs(edir, exist_ok=True)
+    with open(os.path.join(edir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["T5EncoderModel"], **TINY_GLM_T5}, fh)
+    earch = T5ArchConfig(**{k: v for k, v in TINY_GLM_T5.items()
+                            if k != "model_type"})
+    enc = T5EncoderModel(earch, param_dtype=jnp.float32,
+                         rngs=nnx.Rngs(seed + 2))
+    _save_safetensors(os.path.join(edir, "model.safetensors"),
+                      _export_torch_layout(enc))
+    _make_tokenizer(os.path.join(root, "tokenizer"),
+                    TINY_GLM_T5["vocab_size"])
+    sdir = os.path.join(root, "scheduler")
+    os.makedirs(sdir, exist_ok=True)
+    with open(os.path.join(sdir, "scheduler_config.json"), "w") as fh:
+        json.dump({"_class_name": "FlowMatchEulerDiscreteScheduler",
+                   "num_train_timesteps": 1000, "shift": 1.0}, fh)
+    return root
