@@ -45,6 +45,13 @@ class PipelineConfig:
 
     extra: dict[str, Any] = dataclasses.field(default_factory=dict)
 
+    @property
+    def model_family(self) -> str:
+        """Preset-registry family key, derived from the config module
+        (configs/pipelines/<family>.py). Subclasses defined elsewhere can
+        override with a plain class attribute."""
+        return type(self).__module__.rsplit(".", 1)[-1]
+
     def update_config_from_dict(self, d: dict[str, Any]) -> None:
         field_names = {f.name for f in dataclasses.fields(self)}
         for k, v in d.items():

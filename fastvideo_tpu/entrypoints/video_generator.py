@@ -83,8 +83,9 @@ class VideoGenerator:
         kwargs = generation_kwargs(request)
         cfg = getattr(self, "generator_config", None)
         if cfg is not None and cfg.pipeline.preset:
-            family = ("hunyuan" if "hunyuan"
-                      in self.fastvideo_args.model_path.lower() else "wan")
+            pipe_cfg = self.fastvideo_args.pipeline_config
+            family = (pipe_cfg.model_family if pipe_cfg is not None
+                      else "wan")
             preset = get_preset(family, cfg.pipeline.preset,
                                 cfg.pipeline.preset_version)
             validate_stage_overrides(preset, request.stage_overrides)

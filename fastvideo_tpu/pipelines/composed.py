@@ -92,7 +92,12 @@ class ComposedPipelineBase:
 
     def forward(self, batch: ForwardBatch,
                 fastvideo_args: FastVideoArgs) -> ForwardBatch:
+        from fastvideo_tpu import envs
+        trace = envs.FASTVIDEO_TRACE_ACTIVATIONS
         with mesh_context(self.mesh):
             for stage in self._stages:
                 batch = stage(batch, fastvideo_args)
+                if trace:
+                    from fastvideo_tpu.hooks import trace_batch
+                    trace_batch(stage.name, batch)
         return batch

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from fastvideo_tpu import envs
 from fastvideo_tpu.fastvideo_args import FastVideoArgs
 from fastvideo_tpu.forward_context import set_forward_context
 from fastvideo_tpu.logger import init_logger
@@ -214,6 +215,10 @@ class DenoisingStage(PipelineStage):
             latents = self.scheduler.step(
                 noise_pred.astype(jnp.float32), t,
                 latents.astype(jnp.float32)).prev_sample
+            if envs.FASTVIDEO_TRACE_ACTIVATIONS:
+                from fastvideo_tpu.hooks import trace_activation
+                trace_activation("denoise.noise_pred", noise_pred, step=i)
+                trace_activation("denoise.latents", latents, step=i)
             if ti2v:
                 # re-impose the conditioned first frame after every
                 # scheduler step (reference stages/denoising.py:597-600)

@@ -10,14 +10,65 @@ compatibility (get_class / execute_forward / shutdown / set_lora_adapter).
 
 from __future__ import annotations
 
+import contextlib
+import faulthandler
+import threading
+import time
 from typing import Any
 
+from fastvideo_tpu import envs
 from fastvideo_tpu.fastvideo_args import FastVideoArgs
 from fastvideo_tpu.logger import init_logger
 from fastvideo_tpu.pipelines import build_pipeline
 from fastvideo_tpu.pipelines.batch import ForwardBatch
 
 logger = init_logger(__name__)
+
+
+@contextlib.contextmanager
+def iteration_watchdog(what: str = "engine iteration"):
+    """Wall-clock guard around one engine iteration.
+
+    Enforces ``FASTVIDEO_ENGINE_ITERATION_TIMEOUT_S`` (reference declares it
+    at fastvideo/envs.py:178; the single-controller analog of the
+    multiproc executor's worker-death detection): if the iteration exceeds
+    the budget, every thread's stack is dumped via :mod:`faulthandler` and a
+    critical log line is emitted so a hung XLA dispatch/tunnel is visible
+    instead of a silent stall. <=0 disables the guard. The iteration is not
+    killed — on TPU the usual cause is a long first compile, and the
+    operator decides; the dump makes the hang diagnosable.
+    """
+    timeout = envs.FASTVIDEO_ENGINE_ITERATION_TIMEOUT_S
+    if timeout <= 0:
+        yield
+        return
+    fired = threading.Event()
+    start = time.monotonic()
+
+    def _alarm() -> None:
+        fired.set()
+        logger.critical(
+            "%s exceeded FASTVIDEO_ENGINE_ITERATION_TIMEOUT_S=%ds "
+            "(thread stacks dumped to stderr)", what, timeout)
+
+    watchdog = threading.Timer(timeout, _alarm)
+    watchdog.daemon = True
+    watchdog.start()
+    try:
+        # dumps all thread stacks to stderr if the deadline passes
+        faulthandler.dump_traceback_later(timeout, exit=False)
+    except (RuntimeError, OSError):  # pragma: no cover - no stderr fd
+        pass
+    try:
+        yield
+    finally:
+        watchdog.cancel()
+        with contextlib.suppress(RuntimeError, OSError):
+            faulthandler.cancel_dump_traceback_later()
+        if fired.is_set():
+            logger.warning("%s eventually completed after %.1fs "
+                           "(budget %ds)", what,
+                           time.monotonic() - start, timeout)
 
 
 class Executor:
@@ -37,7 +88,8 @@ class Executor:
 
     def execute_forward(self, batch: ForwardBatch,
                         fastvideo_args: FastVideoArgs) -> ForwardBatch:
-        return self.pipeline.forward(batch, fastvideo_args)
+        with iteration_watchdog("execute_forward"):
+            return self.pipeline.forward(batch, fastvideo_args)
 
     def set_lora_adapter(self, lora_nickname: str,
                          lora_path: str | None = None) -> None:
