@@ -121,6 +121,18 @@ _VAE_REGISTRY: dict[str, tuple[str, str, str]] = {
     "AutoencoderKLHunyuanVideo15":
     ("fastvideo_tpu.models.vaes.hunyuan15", "AutoencoderKLHunyuanVideo15",
      "fastvideo_tpu.models.vaes.hunyuan15:Hunyuan15VAEArchConfig"),
+    "AutoencoderKLMiniMaxH3":
+    ("fastvideo_tpu.models.vaes.minimax_h3_video", "AutoencoderKLMiniMaxH3",
+     "fastvideo_tpu.models.vaes.minimax_h3_video:"
+     "MiniMaxH3VideoVAEArchConfig"),
+    "AutoencoderKLMiniMaxH3Audio":
+    ("fastvideo_tpu.models.vaes.minimax_h3_audio", "MiniMaxH3AudioVAE",
+     "fastvideo_tpu.models.vaes.minimax_h3_audio:"
+     "MiniMaxH3AudioVAEArchConfig"),
+    "MiniMaxH3AudioVAE":
+    ("fastvideo_tpu.models.vaes.minimax_h3_audio", "MiniMaxH3AudioVAE",
+     "fastvideo_tpu.models.vaes.minimax_h3_audio:"
+     "MiniMaxH3AudioVAEArchConfig"),
 }
 
 _ENCODER_REGISTRY: dict[str, tuple[str, str, str]] = {
