@@ -157,3 +157,28 @@ register_preset(InferencePreset(
     stage_schemas=(_DENOISE, _DECODE),
     defaults=dict(height=720, width=1280, num_frames=125, fps=24,
                   num_inference_steps=6, guidance_scale=1.0)))
+
+_MINIMAX_DENOISE = PresetStageSpec(
+    name="denoise", kind="denoising",
+    description="Joint video/audio flow-matching denoising",
+    allowed_overrides=frozenset({"num_inference_steps"}))
+
+register_preset(InferencePreset(
+    name="minimax_h3_t2va", version=1, model_family="minimax_h3",
+    workload_type="t2v",
+    description="MiniMax H3 text-to-video with synchronized stereo audio "
+                "at 768p",
+    stage_schemas=(_MINIMAX_DENOISE,),
+    defaults=dict(fps=24, guidance_scale=1.0, negative_prompt="",
+                  num_inference_steps=50, seed=0, height=768, width=1344,
+                  num_frames=124)))
+
+register_preset(InferencePreset(
+    name="minimax_h3_fl2va", version=1, model_family="minimax_h3",
+    workload_type="i2v",
+    description="MiniMax H3 first/last-frame-to-video with synchronized "
+                "stereo audio",
+    stage_schemas=(_MINIMAX_DENOISE,),
+    defaults=dict(fps=24, guidance_scale=1.0, negative_prompt="",
+                  num_inference_steps=50, seed=0, height=768, width=1344,
+                  num_frames=192)))

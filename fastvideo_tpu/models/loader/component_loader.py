@@ -164,6 +164,24 @@ class PipelineComponentLoader:
             if os.path.isdir(tok_dir):
                 cond.tokenizer = load_tokenizer(tok_dir)
             return cond
+        if module_name == "audio_vae":
+            cfg = getattr(pipeline_config, "audio_vae_config", None)
+            return load_model_component(component_dir, precision="fp32",
+                                        model_config=cfg)
+        if module_name == "audio_scheduler":
+            return load_scheduler(component_dir)
+        if module_name == "processor":
+            # HF multimodal processor (Qwen3-VL image preprocessing for
+            # MiniMax-H3 keyframes); optional — text-only requests never
+            # touch it.
+            try:
+                from transformers import AutoProcessor
+
+                return AutoProcessor.from_pretrained(component_dir)
+            except Exception as e:  # pragma: no cover
+                logger.warning("Processor load failed (%s); image keyframe "
+                               "conditioning unavailable", e)
+                return None
         if module_name == "upsampler":
             # hy1.5 latent SR refiners (reference component_loader.py
             # UpsamplerLoader); plain-dataclass configs, fp32 weights.

@@ -187,6 +187,16 @@ _ENCODER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "Qwen3ForCausalLM":
     ("fastvideo_tpu.models.encoders.qwen3", "Qwen3EncoderModel",
      "fastvideo_tpu.models.encoders.qwen3:Qwen3ArchConfig"),
+    "MiniMaxH3Qwen3VLConditioner":
+    ("fastvideo_tpu.models.encoders.minimax_h3_qwen3_vl",
+     "MiniMaxH3Qwen3VLConditioner",
+     "fastvideo_tpu.models.encoders.minimax_h3_qwen3_vl:"
+     "MiniMaxH3Qwen3VLArchConfig"),
+    "Qwen3VLForConditionalGeneration":
+    ("fastvideo_tpu.models.encoders.minimax_h3_qwen3_vl",
+     "MiniMaxH3Qwen3VLConditioner",
+     "fastvideo_tpu.models.encoders.minimax_h3_qwen3_vl:"
+     "MiniMaxH3Qwen3VLArchConfig"),
     "MistralModel":
     ("fastvideo_tpu.models.encoders.mistral", "MistralEncoderModel",
      "fastvideo_tpu.models.encoders.mistral:MistralArchConfig"),

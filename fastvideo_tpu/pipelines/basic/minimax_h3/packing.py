@@ -32,6 +32,14 @@ MINIMAX_H3_AUDIO_CHANNELS = 2
 MINIMAX_H3_ROPE_FRAME_RESCALE = 5.0 / 3.0
 MINIMAX_H3_ROPE_FRAMES_PER_LATENT = (1, 4, 4, 4, 4)
 _ROPE_SPATIAL_SCALE = 32
+MINIMAX_H3_MIN_DURATION = 5.0
+MINIMAX_H3_MAX_DURATION = 15.0
+MINIMAX_H3_KEYFRAME_NOISE_AUG = 0.999
+MINIMAX_H3_KEYFRAME_ENCODE_SEED = 42
+MINIMAX_H3_VISION_START_TOKEN = "<|vision_start|>"
+MINIMAX_H3_IMAGE_PAD_TOKEN = "<|image_pad|>"
+MINIMAX_H3_VISION_END_TOKEN = "<|vision_end|>"
+MINIMAX_H3_TEXT_ENCODER_LAYER = 50
 
 
 @dataclasses.dataclass(frozen=True)
@@ -144,6 +152,22 @@ def _temporal_position_span(num_latent_frames: int) -> float:
     for i, frames in enumerate(MINIMAX_H3_ROPE_FRAMES_PER_LATENT):
         spans[i::len(MINIMAX_H3_ROPE_FRAMES_PER_LATENT)] *= frames
     return float(spans.sum())
+
+
+def build_row_timesteps(
+        layout: MiniMaxH3PackedLayout, video_timestep: float,
+        audio_timestep: float, condition_video_timestep: float,
+        condition_audio_timestep: float) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row timesteps compressed to (unique, inverse) for the row-indexed
+    AdaLN table (reference :459-470)."""
+    row = np.full(layout.sequence_length, video_timestep, np.float32)
+    row[layout.video_indices[:layout.num_condition_video_rows]] = \
+        condition_video_timestep
+    row[layout.audio_indices[layout.num_condition_audio_rows:]] = \
+        audio_timestep
+    row[layout.audio_indices[:layout.num_condition_audio_rows]] = \
+        condition_audio_timestep
+    return np.unique(row, return_inverse=True)
 
 
 def build_packed_sequence(

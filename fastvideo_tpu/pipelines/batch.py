@@ -56,6 +56,13 @@ class ForwardBatch:
     latents: Array | None = None
     raw_latent_shape: tuple[int, ...] | None = None
     noise_pred: Array | None = None
+    # joint audio-video families (MiniMax-H3, LTX-2)
+    audio_latents: Array | None = None
+    height_latents: int | None = None
+    width_latents: int | None = None
+    # FL2VA last-frame conditioning + ordered Ref2VA references
+    last_image: Any = None
+    references: list | None = None
 
     # timesteps
     timesteps: Any = None

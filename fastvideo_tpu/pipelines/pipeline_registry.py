@@ -78,6 +78,12 @@ _PIPELINES: dict[str, str] = {
     "GlmImagePipeline":
     "fastvideo_tpu.pipelines.basic.glm_image.glm_image_pipeline:"
     "GlmImagePipeline",
+    "MiniMaxH3ModularPipeline":
+    "fastvideo_tpu.pipelines.basic.minimax_h3.minimax_h3_pipeline:"
+    "MiniMaxH3ModularPipeline",
+    "MiniMaxH3Pipeline":
+    "fastvideo_tpu.pipelines.basic.minimax_h3.minimax_h3_pipeline:"
+    "MiniMaxH3ModularPipeline",
     "CosmosVideoToWorldPipeline":
     "fastvideo_tpu.pipelines.basic.cosmos.cosmos_pipeline:"
     "Cosmos2VideoToWorldPipeline",

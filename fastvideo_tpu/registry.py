@@ -129,6 +129,11 @@ def _register_builtin() -> None:
     register_config(frag("glm_image"), glm_cfg.GlmImagePipelineConfig,
                     glm_cfg.GlmImageSamplingParam, priority=12)
 
+    from fastvideo_tpu.configs.pipelines import minimax_h3 as mmx_cfg
+
+    register_config(frag("minimax"), mmx_cfg.MiniMaxH3PipelineConfig,
+                    mmx_cfg.MiniMaxH3SamplingParam, priority=11)
+
     from fastvideo_tpu.configs.pipelines import stable_audio as sa_cfg
 
     register_config(frag("stable-audio", "small"),

@@ -1474,3 +1474,133 @@ def make_tiny_glm_image_checkpoint(root: str, seed: int = 0) -> str:
         json.dump({"_class_name": "FlowMatchEulerDiscreteScheduler",
                    "num_train_timesteps": 1000, "shift": 1.0}, fh)
     return root
+
+
+TINY_MMX_DIT = dict(num_attention_heads=2, attention_head_dim=32,
+                    hidden_size=64, num_layers=2, num_refiner_layers=1,
+                    ffn_dim=96, in_channels=4, audio_in_channels=8,
+                    patch_size=[1, 2, 2], text_dim=32, freq_dim=32,
+                    time_embed_hidden_dim=64, time_embed_dim=48,
+                    rope_freq_dim=4, rope_theta=10000.0)
+TINY_MMX_VIDEO_VAE = dict(latent_channels=4, block_out_channels=[8, 8, 16],
+                          layers_per_block=1,
+                          spatial_downsample_factors=[2, 2, 2],
+                          temporal_downsample_factors=[1, 2, 2],
+                          norm_num_groups=4, decoder_num_layers=1,
+                          decoder_num_attention_heads=2,
+                          decoder_attention_head_dim=8,
+                          decoder_num_register_tokens=2,
+                          decoder_ffn_mult=2, decoder_rope_dim_ratio=0.75,
+                          clip_length=17, token_drop=3,
+                          latents_mean=[0.0] * 4, latents_std=[1.0] * 4)
+TINY_MMX_AUDIO_VAE = dict(encoder_dim=4, encoder_rates=[2, 2],
+                          latent_dim=16, latent_channels=8,
+                          num_attention_heads=2, decoder_dim=16,
+                          decoder_rates=[2, 2], decoder_kernel_sizes=[4, 4],
+                          resblock_kernel_sizes=[3],
+                          resblock_dilation_sizes=[[1, 3]],
+                          sampling_rate=32000)
+TINY_MMX_COND = dict(vocab_size=64, hidden_size=32, intermediate_size=48,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     num_key_value_heads=2, head_dim=8,
+                     mrope_section=[2, 1, 1], vision_depth=1,
+                     vision_hidden_size=16, vision_intermediate_size=24,
+                     vision_num_heads=2, vision_patch_size=2,
+                     vision_temporal_patch_size=2,
+                     vision_spatial_merge_size=2,
+                     vision_out_hidden_size=32,
+                     vision_num_position_embeddings=16,
+                     vision_deepstack_visual_indexes=[0])
+
+
+def make_tiny_minimax_h3_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny random-weight MiniMax-H3 checkpoint (diffusers layout)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.dits.minimax_h3 import (
+        MiniMaxH3ArchConfig)
+    from fastvideo_tpu.models.dits.minimax_h3 import (
+        MiniMaxH3Transformer3DModel)
+    from fastvideo_tpu.models.encoders.minimax_h3_qwen3_vl import (
+        MiniMaxH3Qwen3VLArchConfig, MiniMaxH3Qwen3VLConditioner)
+    from fastvideo_tpu.models.vaes.minimax_h3_audio import (
+        MiniMaxH3AudioVAE, MiniMaxH3AudioVAEArchConfig)
+    from fastvideo_tpu.models.vaes.minimax_h3_video import (
+        AutoencoderKLMiniMaxH3, MiniMaxH3VideoVAEArchConfig)
+
+    def tup(d):
+        return {k: tuple(tuple(x) if isinstance(x, list) else x
+                         for x in v) if isinstance(v, list) else v
+                for k, v in d.items()}
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump({
+            "_class_name": "MiniMaxH3ModularPipeline",
+            "_diffusers_version": "0.33.0",
+            "transformer": ["diffusers", "MiniMaxH3Transformer3DModel"],
+            "vae": ["diffusers", "AutoencoderKLMiniMaxH3"],
+            "audio_vae": ["diffusers", "AutoencoderKLMiniMaxH3Audio"],
+            "text_encoder": ["transformers", "MiniMaxH3Qwen3VLConditioner"],
+            "tokenizer": ["transformers", "PreTrainedTokenizerFast"],
+            "scheduler": ["diffusers", "MiniMaxH3Scheduler"],
+            "audio_scheduler": ["diffusers", "MiniMaxH3Scheduler"],
+        }, fh)
+
+    tdir = os.path.join(root, "transformer")
+    os.makedirs(tdir, exist_ok=True)
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "MiniMaxH3Transformer3DModel",
+                   **TINY_MMX_DIT}, fh)
+    dit = MiniMaxH3Transformer3DModel(
+        MiniMaxH3ArchConfig(**tup(TINY_MMX_DIT)), param_dtype=jnp.float32,
+        rngs=nnx.Rngs(seed))
+    _save_safetensors(
+        os.path.join(tdir, "diffusion_pytorch_model.safetensors"),
+        _export_torch_layout(dit))
+
+    vdir = os.path.join(root, "vae")
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "AutoencoderKLMiniMaxH3",
+                   **TINY_MMX_VIDEO_VAE}, fh)
+    vae = AutoencoderKLMiniMaxH3(
+        MiniMaxH3VideoVAEArchConfig(**tup(TINY_MMX_VIDEO_VAE)),
+        rngs=nnx.Rngs(seed + 1))
+    _save_safetensors(
+        os.path.join(vdir, "diffusion_pytorch_model.safetensors"),
+        _export_torch_layout(vae))
+
+    adir = os.path.join(root, "audio_vae")
+    os.makedirs(adir, exist_ok=True)
+    with open(os.path.join(adir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "AutoencoderKLMiniMaxH3Audio",
+                   **TINY_MMX_AUDIO_VAE}, fh)
+    avae = MiniMaxH3AudioVAE(
+        MiniMaxH3AudioVAEArchConfig(**tup(TINY_MMX_AUDIO_VAE)),
+        rngs=nnx.Rngs(seed + 2))
+    _save_safetensors(
+        os.path.join(adir, "diffusion_pytorch_model.safetensors"),
+        _export_torch_layout(avae))
+
+    edir = os.path.join(root, "text_encoder")
+    os.makedirs(edir, exist_ok=True)
+    with open(os.path.join(edir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["MiniMaxH3Qwen3VLConditioner"],
+                   **TINY_MMX_COND}, fh)
+    cond = MiniMaxH3Qwen3VLConditioner(
+        MiniMaxH3Qwen3VLArchConfig(**tup(TINY_MMX_COND)),
+        param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 3))
+    _save_safetensors(os.path.join(edir, "model.safetensors"),
+                      _export_torch_layout(cond))
+    _make_tokenizer(os.path.join(root, "tokenizer"),
+                    TINY_MMX_COND["vocab_size"])
+
+    for name, shift in (("scheduler", 12.0), ("audio_scheduler", 3.0)):
+        sdir = os.path.join(root, name)
+        os.makedirs(sdir, exist_ok=True)
+        with open(os.path.join(sdir, "scheduler_config.json"), "w") as fh:
+            json.dump({"_class_name": "MiniMaxH3Scheduler",
+                       "shift": shift}, fh)
+    return root
