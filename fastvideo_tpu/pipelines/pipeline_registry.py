@@ -78,6 +78,9 @@ _PIPELINES: dict[str, str] = {
     "GlmImagePipeline":
     "fastvideo_tpu.pipelines.basic.glm_image.glm_image_pipeline:"
     "GlmImagePipeline",
+    "DreamXWorldPipeline":
+    "fastvideo_tpu.pipelines.basic.dreamx_world.dreamx_world_pipeline:"
+    "DreamXWorldPipeline",
     "MiniMaxH3ModularPipeline":
     "fastvideo_tpu.pipelines.basic.minimax_h3.minimax_h3_pipeline:"
     "MiniMaxH3ModularPipeline",

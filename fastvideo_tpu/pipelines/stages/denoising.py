@@ -82,7 +82,7 @@ class DenoisingStage(PipelineStage):
         @functools.partial(jax.jit, static_argnames=("image_cond",))
         def step_fn(state, latents, ctx, t, image_embeds=None,
                     image_cond: bool = False, guidance=None,
-                    timestep_r=None):
+                    timestep_r=None, viewmats=None, intrinsics=None):
             m = nnx.merge(graphdef, state)
             kwargs = {}
             if guidance is not None:
@@ -91,6 +91,10 @@ class DenoisingStage(PipelineStage):
             if timestep_r is not None:
                 # meanflow next-step timestep (hy1.5 SR / step-distilled)
                 kwargs["timestep_r"] = timestep_r
+            if viewmats is not None:
+                # PRoPE camera conditioning (DreamX-World-5B-Cam)
+                kwargs["y_camera"] = {"viewmats": viewmats,
+                                      "K": intrinsics}
             return m(latents, ctx, t,
                      encoder_hidden_states_image=(image_embeds
                                                   if image_cond else None),
@@ -167,6 +171,10 @@ class DenoisingStage(PipelineStage):
         attn_metadata = self._build_attn_metadata(batch, fastvideo_args)
         cfg_cache_interval = int(batch.extra.get("cfg_cache_interval", 1))
         cfg_delta = None
+        y_cam = batch.extra.get("y_camera")
+        cam_kw = ({} if y_cam is None else
+                  dict(viewmats=jnp.asarray(y_cam["viewmats"], jnp.float32),
+                       intrinsics=jnp.asarray(y_cam["K"], jnp.float32)))
         ti2v = (self.pipeline_config is not None
                 and getattr(self.pipeline_config, "ti2v_task", False)
                 and batch.pil_image is not None)
@@ -190,7 +198,7 @@ class DenoisingStage(PipelineStage):
                 noise_pred = step_fn(state, model_in, pos_ctx, t_arr,
                                      image_embeds,
                                      image_cond=image_embeds is not None,
-                                     guidance=guidance_arr)
+                                     guidance=guidance_arr, **cam_kw)
                 if do_cfg:
                     # TeaCache-style delta caching (reference
                     # stages/denoising.py:338,527-581): recompute the uncond
@@ -206,7 +214,8 @@ class DenoisingStage(PipelineStage):
                                                t_arr, image_embeds,
                                                image_cond=image_embeds
                                                is not None,
-                                               guidance=guidance_arr)
+                                               guidance=guidance_arr,
+                                               **cam_kw)
                         cfg_delta = noise_pred - noise_uncond
                         noise_pred = noise_uncond + guidance * cfg_delta
                     else:

@@ -129,6 +129,11 @@ def _register_builtin() -> None:
     register_config(frag("glm_image"), glm_cfg.GlmImagePipelineConfig,
                     glm_cfg.GlmImageSamplingParam, priority=12)
 
+    from fastvideo_tpu.configs.pipelines import dreamx_world as dx_cfg
+
+    register_config(frag("dreamx"), dx_cfg.DreamXWorld5BCamPipelineConfig,
+                    dx_cfg.DreamXWorldSamplingParam, priority=11)
+
     from fastvideo_tpu.configs.pipelines import minimax_h3 as mmx_cfg
 
     register_config(frag("minimax"), mmx_cfg.MiniMaxH3PipelineConfig,

@@ -1604,3 +1604,55 @@ def make_tiny_minimax_h3_checkpoint(root: str, seed: int = 0) -> str:
             json.dump({"_class_name": "MiniMaxH3Scheduler",
                        "shift": shift}, fh)
     return root
+
+
+TINY_DX_DIT = dict(num_attention_heads=2, attention_head_dim=24,
+                   in_channels=4, out_channels=4, text_dim=32, freq_dim=32,
+                   ffn_dim=64, num_layers=2, patch_size=[1, 2, 2],
+                   qk_norm="rms_norm_across_heads", cross_attn_norm=True,
+                   eps=1e-6, attn_compress=2)
+
+
+def make_tiny_dreamx_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny random-weight DreamX-World-5B-Cam checkpoint."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.dits.dreamx_world import (
+        DreamXWorldArchConfig)
+    from fastvideo_tpu.models.dits.dreamx_world import (
+        DreamXWorldTransformer3DModel)
+
+    make_tiny_wan_checkpoint(root, seed=seed)
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump({
+            "_class_name": "DreamXWorldPipeline",
+            "_diffusers_version": "0.33.0",
+            "scheduler": ["diffusers", "FlowMatchEulerDiscreteScheduler"],
+            "text_encoder": ["transformers", "UMT5EncoderModel"],
+            "tokenizer": ["transformers", "T5TokenizerFast"],
+            "transformer": ["diffusers", "DreamXWorldTransformer3DModel"],
+            "vae": ["diffusers", "AutoencoderKLWan"],
+        }, fh)
+    tdir = os.path.join(root, "transformer")
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "DreamXWorldTransformer3DModel",
+                   **TINY_DX_DIT}, fh)
+    arch = DreamXWorldArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_DX_DIT.items()
+    })
+    dit = DreamXWorldTransformer3DModel(arch, param_dtype=jnp.float32,
+                                        rngs=nnx.Rngs(seed))
+    sd = _export_torch_layout(dit)
+    # the camera adapter's out_proj is zero-init (identity adapter); give
+    # the test checkpoint a nonzero one so camera actions affect output
+    rng = np.random.default_rng(seed + 9)
+    for k in sd:
+        if "cam_self_attn.out_proj.weight" in k:
+            sd[k] = rng.standard_normal(sd[k].shape).astype(
+                np.float32) * 0.05
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      sd)
+    return root
