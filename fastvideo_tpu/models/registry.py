@@ -187,6 +187,11 @@ _ENCODER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "Qwen3ForCausalLM":
     ("fastvideo_tpu.models.encoders.qwen3", "Qwen3EncoderModel",
      "fastvideo_tpu.models.encoders.qwen3:Qwen3ArchConfig"),
+    "LingBotVideoQwen3VLTextModel":
+    ("fastvideo_tpu.models.encoders.lingbot_video",
+     "LingBotVideoQwen3VLTextModel",
+     "fastvideo_tpu.models.encoders.lingbot_video:"
+     "LingBotVideoQwen3VLTextArchConfig"),
     "MiniMaxH3Qwen3VLConditioner":
     ("fastvideo_tpu.models.encoders.minimax_h3_qwen3_vl",
      "MiniMaxH3Qwen3VLConditioner",

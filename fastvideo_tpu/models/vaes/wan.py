@@ -757,7 +757,8 @@ class AutoencoderKLWan(nnx.Module):
         return out
 
     def decode_dispatched(self, z: Array, *, denormalize: bool = False,
-                          chunk_frames: int | None = None) -> Array:
+                          chunk_frames: int | None = None,
+                          decode_dtype=jnp.bfloat16) -> Array:
         """Chunked decode as SEPARATE dispatches (one jitted program per
         chunk) with the conv caches DONATED between them.
 
@@ -781,23 +782,24 @@ class AutoencoderKLWan(nnx.Module):
         if not hasattr(self, "_disp"):
             graphdef, st = nnx.split(self)
 
-            @functools.partial(jax.jit, static_argnames=("first", "denorm"))
-            def first_fn(st, zc, first, denorm):
+            @functools.partial(jax.jit,
+                               static_argnames=("first", "denorm", "dtype"))
+            def first_fn(st, zc, first, denorm, dtype):
                 m = nnx.merge(graphdef, st)
                 if denorm:
                     zc = m.denormalize_latents_nchw_last(zc)
-                x = m.post_quant_conv(zc)
+                x = m.post_quant_conv(zc.astype(dtype))
                 ctx = StreamCache(None)
                 out = m.decoder(x, first_len=int(first), ctx=ctx)
                 return m._finish_chunk(out), ctx.out
 
             @functools.partial(jax.jit, donate_argnums=(2,),
-                               static_argnames=("denorm",))
-            def next_fn(st, zc, cache, denorm):
+                               static_argnames=("denorm", "dtype"))
+            def next_fn(st, zc, cache, denorm, dtype):
                 m = nnx.merge(graphdef, st)
                 if denorm:
                     zc = m.denormalize_latents_nchw_last(zc)
-                x = m.post_quant_conv(zc)
+                x = m.post_quant_conv(zc.astype(dtype))
                 ctx = StreamCache(cache)
                 out = m.decoder(x, first_len=0, ctx=ctx)
                 return m._finish_chunk(out), ctx.out
@@ -816,13 +818,15 @@ class AutoencoderKLWan(nnx.Module):
         z = z.transpose(0, 2, 3, 4, 1)  # NDHWC
         t = z.shape[1]
         outs = []
-        out0, cache = first_fn(st, z[:, :1], True, denormalize)
+        out0, cache = first_fn(st, z[:, :1], True, denormalize,
+                               decode_dtype)
         outs.append(out0)
         _settle(out0)
         pos = 1
         while pos < t:
             end = min(pos + chunk_frames, t)
-            o, cache = next_fn(st, z[:, pos:end], cache, denormalize)
+            o, cache = next_fn(st, z[:, pos:end], cache, denormalize,
+                               decode_dtype)
             outs.append(o)
             _settle(o)
             pos = end

@@ -81,6 +81,9 @@ _PIPELINES: dict[str, str] = {
     "DreamXWorldPipeline":
     "fastvideo_tpu.pipelines.basic.dreamx_world.dreamx_world_pipeline:"
     "DreamXWorldPipeline",
+    "LingBotVideoPipeline":
+    "fastvideo_tpu.pipelines.basic.lingbot_video.lingbot_video_pipeline:"
+    "LingBotVideoPipeline",
     "MiniMaxH3ModularPipeline":
     "fastvideo_tpu.pipelines.basic.minimax_h3.minimax_h3_pipeline:"
     "MiniMaxH3ModularPipeline",

@@ -25,15 +25,24 @@ class DecodingStage(PipelineStage):
         self.pipeline_config = pipeline_config
         self._decode_fn = None
 
+    def _decode_dtype(self):
+        precision = (self.pipeline_config.vae_decode_precision
+                     if self.pipeline_config is not None else "bf16")
+        return jnp.float32 if precision == "fp32" else jnp.bfloat16
+
     def _get_decode_fn(self):
         if self._decode_fn is None:
             graphdef, state = nnx.split(self.vae)
+            dtype = self._decode_dtype()
 
             @jax.jit
             def decode_fn(state, latents):
                 vae = nnx.merge(graphdef, state)
                 z = vae.denormalize_latents(latents)
-                return vae.decode(z)
+                # decode compute in the configured decode precision
+                # (reference vae_decode_precision, bf16 by default); the
+                # denormalize stays fp32-accurate above.
+                return vae.decode(z.astype(dtype)).astype(jnp.float32)
 
             self._decode_fn = (decode_fn, state)
         return self._decode_fn
@@ -59,7 +68,8 @@ class DecodingStage(PipelineStage):
             # (a single fused decode program OOMs a 16 GB chip next to the
             # resident DiT — see models/vaes/wan.py decode_dispatched).
             batch.output = self.vae.decode_dispatched(
-                batch.latents.astype(jnp.float32), denormalize=True)
+                batch.latents.astype(jnp.float32), denormalize=True,
+                decode_dtype=self._decode_dtype())
             return batch
         decode_fn, state = self._get_decode_fn()
         batch.output = decode_fn(state, batch.latents.astype(jnp.float32))

@@ -134,6 +134,13 @@ def _register_builtin() -> None:
     register_config(frag("dreamx"), dx_cfg.DreamXWorld5BCamPipelineConfig,
                     dx_cfg.DreamXWorldSamplingParam, priority=11)
 
+    from fastvideo_tpu.configs.pipelines import lingbot_video as lbv_cfg
+
+    register_config(frag("lingbot-video"), lbv_cfg.LingBotVideoT2VConfig,
+                    lbv_cfg.LingBotVideoSamplingParam, priority=12)
+    register_config(frag("lingbot_video"), lbv_cfg.LingBotVideoT2VConfig,
+                    lbv_cfg.LingBotVideoSamplingParam, priority=12)
+
     from fastvideo_tpu.configs.pipelines import minimax_h3 as mmx_cfg
 
     register_config(frag("minimax"), mmx_cfg.MiniMaxH3PipelineConfig,

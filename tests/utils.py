@@ -1656,3 +1656,70 @@ def make_tiny_dreamx_checkpoint(root: str, seed: int = 0) -> str:
                                    "diffusion_pytorch_model.safetensors"),
                       sd)
     return root
+
+
+TINY_LBV_DIT = dict(patch_size=[1, 2, 2], in_channels=4, out_channels=4,
+                    hidden_size=48, num_attention_heads=2, depth=2,
+                    intermediate_size=64, text_dim=32, freq_dim=32,
+                    axes_dims=[8, 8, 8], axes_lens=[64, 32, 32],
+                    num_experts=0)
+TINY_LBV_TEXT = dict(vocab_size=128, hidden_size=32, intermediate_size=48,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     num_key_value_heads=2, head_dim=8,
+                     rope_theta=5000000.0)
+
+
+def make_tiny_lingbot_video_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny random-weight LingBot-Video Dense checkpoint."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.dits.lingbot_video import (
+        LingBotVideoArchConfig)
+    from fastvideo_tpu.models.dits.lingbot_video import (
+        LingBotVideoTransformer3DModel)
+    from fastvideo_tpu.models.encoders.lingbot_video import (
+        LingBotVideoQwen3VLTextArchConfig, LingBotVideoQwen3VLTextModel)
+
+    make_tiny_wan_checkpoint(root, seed=seed)  # reuse the tiny Wan VAE
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump({
+            "_class_name": "LingBotVideoPipeline",
+            "_diffusers_version": "0.33.0",
+            "scheduler": ["diffusers", "FlowMatchEulerDiscreteScheduler"],
+            "text_encoder": ["transformers", "LingBotVideoQwen3VLTextModel"],
+            "tokenizer": ["transformers", "PreTrainedTokenizerFast"],
+            "transformer": ["diffusers", "LingBotVideoTransformer3DModel"],
+            "vae": ["diffusers", "AutoencoderKLWan"],
+        }, fh)
+
+    def tup(d):
+        return {k: tuple(v) if isinstance(v, list) else v
+                for k, v in d.items()}
+
+    tdir = os.path.join(root, "transformer")
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "LingBotVideoTransformer3DModel",
+                   **TINY_LBV_DIT}, fh)
+    dit = LingBotVideoTransformer3DModel(
+        LingBotVideoArchConfig(**tup(TINY_LBV_DIT)),
+        param_dtype=jnp.float32, rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+
+    edir = os.path.join(root, "text_encoder")
+    with open(os.path.join(edir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["LingBotVideoQwen3VLTextModel"],
+                   **TINY_LBV_TEXT}, fh)
+    enc = LingBotVideoQwen3VLTextModel(
+        LingBotVideoQwen3VLTextArchConfig(**TINY_LBV_TEXT),
+        param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 2))
+    _save_safetensors(os.path.join(edir, "model.safetensors"),
+                      _export_torch_layout(enc))
+
+    sdir = os.path.join(root, "scheduler")
+    with open(os.path.join(sdir, "scheduler_config.json"), "w") as fh:
+        json.dump({"_class_name": "FlowMatchEulerDiscreteScheduler",
+                   "num_train_timesteps": 1000, "shift": 3.0}, fh)
+    return root
