@@ -52,11 +52,16 @@ class ComposedPipelineBase:
         index_path = os.path.join(self.model_path, "model_index.json")
         model_index = (load_json_config(index_path)
                        if os.path.exists(index_path) else {})
+        dir_map = getattr(self, "_extra_config_module_map", {})
         for name in self._required_config_modules:
             if name in loaded_modules:
                 self.modules[name] = loaded_modules[name]
                 continue
-            component_dir = os.path.join(self.model_path, name)
+            dir_name = dir_map.get(name, name)
+            component_dir = os.path.join(self.model_path, dir_name)
+            if not os.path.isdir(component_dir) and dir_name != name:
+                # checkpoint may use the plain dir name instead
+                component_dir = os.path.join(self.model_path, name)
             if not os.path.isdir(component_dir):
                 if name in model_index:
                     raise FileNotFoundError(

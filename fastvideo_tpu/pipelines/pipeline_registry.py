@@ -84,6 +84,9 @@ _PIPELINES: dict[str, str] = {
     "LingBotVideoPipeline":
     "fastvideo_tpu.pipelines.basic.lingbot_video.lingbot_video_pipeline:"
     "LingBotVideoPipeline",
+    "MatrixGame3I2VPipeline":
+    "fastvideo_tpu.pipelines.basic.matrixgame3.matrixgame3_pipeline:"
+    "MatrixGame3I2VPipeline",
     "MiniMaxH3ModularPipeline":
     "fastvideo_tpu.pipelines.basic.minimax_h3.minimax_h3_pipeline:"
     "MiniMaxH3ModularPipeline",

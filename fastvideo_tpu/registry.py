@@ -141,6 +141,13 @@ def _register_builtin() -> None:
     register_config(frag("lingbot_video"), lbv_cfg.LingBotVideoT2VConfig,
                     lbv_cfg.LingBotVideoSamplingParam, priority=12)
 
+    from fastvideo_tpu.configs.pipelines import matrixgame3 as mg3_cfg
+
+    register_config(frag("matrix-game"), mg3_cfg.MatrixGame3I2V720PConfig,
+                    mg3_cfg.MatrixGame3SamplingParam, priority=12)
+    register_config(frag("matrixgame"), mg3_cfg.MatrixGame3I2V720PConfig,
+                    mg3_cfg.MatrixGame3SamplingParam, priority=12)
+
     from fastvideo_tpu.configs.pipelines import minimax_h3 as mmx_cfg
 
     register_config(frag("minimax"), mmx_cfg.MiniMaxH3PipelineConfig,

@@ -1723,3 +1723,81 @@ def make_tiny_lingbot_video_checkpoint(root: str, seed: int = 0) -> str:
         json.dump({"_class_name": "FlowMatchEulerDiscreteScheduler",
                    "num_train_timesteps": 1000, "shift": 3.0}, fh)
     return root
+
+
+TINY_MG3_ACTION = {
+    "blocks": [0], "enable_mouse": True, "enable_keyboard": True,
+    "heads_num": 2, "hidden_size": 8, "img_hidden_size": 48,
+    "keyboard_dim_in": 6, "keyboard_hidden_dim": 128, "mouse_dim_in": 2,
+    "mouse_hidden_dim": 128, "mouse_qk_dim_list": [32, 16, 16],
+    "patch_size": [1, 2, 2], "qk_norm": True, "qkv_bias": False,
+    "rope_dim_list": [32, 16, 16], "rope_theta": 256,
+    "vae_time_compression_ratio": 4, "windows_size": 3,
+}
+TINY_MG3_DIT = dict(num_attention_heads=2, attention_head_dim=24,
+                    in_channels=4, out_channels=4, text_dim=32, freq_dim=32,
+                    ffn_dim=64, num_layers=2, patch_size=[1, 2, 2],
+                    qk_norm="rms_norm_across_heads", cross_attn_norm=True,
+                    eps=1e-6, use_memory=False, sigma_theta=0.0,
+                    action_config=TINY_MG3_ACTION)
+TINY_MG3_VAE = dict(base_dim=8, z_dim=4, dim_mult=[1, 2, 2],
+                    num_res_blocks=1, attn_scales=[],
+                    temperal_downsample=[True, True],
+                    latents_mean=[0.0] * 4, latents_std=[1.0] * 4,
+                    scale_factor_temporal=4, scale_factor_spatial=4)
+
+
+def make_tiny_matrixgame3_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny random-weight Matrix-Game 3.0 checkpoint (4x temporal VAE)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.dits.matrixgame3 import (
+        MatrixGame3ArchConfig)
+    from fastvideo_tpu.configs.models.vaes.wan import WanVAEArchConfig
+    from fastvideo_tpu.models.dits.matrixgame3 import MatrixGame3WanModel
+    from fastvideo_tpu.models.vaes.wan import AutoencoderKLWan
+
+    make_tiny_wan_checkpoint(root, seed=seed)
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump({
+            "_class_name": "MatrixGame3I2VPipeline",
+            "_diffusers_version": "0.33.0",
+            "scheduler": ["diffusers", "UniPCMultistepScheduler"],
+            "text_encoder": ["transformers", "UMT5EncoderModel"],
+            "tokenizer": ["transformers", "T5TokenizerFast"],
+            "transformer": ["diffusers", "MatrixGame3WanModel"],
+            "light_vae": ["diffusers", "AutoencoderKLWan"],
+        }, fh)
+
+    def tup(d):
+        return {k: tuple(v) if isinstance(v, list) else v
+                for k, v in d.items() if k != "action_config"}
+
+    tdir = os.path.join(root, "transformer")
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "MatrixGame3WanModel", **TINY_MG3_DIT},
+                  fh)
+    dit = MatrixGame3WanModel(
+        MatrixGame3ArchConfig(**tup(TINY_MG3_DIT),
+                              action_config=TINY_MG3_ACTION),
+        param_dtype=jnp.float32, rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+
+    # 4x-temporal light VAE in its own dir
+    import shutil
+    vdir = os.path.join(root, "light_vae")
+    shutil.rmtree(os.path.join(root, "vae"), ignore_errors=True)
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "AutoencoderKLWan", **TINY_MG3_VAE}, fh)
+    vae = AutoencoderKLWan(
+        WanVAEArchConfig(**{k: tuple(v) if isinstance(v, list) else v
+                            for k, v in TINY_MG3_VAE.items()}),
+        param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 1))
+    _save_safetensors(os.path.join(vdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(vae))
+    return root
