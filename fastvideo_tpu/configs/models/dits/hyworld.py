@@ -15,6 +15,9 @@ from fastvideo_tpu.configs.models.dits.hunyuan15 import (
     HunyuanVideo15ArchConfig)
 
 HYWORLD_PARAM_NAMES_MAPPING: dict = {
+    # torch-layout exports of our own module tree (tests) emit
+    # img_in.weight for the PatchEmbed3D
+    r"^img_in\.(weight|bias)$": r"img_in.proj.\1",
     # official HY-WorldPlay layout (reference hyworld.py config :25-84)
     r"^txt_in\.t_embedder\.mlp\.0\.(.*)$":
     r"txt_in.t_embedder.mlp.fc_in.\1",

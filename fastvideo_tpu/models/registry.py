@@ -121,6 +121,9 @@ _VAE_REGISTRY: dict[str, tuple[str, str, str]] = {
     "AutoencoderKLHunyuanVideo15":
     ("fastvideo_tpu.models.vaes.hunyuan15", "AutoencoderKLHunyuanVideo15",
      "fastvideo_tpu.models.vaes.hunyuan15:Hunyuan15VAEArchConfig"),
+    "AutoencoderKLHYWorld":
+    ("fastvideo_tpu.models.vaes.hyworld", "AutoencoderKLHYWorld",
+     "fastvideo_tpu.models.vaes.hyworld:HYWorldVAEArchConfig"),
     "AutoencoderKLMiniMaxH3":
     ("fastvideo_tpu.models.vaes.minimax_h3_video", "AutoencoderKLMiniMaxH3",
      "fastvideo_tpu.models.vaes.minimax_h3_video:"

@@ -87,6 +87,9 @@ _PIPELINES: dict[str, str] = {
     "MatrixGame3I2VPipeline":
     "fastvideo_tpu.pipelines.basic.matrixgame3.matrixgame3_pipeline:"
     "MatrixGame3I2VPipeline",
+    "HYWorldPipeline":
+    "fastvideo_tpu.pipelines.basic.hyworld.hyworld_pipeline:"
+    "HYWorldPipeline",
     "MiniMaxH3ModularPipeline":
     "fastvideo_tpu.pipelines.basic.minimax_h3.minimax_h3_pipeline:"
     "MiniMaxH3ModularPipeline",

@@ -65,7 +65,9 @@ class Hy15ImageEncodingStage(PipelineStage):
         self.vae_config = vae_config
 
     @staticmethod
-    def _siglip_pixels(image: PIL.Image.Image, size: int) -> np.ndarray:
+    def _siglip_pixels(image, size: int) -> np.ndarray:
+        if isinstance(image, np.ndarray):
+            image = PIL.Image.fromarray(image)
         img = image.convert("RGB").resize((size, size), PIL.Image.LANCZOS)
         arr = np.asarray(img, dtype=np.float32) / 255.0
         arr = (arr - 0.5) / 0.5
@@ -121,8 +123,10 @@ class WanImageVAEEncodingStage(PipelineStage):
         self.vae_config = vae_config
 
     @staticmethod
-    def _preprocess_pixels(image: PIL.Image.Image, height: int,
+    def _preprocess_pixels(image, height: int,
                            width: int) -> np.ndarray:
+        if isinstance(image, np.ndarray):
+            image = PIL.Image.fromarray(image)
         img = image.convert("RGB").resize((width, height),
                                           PIL.Image.LANCZOS)
         arr = np.asarray(img, dtype=np.float32) / 127.5 - 1.0

@@ -148,6 +148,13 @@ def _register_builtin() -> None:
     register_config(frag("matrixgame"), mg3_cfg.MatrixGame3I2V720PConfig,
                     mg3_cfg.MatrixGame3SamplingParam, priority=12)
 
+    from fastvideo_tpu.configs.pipelines import hyworld as hyw_cfg
+
+    register_config(frag("hyworld"), hyw_cfg.HYWorldConfig,
+                    hyw_cfg.HYWorldSamplingParam, priority=12)
+    register_config(frag("worldplay"), hyw_cfg.HYWorldConfig,
+                    hyw_cfg.HYWorldSamplingParam, priority=12)
+
     from fastvideo_tpu.configs.pipelines import minimax_h3 as mmx_cfg
 
     register_config(frag("minimax"), mmx_cfg.MiniMaxH3PipelineConfig,

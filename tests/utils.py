@@ -1801,3 +1801,50 @@ def make_tiny_matrixgame3_checkpoint(root: str, seed: int = 0) -> str:
                                    "diffusion_pytorch_model.safetensors"),
                       _export_torch_layout(vae))
     return root
+
+
+def make_tiny_hyworld_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny random-weight HYWorld checkpoint (hy1.5 trunk + camera/action
+    DiT + streaming VAE class name)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.dits.hyworld import HYWorldArchConfig
+    from fastvideo_tpu.models.dits.hyworld import HYWorldTransformer3DModel
+
+    make_tiny_hunyuan15_checkpoint(root, seed=seed, i2v=True)
+    with open(os.path.join(root, "model_index.json")) as fh:
+        index = json.load(fh)
+    index["_class_name"] = "HYWorldPipeline"
+    index["transformer"] = ["diffusers", "HYWorldTransformer3DModel"]
+    index["vae"] = ["diffusers", "AutoencoderKLHYWorld"]
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump(index, fh)
+    with open(os.path.join(root, "vae", "config.json")) as fh:
+        vcfg = json.load(fh)
+    vcfg["_class_name"] = "AutoencoderKLHYWorld"
+    with open(os.path.join(root, "vae", "config.json"), "w") as fh:
+        json.dump(vcfg, fh)
+
+    tdir = os.path.join(root, "transformer")
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "HYWorldTransformer3DModel",
+                   **TINY_HY15_DIT}, fh)
+    arch = HYWorldArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in TINY_HY15_DIT.items()})
+    dit = HYWorldTransformer3DModel(arch, param_dtype=jnp.float32,
+                                    rngs=nnx.Rngs(seed))
+    sd = _export_torch_layout(dit)
+    # camera-PRoPE proj and action embedder are zero-init adapters; give
+    # the test checkpoint nonzero ones so pose/action affect output
+    rng = np.random.default_rng(seed + 11)
+    for k in sd:
+        if ("img_attn_prope_proj" in k or "action_in" in k) and \
+                k.endswith("weight"):
+            sd[k] = rng.standard_normal(sd[k].shape).astype(
+                np.float32) * 0.05
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      sd)
+    return root
