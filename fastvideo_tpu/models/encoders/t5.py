@@ -36,6 +36,15 @@ class BaseEncoderOutput:
     last_hidden_state: Array
     attention_mask: Array | None = None
     hidden_states: tuple[Array, ...] | None = None
+    pooler_output: Array | None = None
+
+
+# registered as a pytree so jitted encoder programs can return it whole
+jax.tree_util.register_dataclass(
+    BaseEncoderOutput,
+    data_fields=["last_hidden_state", "attention_mask", "hidden_states",
+                 "pooler_output"],
+    meta_fields=[])
 
 
 from fastvideo_tpu.layers.embeddings import Embedding  # noqa: E402,F401

@@ -27,6 +27,26 @@ class TextEncodingStage(PipelineStage):
         self.max_lengths = list(max_lengths)
         self.encoder_kwargs = list(encoder_kwargs)
 
+    def _jitted_encoder(self, idx: int, kwargs: dict):
+        """One jitted program per encoder: eager per-op dispatch costs one
+        host round-trip per XLA op (seconds-per-prompt on a remote-tunnel
+        TPU; also forfeits fusion on any host)."""
+        cache = getattr(self, "_encode_fns", None)
+        if cache is None:
+            cache = self._encode_fns = {}
+        if idx not in cache:
+            import jax
+            from flax import nnx
+
+            graphdef, state = nnx.split(self.text_encoders[idx])
+
+            @jax.jit
+            def encode_fn(state, ids, mask):
+                return nnx.merge(graphdef, state)(ids, mask, **kwargs)
+
+            cache[idx] = (encode_fn, state)
+        return cache[idx]
+
     def _encode_one(self, prompts: list[str], idx: int):
         tokenizer = self.tokenizers[idx]
         encoder = self.text_encoders[idx]
@@ -43,7 +63,11 @@ class TextEncodingStage(PipelineStage):
         mask = jnp.asarray(np.asarray(enc["attention_mask"]))
         kwargs = (self.encoder_kwargs[idx]
                   if idx < len(self.encoder_kwargs) else {})
-        outputs = encoder(ids, mask, **kwargs)
+        try:
+            encode_fn, state = self._jitted_encoder(idx, kwargs)
+            outputs = encode_fn(state, ids, mask)
+        except Exception:  # non-nnx callable conditioners
+            outputs = encoder(ids, mask, **kwargs)
         if idx < len(self.postprocess_funcs):
             embeds = self.postprocess_funcs[idx](outputs)
         else:
