@@ -96,6 +96,8 @@ class Gen3CArchConfig(DiTArchConfig):
     max_size: tuple[int, int, int] = (128, 240, 240)
     rope_scale: tuple[float, float, float] = (2.0, 1.0, 1.0)
     rope_enable_fps_modulation: bool = True
+    # 2 * VAE latent channels (image + mask latent per 3D-cache buffer)
+    channels_per_buffer: int = 32
     concat_padding_mask: bool = True
     qk_norm: str = "rms_norm"
     eps: float = 1e-6

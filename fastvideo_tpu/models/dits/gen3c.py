@@ -319,7 +319,10 @@ class Gen3CTransformer3DModel(nnx.Module):
         self.patch_size = tuple(arch.patch_size)
         self.out_channels = arch.out_channels
         self.frame_buffer_max = arch.frame_buffer_max
-        self.buffer_channels = arch.frame_buffer_max * 32
+        # 2 latent blocks (image + mask) per buffer; 32/buffer at the
+        # production 16-channel VAE (reference gen3c_stages.py:307)
+        self.buffer_channels = arch.frame_buffer_max * \
+            getattr(arch, "channels_per_buffer", 32)
         self.concat_padding_mask = arch.concat_padding_mask
         self.use_adaln_lora = arch.use_adaln_lora
         self.add_augment_sigma_embedding = getattr(

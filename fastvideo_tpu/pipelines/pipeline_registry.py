@@ -90,6 +90,8 @@ _PIPELINES: dict[str, str] = {
     "HYWorldPipeline":
     "fastvideo_tpu.pipelines.basic.hyworld.hyworld_pipeline:"
     "HYWorldPipeline",
+    "Gen3CPipeline":
+    "fastvideo_tpu.pipelines.basic.gen3c.gen3c_pipeline:Gen3CPipeline",
     "MiniMaxH3ModularPipeline":
     "fastvideo_tpu.pipelines.basic.minimax_h3.minimax_h3_pipeline:"
     "MiniMaxH3ModularPipeline",

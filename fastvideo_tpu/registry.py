@@ -155,6 +155,11 @@ def _register_builtin() -> None:
     register_config(frag("worldplay"), hyw_cfg.HYWorldConfig,
                     hyw_cfg.HYWorldSamplingParam, priority=12)
 
+    from fastvideo_tpu.configs.pipelines import gen3c as g3_cfg
+
+    register_config(frag("gen3c"), g3_cfg.Gen3CPipelineConfig,
+                    g3_cfg.Gen3CSamplingParam, priority=12)
+
     from fastvideo_tpu.configs.pipelines import minimax_h3 as mmx_cfg
 
     register_config(frag("minimax"), mmx_cfg.MiniMaxH3PipelineConfig,

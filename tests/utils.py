@@ -1848,3 +1848,52 @@ def make_tiny_hyworld_checkpoint(root: str, seed: int = 0) -> str:
                                    "diffusion_pytorch_model.safetensors"),
                       sd)
     return root
+
+
+TINY_G3C_DIT = dict(num_attention_heads=2, attention_head_dim=16,
+                    in_channels=4, out_channels=4, num_layers=2,
+                    mlp_ratio=2.0, text_embed_dim=32, adaln_lora_dim=16,
+                    use_adaln_lora=True, max_size=[16, 16, 16],
+                    rope_scale=[2.0, 1.0, 1.0], concat_padding_mask=True,
+                    frame_buffer_max=2, channels_per_buffer=8)
+
+
+def make_tiny_gen3c_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny random-weight GEN3C checkpoint (Wan tiny VAE + T5)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.dits.gen3c import Gen3CArchConfig
+    from fastvideo_tpu.models.dits.gen3c import Gen3CTransformer3DModel
+
+    make_tiny_wan_checkpoint(root, seed=seed)
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump({
+            "_class_name": "Gen3CPipeline",
+            "_diffusers_version": "0.33.0",
+            "scheduler": ["diffusers", "FlowMatchEulerDiscreteScheduler"],
+            "text_encoder": ["transformers", "T5EncoderModel"],
+            "tokenizer": ["transformers", "T5TokenizerFast"],
+            "transformer": ["diffusers", "Gen3CTransformer3DModel"],
+            "vae": ["diffusers", "AutoencoderKLWan"],
+        }, fh)
+    tdir = os.path.join(root, "transformer")
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "Gen3CTransformer3DModel",
+                   **TINY_G3C_DIT}, fh)
+
+    def tup(d):
+        return {k: tuple(v) if isinstance(v, list) else v
+                for k, v in d.items()}
+
+    dit = Gen3CTransformer3DModel(Gen3CArchConfig(**tup(TINY_G3C_DIT)),
+                                  param_dtype=jnp.float32,
+                                  rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+    sdir = os.path.join(root, "scheduler")
+    with open(os.path.join(sdir, "scheduler_config.json"), "w") as fh:
+        json.dump({"_class_name": "FlowMatchEulerDiscreteScheduler",
+                   "num_train_timesteps": 1000}, fh)
+    return root
