@@ -190,6 +190,9 @@ _ENCODER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "Qwen3ForCausalLM":
     ("fastvideo_tpu.models.encoders.qwen3", "Qwen3EncoderModel",
      "fastvideo_tpu.models.encoders.qwen3:Qwen3ArchConfig"),
+    "T5GemmaEncoderModel":
+    ("fastvideo_tpu.models.encoders.t5gemma", "T5GemmaEncoderModel",
+     "fastvideo_tpu.models.encoders.t5gemma:T5GemmaArchConfig"),
     "LingBotVideoQwen3VLTextModel":
     ("fastvideo_tpu.models.encoders.lingbot_video",
      "LingBotVideoQwen3VLTextModel",

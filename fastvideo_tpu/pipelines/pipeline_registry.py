@@ -92,6 +92,9 @@ _PIPELINES: dict[str, str] = {
     "HYWorldPipeline",
     "Gen3CPipeline":
     "fastvideo_tpu.pipelines.basic.gen3c.gen3c_pipeline:Gen3CPipeline",
+    "MagiHumanPipeline":
+    "fastvideo_tpu.pipelines.basic.magi_human.magi_human_pipeline:"
+    "MagiHumanPipeline",
     "MiniMaxH3ModularPipeline":
     "fastvideo_tpu.pipelines.basic.minimax_h3.minimax_h3_pipeline:"
     "MiniMaxH3ModularPipeline",

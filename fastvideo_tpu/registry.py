@@ -160,6 +160,11 @@ def _register_builtin() -> None:
     register_config(frag("gen3c"), g3_cfg.Gen3CPipelineConfig,
                     g3_cfg.Gen3CSamplingParam, priority=12)
 
+    from fastvideo_tpu.configs.pipelines import magi_human as mh_cfg
+
+    register_config(frag("magi"), mh_cfg.MagiHumanPipelineConfig,
+                    mh_cfg.MagiHumanSamplingParam, priority=11)
+
     from fastvideo_tpu.configs.pipelines import minimax_h3 as mmx_cfg
 
     register_config(frag("minimax"), mmx_cfg.MiniMaxH3PipelineConfig,

@@ -1897,3 +1897,78 @@ def make_tiny_gen3c_checkpoint(root: str, seed: int = 0) -> str:
         json.dump({"_class_name": "FlowMatchEulerDiscreteScheduler",
                    "num_train_timesteps": 1000}, fh)
     return root
+
+
+TINY_MAGI_DIT = dict(num_layers=2, hidden_size=64, head_dim=16,
+                     num_query_groups=2, video_in_channels=16,
+                     audio_in_channels=8, text_in_channels=32,
+                     mm_layers=[0], gelu7_layers=[0], post_norm_layers=[1],
+                     local_attn_layers=[], enable_attn_gating=True)
+TINY_T5GEMMA = dict(vocab_size=128, hidden_size=32, intermediate_size=48,
+                    num_hidden_layers=2, num_attention_heads=2,
+                    num_key_value_heads=1, head_dim=16, sliding_window=4,
+                    query_pre_attn_scalar=16.0)
+TINY_OOBLECK = dict(encoder_hidden_size=8, audio_channels=2,
+                    decoder_channels=8, decoder_input_channels=8,
+                    downsampling_ratios=[2, 2], channel_multiples=[1, 2])
+
+
+def make_tiny_magi_human_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny random-weight daVinci-MagiHuman checkpoint."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.dits.magi_human import (
+        MagiHumanArchConfig)
+    from fastvideo_tpu.models.dits.magi_human import MagiHumanDiT
+    from fastvideo_tpu.models.encoders.t5gemma import (T5GemmaArchConfig,
+                                                       T5GemmaEncoderModel)
+    from fastvideo_tpu.models.vaes.oobleck import (OobleckVAE,
+                                                   OobleckVAEArchConfig)
+
+    make_tiny_wan_checkpoint(root, seed=seed)
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump({
+            "_class_name": "MagiHumanPipeline",
+            "_diffusers_version": "0.33.0",
+            "scheduler": ["diffusers", "UniPCMultistepScheduler"],
+            "text_encoder": ["transformers", "T5GemmaEncoderModel"],
+            "tokenizer": ["transformers", "PreTrainedTokenizerFast"],
+            "transformer": ["diffusers", "MagiHumanDiT"],
+            "vae": ["diffusers", "AutoencoderKLWan"],
+            "audio_vae": ["diffusers", "OobleckVAE"],
+        }, fh)
+
+    def tup(d):
+        return {k: tuple(v) if isinstance(v, list) else v
+                for k, v in d.items()}
+
+    tdir = os.path.join(root, "transformer")
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "MagiHumanDiT", **TINY_MAGI_DIT}, fh)
+    dit = MagiHumanDiT(MagiHumanArchConfig(**tup(TINY_MAGI_DIT)),
+                       param_dtype=jnp.float32, rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+
+    edir = os.path.join(root, "text_encoder")
+    with open(os.path.join(edir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["T5GemmaEncoderModel"],
+                   **TINY_T5GEMMA}, fh)
+    enc = T5GemmaEncoderModel(T5GemmaArchConfig(**TINY_T5GEMMA),
+                              param_dtype=jnp.float32,
+                              rngs=nnx.Rngs(seed + 2))
+    _save_safetensors(os.path.join(edir, "model.safetensors"),
+                      _export_torch_layout(enc))
+
+    adir = os.path.join(root, "audio_vae")
+    os.makedirs(adir, exist_ok=True)
+    with open(os.path.join(adir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "OobleckVAE", **TINY_OOBLECK}, fh)
+    avae = OobleckVAE(OobleckVAEArchConfig(**tup(TINY_OOBLECK)),
+                      param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 3))
+    _save_safetensors(os.path.join(adir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(avae))
+    return root
