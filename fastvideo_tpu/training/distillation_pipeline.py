@@ -246,13 +246,20 @@ class DMD2DistillationPipeline:
         return metrics
 
     def train(self, dataloader, max_steps: int | None = None,
-              log_every: int = 10) -> None:
+              log_every: int = 10, callbacks=None) -> None:
         """Drive the alternating DMD2 loop from a (latents, embeds)
         dataloader; latents only fix the noise shape (the generator
-        simulates its own forward, reference distillation_pipeline.py)."""
+        simulates its own forward, reference distillation_pipeline.py).
+        ``callbacks`` follows training_pipeline.train's contract."""
         import numpy as np
 
+        from fastvideo_tpu.training.callbacks import normalize_callbacks
+
+        callbacks = normalize_callbacks(callbacks)
+        self._callbacks = callbacks
         max_steps = max_steps or self.args.max_train_steps
+        if callbacks is not None:
+            callbacks.dispatch("on_train_start", self, self.step)
         it = iter(dataloader)
         while self.step < max_steps:
             try:
@@ -264,8 +271,13 @@ class DMD2DistillationPipeline:
             emb = np.asarray(embeds)[0]
             metrics = self.train_one_step(emb, np.zeros_like(emb),
                                           tuple(np.asarray(latents)[0].shape))
+            if callbacks is not None:
+                callbacks.dispatch("on_training_step_end", self, metrics,
+                                   self.step)
             if self.step % log_every == 0:
                 logger.info("dmd2 step %d %s", self.step,
                             {k: round(v, 4)
                              for k, v in metrics.items()
                              if isinstance(v, float)})
+        if callbacks is not None:
+            callbacks.dispatch("on_train_end", self, self.step)

@@ -15,6 +15,8 @@ from fastvideo_tpu.training.methods.base import (PipelineMethod,
 from fastvideo_tpu.training.methods import fine_tuning  # noqa: F401
 from fastvideo_tpu.training.methods import distribution_matching  # noqa: F401
 from fastvideo_tpu.training.methods import knowledge_distillation  # noqa: F401
+from fastvideo_tpu.training.methods import anyflow  # noqa: F401
+from fastvideo_tpu.training.methods import causal_cd  # noqa: F401
 
 __all__ = [
     "TrainingMethod",

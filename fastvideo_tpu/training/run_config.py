@@ -47,6 +47,9 @@ class TrainRunConfig:
     # method-specific free-form options, passed to Method.from_config
     # (e.g. kd: {t_list: [...], teacher_path: ...}).
     method_config: dict[str, Any] = field(default_factory=dict)
+    # named callbacks (grad_clip / validation / ema builtins, or dotted
+    # _target_ classes; reference train/callbacks/)
+    callbacks: dict[str, Any] = field(default_factory=dict)
 
 
 def load_train_config(path: str) -> TrainRunConfig:

@@ -248,11 +248,17 @@ class SelfForcingDistillationPipeline:
         return metrics
 
     def train(self, dataloader, max_steps: int | None = None,
-              log_every: int = 10) -> None:
+              log_every: int = 10, callbacks=None) -> None:
         """Drive the alternating self-forcing loop from a (latents, embeds)
         dataloader (same contract as DMD2DistillationPipeline.train: the
         latents fix the rollout noise shape; embeds condition it)."""
+        from fastvideo_tpu.training.callbacks import normalize_callbacks
+
+        callbacks = normalize_callbacks(callbacks)
+        self._callbacks = callbacks
         max_steps = max_steps or self.args.max_train_steps
+        if callbacks is not None:
+            callbacks.dispatch("on_train_start", self, self.step)
         it = iter(dataloader)
         while self.step < max_steps:
             try:
@@ -263,8 +269,13 @@ class SelfForcingDistillationPipeline:
             emb = np.asarray(embeds)[0]
             metrics = self.train_one_step(
                 emb, np.zeros_like(emb), tuple(np.asarray(latents)[0].shape))
+            if callbacks is not None:
+                callbacks.dispatch("on_training_step_end", self, metrics,
+                                   self.step)
             if self.step % log_every == 0:
                 logger.info("self_forcing step %d %s", self.step,
                             {k: round(v, 4)
                              for k, v in metrics.items()
                              if isinstance(v, float)})
+        if callbacks is not None:
+            callbacks.dispatch("on_train_end", self, self.step)

@@ -186,11 +186,24 @@ class TrainingPipeline:
                 "step": self.state.step}
 
     def train(self, dataloader, max_steps: int | None = None,
-              log_every: int = 10, validation_callback=None) -> None:
+              log_every: int = 10, validation_callback=None,
+              callbacks=None) -> None:
         """``validation_callback(pipeline, step) -> dict | None`` runs every
         ``args.validation_steps`` steps (reference _log_validation,
-        training_pipeline.py:703); its metrics go to the tracker."""
+        training_pipeline.py:703); its metrics go to the tracker.
+
+        ``callbacks`` is a :class:`training.callbacks.CallbackDict` (or a
+        raw ``{name: cfg}`` dict) dispatched at the reference hook points
+        (train/callbacks/callback.py:30-181)."""
+        from fastvideo_tpu.training.callbacks import CallbackDict
+
+        if callbacks is not None and not isinstance(callbacks,
+                                                    CallbackDict):
+            callbacks = CallbackDict(callbacks)
+        self._callbacks = callbacks
         max_steps = max_steps or self.args.max_train_steps
+        if callbacks is not None:
+            callbacks.dispatch("on_train_start", self, self.state.step)
         it = iter(dataloader)
         t0 = time.perf_counter()
         while self.state.step < max_steps:
@@ -199,8 +212,14 @@ class TrainingPipeline:
             except StopIteration:
                 it = iter(dataloader)
                 latents, embeds = next(it)
+            if callbacks is not None:
+                callbacks.dispatch("on_before_optimizer_step", self,
+                                   self.state.step)
             metrics = self.train_one_step(latents, embeds)
             self.tracker.log(metrics, self.state.step)
+            if callbacks is not None:
+                callbacks.dispatch("on_training_step_end", self, metrics,
+                                   self.state.step)
             if self.state.step % log_every == 0:
                 dt = time.perf_counter() - t0
                 logger.info("step %d loss %.4f grad_norm %.3f (%.2fs/it)",
@@ -219,6 +238,8 @@ class TrainingPipeline:
                     and self.args.checkpointing_steps
                     and self.state.step % self.args.checkpointing_steps == 0):
                 self.save_checkpoint()
+        if callbacks is not None:
+            callbacks.dispatch("on_train_end", self, self.state.step)
 
     def validation_sample(self, embeds, latent_shape: tuple[int, ...],
                           dmd_denoising_steps=(1000, 757, 522),
