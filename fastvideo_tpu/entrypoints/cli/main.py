@@ -208,11 +208,19 @@ def _add_eval(sub: argparse._SubParsersAction) -> None:
                      help="generated video files (mp4) or glob patterns")
     run.add_argument("--reference", default=None,
                      help="reference video file/glob (paired by index)")
-    run.add_argument("--metrics", default="psnr,ssim",
-                     help="comma list: psnr,ssim,mse,temporal_consistency,"
-                     "lpips,fvd (or 'all')")
-    run.add_argument("--fvd-extractor", default="pixel",
-                     choices=["pixel", "clip", "i3d"])
+    run.add_argument("--metrics", default="common.psnr,common.ssim",
+                     help="comma list of metric names or group prefixes "
+                     "(common, vbench, optical_flow, audio, physics_iq) "
+                     "or 'all'; bare legacy names (psnr/ssim/...) map to "
+                     "common.*")
+    run.add_argument("--prompt", default=None,
+                     help="text prompt shared by text-conditioned metrics")
+    run.add_argument("--fps", type=float, default=None,
+                     help="frame rate override for fps-dependent metrics")
+    run.add_argument("--workers", type=int, default=1,
+                     help="parallel eval workers (threaded)")
+    run.add_argument("--loader-threads", type=int, default=1,
+                     help="background video-decode threads")
     run.add_argument("--output", default=None, help="write JSON here")
     run.set_defaults(func=_cmd_eval_run)
 
@@ -221,10 +229,14 @@ def _add_eval(sub: argparse._SubParsersAction) -> None:
 
 
 def _cmd_eval_list(args: argparse.Namespace) -> int:
-    from fastvideo_tpu.eval.metrics import list_metrics
+    """List suite metrics with availability (missing deps/weights)."""
+    from fastvideo_tpu.eval.registry import (list_metric_classes,
+                                             missing_dependencies)
 
-    for name in list_metrics() + ["fvd"]:
-        print(name)
+    for name in list_metric_classes():
+        missing = missing_dependencies(name)
+        suffix = f"  [unavailable: {', '.join(missing)}]" if missing else ""
+        print(f"{name}{suffix}")
     return 0
 
 
@@ -238,30 +250,53 @@ def _expand_globs(patterns: list[str]) -> list[str]:
     return out
 
 
+_LEGACY_METRIC_ALIASES = {
+    "psnr": "common.psnr", "ssim": "common.ssim", "mse": "common.mse",
+    "temporal_consistency": "common.temporal_consistency",
+    "lpips": "common.lpips", "fvd": "common.fvd",
+}
+
+
 def _cmd_eval_run(args: argparse.Namespace) -> int:
     import json
 
-    from fastvideo_tpu.eval.metrics import Evaluator, list_metrics
-    from fastvideo_tpu.pipelines.preprocess.preprocess_pipeline import (
-        load_video_frames)
+    from fastvideo_tpu.eval.evaluator import Evaluator
+    from fastvideo_tpu.eval.types import Video
 
-    metrics = (list_metrics() + ["fvd"] if args.metrics == "all" else
-               [m.strip() for m in args.metrics.split(",") if m.strip()])
+    if args.metrics == "all":
+        metrics: list[str] | str = "all"
+    else:
+        metrics = [
+            _LEGACY_METRIC_ALIASES.get(m.strip(), m.strip())
+            for m in args.metrics.split(",") if m.strip()
+        ]
     videos = _expand_globs(args.videos)
     refs = _expand_globs([args.reference]) if args.reference else None
-    ev = Evaluator(metrics, fvd_extractor=args.fvd_extractor)
-    per_video = []
+    samples = []
     for i, vp in enumerate(videos):
-        gen = load_video_frames(vp)
+        sample: dict = {"video": Video(source=vp)}
         if refs is not None:
-            ref = load_video_frames(refs[i] if i < len(refs) else refs[0])
-        else:
-            ref = gen
-        per_video.append({"video": vp,
-                          "scores": ev.evaluate_pair(gen, ref)})
+            sample["reference"] = Video(
+                source=refs[i] if i < len(refs) else refs[0])
+        if args.prompt:
+            sample["text_prompt"] = args.prompt
+        if args.fps:
+            sample["fps"] = args.fps
+        samples.append(sample)
+    ev = Evaluator(metrics, num_workers=args.workers,
+                   loader_threads=args.loader_threads,
+                   skip_missing_deps=True)
+    results = ev.evaluate(samples=samples)
+    per_video = [{
+        "video": vp,
+        "scores": {n: r.score for n, r in res.items()},
+        "skipped": {n: r.details.get("skipped")
+                    for n, r in res.items() if r.skipped},
+    } for vp, res in zip(videos, results)]
     payload: dict = {"videos": per_video}
-    if ev._fvd is not None:
-        payload["fvd"] = ev._fvd.finalize()
+    if results.corpus:
+        payload["corpus"] = {n: {"score": r.score, **r.details}
+                             for n, r in results.corpus.items()}
     text = json.dumps(payload, indent=2)
     if args.output:
         with open(args.output, "w") as fh:

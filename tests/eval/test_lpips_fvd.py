@@ -95,7 +95,9 @@ def test_eval_cli_run_and_list(tmp_path, capsys):
     assert "psnr" in out and "lpips" in out and "fvd" in out
 
     result_path = str(tmp_path / "res.json")
-    assert main(["eval", "run", "--videos", vid, "--metrics", "psnr,ssim",
-                 "--output", result_path]) == 0
+    assert main(["eval", "run", "--videos", vid, "--reference", vid,
+                 "--metrics", "psnr,ssim", "--output", result_path]) == 0
     res = json.load(open(result_path))
-    assert res["videos"][0]["scores"]["ssim"] == pytest.approx(1.0, abs=1e-6)
+    # legacy bare names map onto the class suite (common.*)
+    assert res["videos"][0]["scores"]["common.ssim"] == pytest.approx(
+        1.0, abs=1e-6)
