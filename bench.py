@@ -204,6 +204,26 @@ def main() -> None:
           f"{[round(sum(r['stage_times'].values()), 3) for r in runs]}",
           file=sys.stderr)
 
+    # feed the performance dashboard's local record store
+    try:
+        from fastvideo_tpu.performance.store import append_record
+
+        append_record({
+            "model_id": "FastWan2.1-T2V-1.3B",
+            "gpu_type": "tpu-1chip",
+            "workload_id": "t2v-5s-480p-dmd3-vsa",
+            "e2e_s": round(e2e, 3),
+            "text_encoder_time_s": round(
+                stage_times.get("TextEncodingStage", 0.0), 3),
+            "dit_time_s": round(
+                next((v for k, v in stage_times.items()
+                      if "Denoising" in k), 0.0), 3),
+            "vae_decode_time_s": round(
+                stage_times.get("DecodingStage", 0.0), 3),
+        })
+    except Exception as exc:  # tracking must never fail the bench
+        print(f"# perf record append skipped: {exc}", file=sys.stderr)
+
     baseline = 5.0  # seconds, v6e-8 target from BASELINE.json
     print(json.dumps({
         "metric": "wan2.1-1.3b 5s 480p clip E2E via VideoGenerator "

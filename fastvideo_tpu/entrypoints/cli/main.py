@@ -198,6 +198,28 @@ def _cmd_router_serve(args: argparse.Namespace) -> int:
     return 0
 
 
+def _add_dashboard(sub: argparse._SubParsersAction) -> None:
+    """``fastvideo dashboard`` — local performance dashboard backend
+    (reference performance_dashboard/__main__.py)."""
+    p = sub.add_parser("dashboard",
+                       help="Serve the performance dashboard API")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8200)
+    p.add_argument("--tracking-root", default=None,
+                   help="record store dir (default "
+                   "~/.cache/fastvideo_tpu/perf_tracking)")
+    p.set_defaults(func=_cmd_dashboard)
+
+
+def _cmd_dashboard(args: argparse.Namespace) -> int:
+    from fastvideo_tpu.performance.dashboard import run_dashboard
+
+    logger.info("Performance dashboard on http://%s:%d", args.host,
+                args.port)
+    run_dashboard(args.host, args.port, args.tracking_root)
+    return 0
+
+
 def _add_eval(sub: argparse._SubParsersAction) -> None:
     """``fastvideo eval run|list`` (reference entrypoints/cli/eval.py:96)."""
     p = sub.add_parser("eval", help="Evaluate generated videos")
@@ -318,6 +340,7 @@ def main(argv: list[str] | None = None) -> int:
     _add_train(sub)
     _add_eval(sub)
     _add_router_serve(sub)
+    _add_dashboard(sub)
     args = parser.parse_args(argv)
     return args.func(args)
 
