@@ -143,6 +143,23 @@ register_preset(InferencePreset(
                   dmd_denoising_steps=[1000, 757, 522])))
 
 register_preset(InferencePreset(
+    name="lucy_edit_dev", version=1, model_family="wan",
+    workload_type="v2v",
+    description="Lucy-Edit-Dev (Wan2.2 5B) instruction video editing",
+    stage_schemas=(_DENOISE, _DECODE),
+    defaults=dict(height=480, width=832, num_frames=81, fps=24,
+                  num_inference_steps=50, guidance_scale=5.0,
+                  negative_prompt="")))
+
+register_preset(InferencePreset(
+    name="wan_v2v_480p", version=1, model_family="wan",
+    workload_type="v2v",
+    description="Wan video-to-video control at 480p",
+    stage_schemas=(_DENOISE, _DECODE),
+    defaults=dict(height=480, width=832, num_frames=81, fps=16,
+                  num_inference_steps=40, guidance_scale=5.0)))
+
+register_preset(InferencePreset(
     name="hunyuan_720p", version=1, model_family="hunyuan",
     workload_type="t2v",
     description="HunyuanVideo 720p, embedded distilled guidance",

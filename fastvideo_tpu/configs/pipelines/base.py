@@ -40,6 +40,9 @@ class PipelineConfig:
     text_encoder_precisions: tuple[str, ...] = ("fp32",)
 
     ti2v_task: bool = False
+    # Lucy Edit (Wan2.2 5B video editing): [noise | video] channel concat
+    # + expanded per-token timesteps (reference configs/pipelines/base.py:80)
+    lucy_edit_task: bool = False
     # Wan2.2 MoE expert boundary (None = single expert)
     boundary_ratio: float | None = None
 

@@ -84,6 +84,30 @@ class Wan2_2_TI2V_5B_Config(WanT2V480PConfig):
 
 
 @dataclasses.dataclass
+class WanV2VConfig(WanT2V480PConfig):
+    """Wan video-to-video control (reference pipelines/basic/wan/
+    wan_v2v_pipeline.py): denoising input is [noise | video_latent |
+    zeros] on channels; control clip encoded with a seeded posterior
+    sample."""
+
+    flow_shift: float | None = 5.0
+
+
+@dataclasses.dataclass
+class LucyEditDevConfig(WanT2V480PConfig):
+    """decart-ai Lucy-Edit-Dev (reference configs/pipelines/wan.py:263):
+    Wan2.2 5B editing — [noise | video] channel concat (in_channels =
+    2 * z_dim, declared by the checkpoint), argmax control encoding,
+    expanded per-token timesteps."""
+
+    flow_shift: float | None = 5.0
+    lucy_edit_task: bool = True
+
+    def __post_init__(self) -> None:
+        assert not (self.ti2v_task and self.lucy_edit_task)
+
+
+@dataclasses.dataclass
 class Wan2_2_T2V_A14B_Config(WanT2V480PConfig):
     """Wan2.2 MoE: two experts switched at a timestep boundary
     (reference pipelines/stages/denoising.py:377-401)."""

@@ -128,6 +128,8 @@ class VideoGenerator:
             output_path=param.output_path,
             output_video_name=param.output_video_name,
             image_path=param.image_path,
+            video_path=(param.video_path if isinstance(
+                param.video_path, str) else (param.video_path or [None])[0]),
             pil_image=param.pil_image,
             height=param.height,
             width=param.width,

@@ -45,6 +45,9 @@ class ForwardBatch:
         default_factory=list)
     do_classifier_free_guidance: bool = False
 
+    # video conditioning (V2V / Lucy Edit): source clip path or frames
+    video_path: str | None = None
+
     # image conditioning (I2V / TI2V)
     image_path: str | None = None
     image_embeds: list[Array] = dataclasses.field(default_factory=list)

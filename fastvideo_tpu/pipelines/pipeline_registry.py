@@ -20,6 +20,11 @@ _PIPELINES: dict[str, str] = {
     "fastvideo_tpu.pipelines.basic.wan.wan_pipeline:WanCausalDMDPipeline",
     "CausalWanPipeline":
     "fastvideo_tpu.pipelines.basic.wan.wan_pipeline:WanCausalDMDPipeline",
+    "WanVideoToVideoPipeline":
+    "fastvideo_tpu.pipelines.basic.wan.wan_v2v_pipeline:"
+    "WanVideoToVideoPipeline",
+    "LucyEditPipeline":
+    "fastvideo_tpu.pipelines.basic.wan.wan_v2v_pipeline:LucyEditPipeline",
     "HunyuanVideoPipeline":
     "fastvideo_tpu.pipelines.basic.hunyuan.hunyuan_pipeline:"
     "HunyuanVideoPipeline",

@@ -128,12 +128,37 @@ class DenoisingStage(PipelineStage):
         return AttentionMetadata(extra={"VSA_sparsity": float(sparsity)})
 
     def _model_input(self, batch: ForwardBatch, latents):
+        if batch.video_latent is not None:
+            # V2V / Lucy Edit: control latent on channels (reference
+            # stages/denoising.py:405-415). Lucy concatenates [noise |
+            # video]; Wan V2V additionally zero-pads a third latent-width
+            # block.
+            if self._is_lucy():
+                return jnp.concatenate(
+                    [latents,
+                     batch.video_latent.astype(latents.dtype)], axis=1)
+            return jnp.concatenate(
+                [latents,
+                 batch.video_latent.astype(latents.dtype),
+                 jnp.zeros_like(latents)], axis=1)
         if batch.image_latent is not None:
             # I2V: concat conditioning latent on channels
             # (reference stages/denoising.py:404-419).
             return jnp.concatenate(
                 [latents, batch.image_latent.astype(latents.dtype)], axis=1)
         return latents
+
+    def _is_lucy(self) -> bool:
+        return (self.pipeline_config is not None
+                and getattr(self.pipeline_config, "lucy_edit_task", False))
+
+    def _expanded_timesteps(self, t: float, latents) -> jax.Array:
+        """Uniform per-token timesteps [B, seq_len] for expand_timesteps
+        models (Lucy Edit / Wan2.2 5B; reference denoising.py:421-423)."""
+        b, _, tt, h, w = latents.shape
+        ps = self.pipeline_config.dit_config.arch_config.patch_size
+        seq_len = (tt // ps[0]) * (h // ps[1]) * (w // ps[2])
+        return jnp.full((b, seq_len), float(t), jnp.float32)
 
     def forward(self, batch: ForwardBatch,
                 fastvideo_args: FastVideoArgs) -> ForwardBatch:
@@ -187,6 +212,8 @@ class DenoisingStage(PipelineStage):
             step_fn, state = self._get_step_fn(which)
             if ti2v:
                 t_arr = self._ti2v_timesteps(float(t), latents)
+            elif self._is_lucy():
+                t_arr = self._expanded_timesteps(float(t), latents)
             else:
                 t_arr = jnp.full((latents.shape[0],), float(t), jnp.float32)
             model_in = self._model_input(batch, latents.astype(target_dtype))

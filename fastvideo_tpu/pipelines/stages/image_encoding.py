@@ -115,6 +115,77 @@ class Hy15ImageEncodingStage(PipelineStage):
         return batch
 
 
+class VideoVAEEncodingStage(PipelineStage):
+    """Control-video VAE conditioning for V2V / Lucy Edit
+    (reference image_encoding.py:573-700): load the source clip, resize
+    to the generation geometry, truncate/zero-pad to num_frames, encode,
+    normalize -> ``batch.video_latent`` [B, z, T_lat, h, w].
+
+    ``sample_mode``: 'argmax' (posterior mode — Lucy Edit) or 'sample'
+    (seeded posterior sample — V2V; reference :631-635).
+    """
+
+    def __init__(self, vae, vae_config=None, sample_mode: str = "sample"):
+        if sample_mode not in ("argmax", "sample"):
+            raise ValueError(f"unknown sample_mode {sample_mode!r}")
+        self.vae = vae
+        self.vae_config = vae_config
+        self.sample_mode = sample_mode
+
+    def _load_frames(self, batch: ForwardBatch) -> np.ndarray:
+        """[T, H, W, 3] float32 in [0, 1]."""
+        video = batch.extra.get("video")
+        if video is not None:
+            arr = np.asarray(video, np.float32)
+            if arr.max() > 1.5:
+                arr = arr / 255.0
+            return arr
+        if batch.video_path:
+            from fastvideo_tpu.eval.pool import load_media
+
+            frames = load_media(batch.video_path).frames
+            if frames is None:
+                raise ValueError(
+                    f"no frames decoded from {batch.video_path}")
+            return frames
+        raise ValueError(
+            "V2V requires extra['video'] frames or video_path")
+
+    def forward(self, batch: ForwardBatch,
+                fastvideo_args: FastVideoArgs) -> ForwardBatch:
+        frames = self._load_frames(batch)
+        h, w, f = batch.height, batch.width, batch.num_frames
+        frames = frames[:f]
+        if frames.shape[1] != h or frames.shape[2] != w:
+            import PIL.Image as _PIL
+
+            resized = [
+                np.asarray(
+                    _PIL.Image.fromarray(
+                        (np.clip(fr, 0, 1) * 255).astype(np.uint8)).resize(
+                            (w, h), _PIL.Image.LANCZOS), np.float32) / 255.0
+                for fr in frames
+            ]
+            frames = np.stack(resized)
+        video = frames.transpose(3, 0, 1, 2)[None] * 2.0 - 1.0  # [1,3,T,H,W]
+        if video.shape[2] < f:
+            # zero-pad missing trailing frames (reference :695-700)
+            pad = np.zeros((1, 3, f - video.shape[2], h, w), np.float32)
+            video = np.concatenate([video, pad], axis=2)
+
+        dist = self.vae.encode(jnp.asarray(video, jnp.float32))
+        if self.sample_mode == "argmax":
+            latent = dist.mode()
+        else:
+            noise = randn_like_reference(
+                (1, *dist.mean.shape[1:]), batch.seeds or [batch.seed or 0])
+            latent = dist.mean + dist.std * jnp.asarray(noise)
+        latent = latent.transpose(0, 4, 1, 2, 3)  # NDHWC -> NCDHW
+        batch.video_latent = self.vae.normalize_latents(latent).astype(
+            jnp.float32)
+        return batch
+
+
 class WanImageVAEEncodingStage(PipelineStage):
     """First-frame VAE conditioning (reference image_encoding.py:430-500)."""
 

@@ -72,6 +72,9 @@ def _register_builtin() -> None:
     register_config(frag("fastwan2.1", "t2v"), wan_cfg.FastWanT2V480PConfig,
                     priority=10)
     register_config(frag("fastwan"), wan_cfg.FastWanT2V480PConfig, priority=9)
+    register_config(frag("lucy-edit"), wan_cfg.LucyEditDevConfig,
+                    priority=10)
+    register_config(frag("wan", "v2v"), wan_cfg.WanV2VConfig, priority=8)
     register_config(frag("wan2.2", "ti2v"), wan_cfg.Wan2_2_TI2V_5B_Config,
                     priority=8)
     register_config(frag("wan2.2", "t2v"), wan_cfg.Wan2_2_T2V_A14B_Config,

@@ -32,6 +32,48 @@ from fastvideo_tpu.models.loader.export import (  # noqa: E402
     save_safetensors as _save_safetensors)
 
 
+def make_tiny_lucy_edit_checkpoint(root: str, seed: int = 0) -> str:
+    """Lucy Edit layout: in_channels = 2 * z_dim ([noise | video])."""
+    return _make_tiny_wan_v2v_variant(root, seed, "LucyEditPipeline",
+                                      in_mult=2)
+
+
+def make_tiny_wan_v2v_checkpoint(root: str, seed: int = 0) -> str:
+    """Wan V2V layout: in_channels = 3 * z_dim ([noise|video|zeros])."""
+    return _make_tiny_wan_v2v_variant(root, seed, "WanVideoToVideoPipeline",
+                                      in_mult=3)
+
+
+def _make_tiny_wan_v2v_variant(root: str, seed: int, class_name: str,
+                               in_mult: int) -> str:
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.dits.wan import WanArchConfig
+    from fastvideo_tpu.models.dits.wan import WanTransformer3DModel
+
+    make_tiny_wan_checkpoint(root, seed)
+    with open(os.path.join(root, "model_index.json")) as fh:
+        index = json.load(fh)
+    index["_class_name"] = class_name
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        json.dump(index, fh)
+
+    tdir = os.path.join(root, "transformer")
+    dit_cfg = dict(TINY_DIT)
+    dit_cfg["in_channels"] = TINY_VAE["z_dim"] * in_mult
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        json.dump({"_class_name": "WanTransformer3DModel", **dit_cfg}, fh)
+    arch = WanArchConfig(**{k: tuple(v) if isinstance(v, list) else v
+                            for k, v in dit_cfg.items()})
+    dit = WanTransformer3DModel(arch, param_dtype=jnp.float32,
+                                rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+    return root
+
+
 def make_tiny_wan_checkpoint(root: str, seed: int = 0) -> str:
     """Write a tiny random-weight Wan T2V checkpoint (diffusers layout)."""
     import jax.numpy as jnp
