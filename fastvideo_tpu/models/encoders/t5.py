@@ -37,13 +37,15 @@ class BaseEncoderOutput:
     attention_mask: Array | None = None
     hidden_states: tuple[Array, ...] | None = None
     pooler_output: Array | None = None
+    # dual-stream text conditioning (LTX-2 Gemma connector's audio branch)
+    audio_hidden_state: Array | None = None
 
 
 # registered as a pytree so jitted encoder programs can return it whole
 jax.tree_util.register_dataclass(
     BaseEncoderOutput,
     data_fields=["last_hidden_state", "attention_mask", "hidden_states",
-                 "pooler_output"],
+                 "pooler_output", "audio_hidden_state"],
     meta_fields=[])
 
 

@@ -203,4 +203,14 @@ class PipelineComponentLoader:
             logger.info("Loaded %d tensors for %s from %s", n, cls_name,
                         component_dir)
             return model
+        if module_name in ("spatial_upsampler", "latent_upsampler"):
+            # LTX-2 refine-stage latent upsampler (checkpoint dirs
+            # 'spatial_upscaler' / 'spatial_upsampler')
+            from fastvideo_tpu.models.upsamplers.ltx2_upsampler import (
+                LTX2UpsamplerConfig)
+
+            return load_model_component(component_dir, precision="fp32",
+                                        model_config=LTX2UpsamplerConfig())
+        if module_name == "vocoder":
+            return load_model_component(component_dir, precision="fp32")
         raise ValueError(f"Unknown pipeline module {module_name!r}")

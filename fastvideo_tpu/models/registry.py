@@ -115,6 +115,14 @@ _VAE_REGISTRY: dict[str, tuple[str, str, str]] = {
     "LTX2CausalVideoAutoencoder":
     ("fastvideo_tpu.models.vaes.ltx2", "LTX2CausalVideoAutoencoder",
      "fastvideo_tpu.models.vaes.ltx2:LTX2VAEArchConfig"),
+    "LatentUpsampler":
+    ("fastvideo_tpu.models.upsamplers.ltx2_upsampler", "LatentUpsampler",
+     "fastvideo_tpu.models.upsamplers.ltx2_upsampler:"
+     "LTX2UpsamplerArchConfig"),
+    "LTX2LatentUpsampler":
+    ("fastvideo_tpu.models.upsamplers.ltx2_upsampler", "LatentUpsampler",
+     "fastvideo_tpu.models.upsamplers.ltx2_upsampler:"
+     "LTX2UpsamplerArchConfig"),
     "AutoencoderKLFlux2":
     ("fastvideo_tpu.models.vaes.flux2", "AutoencoderKLFlux2",
      "fastvideo_tpu.models.vaes.flux2:Flux2VAEArchConfig"),
@@ -193,6 +201,9 @@ _ENCODER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "T5GemmaEncoderModel":
     ("fastvideo_tpu.models.encoders.t5gemma", "T5GemmaEncoderModel",
      "fastvideo_tpu.models.encoders.t5gemma:T5GemmaArchConfig"),
+    "LTX2GemmaTextEncoderModel":
+    ("fastvideo_tpu.models.encoders.ltx2_gemma", "LTX2GemmaTextEncoderModel",
+     "fastvideo_tpu.models.encoders.ltx2_gemma:LTX2GemmaArchConfig"),
     "LingBotVideoQwen3VLTextModel":
     ("fastvideo_tpu.models.encoders.lingbot_video",
      "LingBotVideoQwen3VLTextModel",

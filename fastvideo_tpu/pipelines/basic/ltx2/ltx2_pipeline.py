@@ -104,7 +104,9 @@ class LTX2LatentPreparationStage(PipelineStage):
 
 class LTX2DenoisingStage(PipelineStage):
     """Joint AV Euler-on-denoised loop (reference ltx2_denoising.py
-    :153-680, the text-CFG guidance path)."""
+    :153-680, the text-CFG guidance path). The audio stream conditions on
+    the Gemma connector's dedicated audio text embeddings when the
+    encoder provides them (batch.extra['audio_text_embeds'])."""
 
     def __init__(self, transformer, pipeline_config=None):
         self.transformer = transformer
@@ -125,6 +127,12 @@ class LTX2DenoisingStage(PipelineStage):
             self._step = (step, state)
         return self._step
 
+    def _sigmas(self, batch: ForwardBatch) -> np.ndarray:
+        steps = batch.num_inference_steps
+        if steps <= len(DISTILLED_SIGMA_VALUES) - 1:
+            return distilled_subset_sigmas(steps)
+        return ltx2_sigmas(steps)
+
     def forward(self, batch: ForwardBatch,
                 fastvideo_args: FastVideoArgs) -> ForwardBatch:
         target_dtype = jnp.bfloat16 if (
@@ -135,15 +143,17 @@ class LTX2DenoisingStage(PipelineStage):
         ctx = batch.prompt_embeds[0].astype(target_dtype)
         neg_ctx = (batch.negative_prompt_embeds[0].astype(target_dtype)
                    if batch.negative_prompt_embeds else None)
+        audio_ctx = batch.extra.get("audio_text_embeds")
+        audio_ctx = (ctx if audio_ctx is None
+                     else audio_ctx.astype(target_dtype))
+        neg_audio_ctx = batch.extra.get("negative_audio_text_embeds")
+        neg_audio_ctx = (neg_ctx if neg_audio_ctx is None
+                         else neg_audio_ctx.astype(target_dtype))
         guidance = float(batch.guidance_scale)
         use_cfg = (batch.do_classifier_free_guidance and guidance > 1.0
                    and neg_ctx is not None)
 
-        steps = batch.num_inference_steps
-        if steps <= len(DISTILLED_SIGMA_VALUES) - 1:
-            sigmas = distilled_subset_sigmas(steps)
-        else:
-            sigmas = ltx2_sigmas(steps)
+        sigmas = self._sigmas(batch)
         batch.timesteps = sigmas[:-1] * 1000.0
 
         b = latents.shape[0]
@@ -154,14 +164,15 @@ class LTX2DenoisingStage(PipelineStage):
             t = jnp.full((b, 1), sigma, jnp.float32)
             a_t = jnp.full((b, 1), sigma, jnp.float32)
             pos_v, pos_a = step(state, latents.astype(target_dtype), ctx,
-                                t, audio.astype(target_dtype), ctx, a_t)
+                                t, audio.astype(target_dtype), audio_ctx,
+                                a_t)
             denoised_v = pos_v.astype(jnp.float32)
             denoised_a = pos_a.astype(jnp.float32)
             if use_cfg:
                 neg_v, neg_a = step(state, latents.astype(target_dtype),
                                     neg_ctx, t,
-                                    audio.astype(target_dtype), neg_ctx,
-                                    a_t)
+                                    audio.astype(target_dtype),
+                                    neg_audio_ctx, a_t)
                 denoised_v = denoised_v + (guidance - 1) * (
                     denoised_v - neg_v.astype(jnp.float32))
                 denoised_a = denoised_a + (guidance - 1) * (
@@ -173,6 +184,70 @@ class LTX2DenoisingStage(PipelineStage):
         batch.latents = latents
         batch.extra["ltx2_audio_latents"] = audio
         return batch
+
+
+STAGE_2_DISTILLED_SIGMA_VALUES = (0.909375, 0.725, 0.421875, 0.0)
+
+
+class LTX2UpsampleStage(PipelineStage):
+    """Stage-2 refine init (reference pipelines/basic/ltx2/stages/
+    ltx2_refine.py:116-260): 2x latent upsample through the per-channel
+    statistics, then renoise to the refine schedule's first sigma. No-op
+    unless refinement was requested AND the checkpoint ships an
+    upsampler."""
+
+    def __init__(self, upsampler, vae, sigmas=STAGE_2_DISTILLED_SIGMA_VALUES):
+        self.upsampler = upsampler
+        self.vae = vae
+        self.sigmas = tuple(sigmas)
+        self._fn = None
+
+    def forward(self, batch: ForwardBatch,
+                fastvideo_args: FastVideoArgs) -> ForwardBatch:
+        if self.upsampler is None or not batch.extra.get("ltx2_refine"):
+            return batch
+        if self._fn is None:
+            graphdef, ustate = nnx.split(self.upsampler)
+            # stats live on the encoder/decoder submodules (reference
+            # requires the encoder's: ltx2_refine.py:170-175)
+            holder = (getattr(self.vae, "encoder", None)
+                      or getattr(self.vae, "decoder", None) or self.vae)
+            vae_stats = holder.per_channel_statistics
+
+            @jax.jit
+            def fn(ustate, z):
+                ups = nnx.merge(graphdef, ustate)
+                # NCDHW -> channels-last for the conv stack; denormalize
+                # through the VAE's per-channel stats (reference
+                # upsample_video:283-297)
+                z = z.transpose(0, 2, 3, 4, 1)
+                z = vae_stats.normalize(ups(vae_stats.un_normalize(z)))
+                return z.transpose(0, 4, 1, 2, 3)
+
+            self._fn = (fn, ustate)
+        fn, ustate = self._fn
+        up = fn(ustate, batch.latents.astype(jnp.float32))
+        sigma0 = float(self.sigmas[0])
+        noise = jnp.asarray(randn_like_reference(
+            tuple(up.shape), [(batch.seed or 0) + 7]))
+        batch.latents = (1.0 - sigma0) * up + sigma0 * noise
+        batch.extra["ltx2_refine_sigmas"] = np.asarray(self.sigmas)
+        return batch
+
+
+class LTX2RefineDenoisingStage(LTX2DenoisingStage):
+    """Stage-2 denoise over the distilled refine schedule (reference
+    ltx2_refine.py + denoising): runs only after LTX2UpsampleStage armed
+    the refine sigmas."""
+
+    def _sigmas(self, batch: ForwardBatch) -> np.ndarray:
+        return np.asarray(batch.extra["ltx2_refine_sigmas"], np.float64)
+
+    def forward(self, batch: ForwardBatch,
+                fastvideo_args: FastVideoArgs) -> ForwardBatch:
+        if "ltx2_refine_sigmas" not in batch.extra:
+            return batch
+        return super().forward(batch, fastvideo_args)
 
 
 class LTX2DecodingStage(PipelineStage):
@@ -220,8 +295,10 @@ class LTX2AudioDecodingStage(PipelineStage):
 
 class LTX2Pipeline(ComposedPipelineBase, LoRAPipelineMixin):
     _required_config_modules = [
-        "text_encoder", "tokenizer", "transformer", "vae", "scheduler"
+        "text_encoder", "tokenizer", "transformer", "vae", "scheduler",
+        "spatial_upsampler"
     ]
+    _extra_config_module_map = {"spatial_upsampler": "spatial_upscaler"}
 
     def initialize_pipeline(self, fastvideo_args: FastVideoArgs) -> None:
         # LTX-2 integrates its own sigma schedule in the denoising stage;
@@ -245,6 +322,16 @@ class LTX2Pipeline(ComposedPipelineBase, LoRAPipelineMixin):
         self.add_stage("denoising_stage",
                        LTX2DenoisingStage(self.get_module("transformer"),
                                           cfg))
+        # stage-2 refine: no-ops unless the checkpoint ships an upsampler
+        # and the request sets extra['ltx2_refine']
+        self.add_stage("upsample_stage",
+                       LTX2UpsampleStage(
+                           self.modules.get("spatial_upsampler"),
+                           self.get_module("vae")))
+        self.add_stage("refine_denoising_stage",
+                       LTX2RefineDenoisingStage(
+                           self.modules.get("transformer_refine")
+                           or self.get_module("transformer"), cfg))
         self.add_stage("audio_decoding_stage",
                        LTX2AudioDecodingStage(
                            self.modules.get("audio_vae"),

@@ -72,7 +72,8 @@ class TextEncodingStage(PipelineStage):
             embeds = self.postprocess_funcs[idx](outputs)
         else:
             embeds = outputs.last_hidden_state
-        return embeds, mask, getattr(outputs, "pooler_output", None)
+        return (embeds, mask, getattr(outputs, "pooler_output", None),
+                getattr(outputs, "audio_hidden_state", None))
 
     def forward(self, batch: ForwardBatch,
                 fastvideo_args: FastVideoArgs) -> ForwardBatch:
@@ -80,19 +81,24 @@ class TextEncodingStage(PipelineStage):
                                              list) else [batch.prompt]
         pooled_list = batch.extra.setdefault("pooled_embeds", [])
         for i in range(len(self.text_encoders)):
-            embeds, mask, pooled = self._encode_one(
+            embeds, mask, pooled, audio = self._encode_one(
                 [p or "" for p in prompts], i)
             batch.prompt_embeds.append(embeds)
             batch.prompt_attention_mask.append(mask)
             pooled_list.append(pooled)
+            if audio is not None:
+                # dual-stream conditioning (LTX-2 Gemma connector)
+                batch.extra["audio_text_embeds"] = audio
         if batch.do_classifier_free_guidance:
             neg = batch.negative_prompt or ""
             negs = [neg] * len(prompts)
             neg_pooled_list = batch.extra.setdefault(
                 "negative_pooled_embeds", [])
             for i in range(len(self.text_encoders)):
-                embeds, mask, pooled = self._encode_one(negs, i)
+                embeds, mask, pooled, audio = self._encode_one(negs, i)
                 batch.negative_prompt_embeds.append(embeds)
                 batch.negative_attention_mask.append(mask)
                 neg_pooled_list.append(pooled)
+                if audio is not None:
+                    batch.extra["negative_audio_text_embeds"] = audio
         return batch

@@ -1275,11 +1275,17 @@ TINY_GEMMA = dict(vocab_size=128, hidden_size=32, intermediate_size=48,
                   max_position_embeddings=512)
 
 
-def make_tiny_ltx2_checkpoint(root: str, seed: int = 0) -> str:
+def make_tiny_ltx2_checkpoint(root: str, seed: int = 0,
+                              with_connector: bool = False,
+                              with_upsampler: bool = False) -> str:
     """Tiny random-weight LTX-2 checkpoint (diffusers layout).
 
     caption_channels must equal the Gemma hidden size (32; the
     connector-less text path feeds hidden states directly).
+    ``with_connector`` swaps the text encoder for the full
+    LTX2GemmaTextEncoderModel (backbone + feature extractor + dual
+    connectors, inner dim 32). ``with_upsampler`` ships a
+    spatial_upscaler/ dir for the stage-2 refine path.
     """
     import jax.numpy as jnp
     from flax import nnx
@@ -1333,13 +1339,60 @@ def make_tiny_ltx2_checkpoint(root: str, seed: int = 0) -> str:
 
     edir = os.path.join(root, "text_encoder")
     os.makedirs(edir, exist_ok=True)
-    with open(os.path.join(edir, "config.json"), "w") as fh:
-        json.dump({"architectures": ["GemmaModel"], **TINY_GEMMA}, fh)
-    enc = GemmaEncoderModel(GemmaArchConfig(**TINY_GEMMA),
-                            param_dtype=jnp.float32,
-                            rngs=nnx.Rngs(seed + 2))
+    if with_connector:
+        from fastvideo_tpu.models.encoders.ltx2_gemma import (
+            LTX2GemmaArchConfig, LTX2GemmaTextEncoderModel)
+
+        conn_cfg = dict(
+            TINY_GEMMA,
+            feature_extractor_in_features=(
+                TINY_GEMMA["hidden_size"] *
+                (TINY_GEMMA["num_hidden_layers"] + 1)),
+            feature_extractor_out_features=TINY_GEMMA["hidden_size"],
+            connector_num_attention_heads=2,
+            connector_attention_head_dim=16,
+            connector_num_layers=1,
+            connector_num_learnable_registers=4,
+            connector_positional_embedding_max_pos=[64])
+        with open(os.path.join(edir, "config.json"), "w") as fh:
+            json.dump({"architectures": ["LTX2GemmaTextEncoderModel"],
+                       **conn_cfg}, fh)
+        import dataclasses as _dc
+
+        valid = {f.name for f in _dc.fields(LTX2GemmaArchConfig)}
+        arch_kwargs = {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in conn_cfg.items() if k in valid
+        }
+        enc = LTX2GemmaTextEncoderModel(LTX2GemmaArchConfig(**arch_kwargs),
+                                        param_dtype=jnp.float32,
+                                        rngs=nnx.Rngs(seed + 2))
+    else:
+        with open(os.path.join(edir, "config.json"), "w") as fh:
+            json.dump({"architectures": ["GemmaModel"], **TINY_GEMMA}, fh)
+        enc = GemmaEncoderModel(GemmaArchConfig(**TINY_GEMMA),
+                                param_dtype=jnp.float32,
+                                rngs=nnx.Rngs(seed + 2))
     _save_safetensors(os.path.join(edir, "model.safetensors"),
                       _export_torch_layout(enc))
+
+    if with_upsampler:
+        from fastvideo_tpu.models.upsamplers.ltx2_upsampler import (
+            LTX2UpsamplerArchConfig, LatentUpsampler)
+
+        udir = os.path.join(root, "spatial_upscaler")
+        os.makedirs(udir, exist_ok=True)
+        ucfg = dict(in_channels=TINY_LTX2_VAE["latent_channels"],
+                    mid_channels=32, num_blocks_per_stage=1,
+                    spatial_upsample=True)
+        with open(os.path.join(udir, "config.json"), "w") as fh:
+            json.dump({"_class_name": "LTX2LatentUpsampler", **ucfg}, fh)
+        ups = LatentUpsampler(LTX2UpsamplerArchConfig(**ucfg),
+                              param_dtype=jnp.float32,
+                              rngs=nnx.Rngs(seed + 3))
+        _save_safetensors(
+            os.path.join(udir, "diffusion_pytorch_model.safetensors"),
+            _export_torch_layout(ups))
 
     _make_tokenizer(os.path.join(root, "tokenizer"),
                     TINY_GEMMA["vocab_size"])
