@@ -156,7 +156,9 @@ class DreamXWorldTransformerBlock(WanTransformerBlock):
 
     def __call__(self, hidden_states: Array, encoder_hidden_states: Array,
                  temb: Array, freqs_cis, kv_valid=None, grid=None,
+                 pre_tiled: bool = False,
                  y_camera: dict[str, Array] | None = None) -> Array:
+        del pre_tiled  # VSA tile-major order: base-scan compat only
         orig_dtype = hidden_states.dtype
         b = hidden_states.shape[0]
         n, d = self.num_heads, self.dim // self.num_heads

@@ -97,6 +97,10 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "LTX2Transformer3DModel":
     ("fastvideo_tpu.models.dits.ltx2", "LTX2Transformer3DModel",
      "fastvideo_tpu.models.dits.ltx2:LTX2ArchConfig"),
+    "LingBotWorldTransformer3DModel":
+    ("fastvideo_tpu.models.dits.lingbotworld",
+     "LingBotWorldTransformer3DModel",
+     "fastvideo_tpu.models.dits.lingbotworld:LingBotWorldArchConfig"),
     "Kandinsky5Transformer3DModel":
     ("fastvideo_tpu.models.dits.kandinsky5", "Kandinsky5Transformer3DModel",
      "fastvideo_tpu.models.dits.kandinsky5:Kandinsky5ArchConfig"),

@@ -25,6 +25,9 @@ _PIPELINES: dict[str, str] = {
     "WanVideoToVideoPipeline",
     "LucyEditPipeline":
     "fastvideo_tpu.pipelines.basic.wan.wan_v2v_pipeline:LucyEditPipeline",
+    "LingBotWorldImageToVideoPipeline":
+    "fastvideo_tpu.pipelines.basic.lingbotworld.lingbotworld_pipeline:"
+    "LingBotWorldImageToVideoPipeline",
     "HunyuanVideoPipeline":
     "fastvideo_tpu.pipelines.basic.hunyuan.hunyuan_pipeline:"
     "HunyuanVideoPipeline",

@@ -82,7 +82,8 @@ class DenoisingStage(PipelineStage):
         @functools.partial(jax.jit, static_argnames=("image_cond",))
         def step_fn(state, latents, ctx, t, image_embeds=None,
                     image_cond: bool = False, guidance=None,
-                    timestep_r=None, viewmats=None, intrinsics=None):
+                    timestep_r=None, viewmats=None, intrinsics=None,
+                    c2ws_plucker=None):
             m = nnx.merge(graphdef, state)
             kwargs = {}
             if guidance is not None:
@@ -95,6 +96,9 @@ class DenoisingStage(PipelineStage):
                 # PRoPE camera conditioning (DreamX-World-5B-Cam)
                 kwargs["y_camera"] = {"viewmats": viewmats,
                                       "K": intrinsics}
+            if c2ws_plucker is not None:
+                # Plücker-ray FiLM conditioning (LingBot-World)
+                kwargs["c2ws_plucker_emb"] = c2ws_plucker
             return m(latents, ctx, t,
                      encoder_hidden_states_image=(image_embeds
                                                   if image_cond else None),
@@ -200,6 +204,9 @@ class DenoisingStage(PipelineStage):
         cam_kw = ({} if y_cam is None else
                   dict(viewmats=jnp.asarray(y_cam["viewmats"], jnp.float32),
                        intrinsics=jnp.asarray(y_cam["K"], jnp.float32)))
+        plucker = batch.extra.get("c2ws_plucker_emb")
+        if plucker is not None:
+            cam_kw["c2ws_plucker"] = jnp.asarray(plucker, jnp.float32)
         ti2v = (self.pipeline_config is not None
                 and getattr(self.pipeline_config, "ti2v_task", False)
                 and batch.pil_image is not None)

@@ -137,6 +137,17 @@ def _register_builtin() -> None:
     register_config(frag("dreamx"), dx_cfg.DreamXWorld5BCamPipelineConfig,
                     dx_cfg.DreamXWorldSamplingParam, priority=11)
 
+    from fastvideo_tpu.configs.pipelines.lingbotworld import (
+        LingBotWorldI2V480PConfig)
+
+    def _lingbotworld_det(name: str) -> bool:
+        low = name.lower()
+        return (("lingbotworld" in low or "lingbot-world" in low)
+                and "causal-fast" not in low and "causalfast" not in low)
+
+    register_config(_lingbotworld_det, LingBotWorldI2V480PConfig,
+                    priority=9)
+
     from fastvideo_tpu.configs.pipelines import lingbot_video as lbv_cfg
 
     register_config(frag("lingbot-video"), lbv_cfg.LingBotVideoT2VConfig,
