@@ -168,6 +168,15 @@ register_preset(InferencePreset(
                   num_inference_steps=70, guidance_scale=5.0)))
 
 register_preset(InferencePreset(
+    name="lingbotworld2_causal_fast_i2v", version=1,
+    model_family="lingbotworld2", workload_type="i2v",
+    description="LingBot-World 2 causal-fast streaming I2V (4-step "
+    "distilled chunks)",
+    stage_schemas=(_DENOISE, _DECODE),
+    defaults=dict(height=480, width=832, num_frames=81, fps=16,
+                  num_inference_steps=4, guidance_scale=1.0)))
+
+register_preset(InferencePreset(
     name="hunyuan_720p", version=1, model_family="hunyuan",
     workload_type="t2v",
     description="HunyuanVideo 720p, embedded distilled guidance",

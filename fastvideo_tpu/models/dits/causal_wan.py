@@ -64,18 +64,21 @@ def cached_self_attention(q: Array, k: Array, v: Array, cache: dict,
     global_end = cache["global_end"] + n
 
     if sink_cap > 0:
-        # write the part of the new tokens that falls inside the sink region
+        # write the part of the new tokens whose ABSOLUTE position falls
+        # inside the sink region: sink slot j takes new token (j - start)
+        # when 0 <= j - start < n. An exact gather+select — robust to
+        # blocks larger than the sink and to partial overlaps (a plain
+        # dynamic_update_slice clamps its offset and would shift writes).
         start = cache["global_end"]
-        sink_k = jax.lax.dynamic_update_slice(
-            cache["sink_k"], k.astype(cache["sink_k"].dtype),
-            (0, jnp.minimum(start, sink_cap), 0, 0))
-        # only keep writes while start < sink_cap (freeze afterwards)
-        use_new = (start < sink_cap)
-        sink_k = jnp.where(use_new, sink_k, cache["sink_k"])
-        sink_v = jax.lax.dynamic_update_slice(
-            cache["sink_v"], v.astype(cache["sink_v"].dtype),
-            (0, jnp.minimum(start, sink_cap), 0, 0))
-        sink_v = jnp.where(use_new, sink_v, cache["sink_v"])
+        src_idx = jnp.arange(sink_cap) - start
+        in_range = (src_idx >= 0) & (src_idx < n)
+        gather = jnp.clip(src_idx, 0, n - 1)
+        sink_k = jnp.where(in_range[None, :, None, None],
+                           jnp.take(k, gather, axis=1).astype(
+                               cache["sink_k"].dtype), cache["sink_k"])
+        sink_v = jnp.where(in_range[None, :, None, None],
+                           jnp.take(v, gather, axis=1).astype(
+                               cache["sink_v"].dtype), cache["sink_v"])
     else:
         sink_k, sink_v = cache["sink_k"], cache["sink_v"]
 

@@ -101,6 +101,11 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     ("fastvideo_tpu.models.dits.lingbotworld",
      "LingBotWorldTransformer3DModel",
      "fastvideo_tpu.models.dits.lingbotworld:LingBotWorldArchConfig"),
+    "LingBotWorld2CausalFastTransformer3DModel":
+    ("fastvideo_tpu.models.dits.lingbotworld2",
+     "LingBotWorld2CausalFastTransformer3DModel",
+     "fastvideo_tpu.models.dits.lingbotworld2:"
+     "LingBotWorld2CausalFastArchConfig"),
     "Kandinsky5Transformer3DModel":
     ("fastvideo_tpu.models.dits.kandinsky5", "Kandinsky5Transformer3DModel",
      "fastvideo_tpu.models.dits.kandinsky5:Kandinsky5ArchConfig"),

@@ -28,6 +28,9 @@ _PIPELINES: dict[str, str] = {
     "LingBotWorldImageToVideoPipeline":
     "fastvideo_tpu.pipelines.basic.lingbotworld.lingbotworld_pipeline:"
     "LingBotWorldImageToVideoPipeline",
+    "LingBotWorld2CausalFastPipeline":
+    "fastvideo_tpu.pipelines.basic.lingbotworld2.causal_fast_pipeline:"
+    "LingBotWorld2CausalFastPipeline",
     "HunyuanVideoPipeline":
     "fastvideo_tpu.pipelines.basic.hunyuan.hunyuan_pipeline:"
     "HunyuanVideoPipeline",

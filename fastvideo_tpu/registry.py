@@ -148,6 +148,17 @@ def _register_builtin() -> None:
     register_config(_lingbotworld_det, LingBotWorldI2V480PConfig,
                     priority=9)
 
+    from fastvideo_tpu.configs.pipelines.lingbotworld2 import (
+        LingBotWorld2CausalFastI2V480PConfig)
+
+    def _lingbotworld2_det(name: str) -> bool:
+        low = name.lower()
+        return (("lingbot-world-v2" in low or "lingbotworld2" in low)
+                and ("causal-fast" in low or "causalfast" in low))
+
+    register_config(_lingbotworld2_det,
+                    LingBotWorld2CausalFastI2V480PConfig, priority=10)
+
     from fastvideo_tpu.configs.pipelines import lingbot_video as lbv_cfg
 
     register_config(frag("lingbot-video"), lbv_cfg.LingBotVideoT2VConfig,

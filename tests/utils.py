@@ -325,6 +325,41 @@ def make_tiny_lingbotworld_checkpoint(root: str, seed: int = 0) -> str:
     return root
 
 
+def make_tiny_lingbotworld2_checkpoint(root: str, seed: int = 0) -> str:
+    """LingBot-World 2 causal-fast tiny: streaming chunks + camera."""
+    import json as _json
+
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.models.dits.lingbotworld2 import (
+        LingBotWorld2CausalFastArchConfig,
+        LingBotWorld2CausalFastTransformer3DModel)
+
+    make_tiny_wan_checkpoint(root, seed)
+    tdir = os.path.join(root, "transformer")
+    cfg = _json.load(open(os.path.join(tdir, "config.json")))
+    cfg.update(_class_name="LingBotWorld2CausalFastTransformer3DModel",
+               in_channels=10, out_channels=4,
+               cam_in_channels=6 * TINY_VAE["scale_factor_spatial"]**2,
+               local_attn_size=4, sink_size=1, chunk_size=2,
+               timesteps_index=[0, 500])
+    _json.dump(cfg, open(os.path.join(tdir, "config.json"), "w"))
+    arch_kwargs = {k: tuple(v) if isinstance(v, list) else v
+                   for k, v in cfg.items() if k != "_class_name"}
+    dit = LingBotWorld2CausalFastTransformer3DModel(
+        LingBotWorld2CausalFastArchConfig(**arch_kwargs),
+        param_dtype=jnp.float32, rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+
+    index = _json.load(open(os.path.join(root, "model_index.json")))
+    index["_class_name"] = "LingBotWorld2CausalFastPipeline"
+    _json.dump(index, open(os.path.join(root, "model_index.json"), "w"))
+    return root
+
+
 TINY_HY_DIT = dict(num_attention_heads=2, attention_head_dim=8,
                    in_channels=4, out_channels=4, num_layers=1,
                    num_single_layers=1, num_refiner_layers=1,
