@@ -28,6 +28,26 @@ class DreamXWorld5BCamPipelineConfig(WanT2V480PConfig):
 
 
 @dataclasses.dataclass
+class DreamXWorld5BARPipelineConfig(DreamXWorld5BCamPipelineConfig):
+    """Autoregressive forcing (reference configs/pipelines/
+    dreamx_world.py:112-128)."""
+
+    dit_config: object = dataclasses.field(default_factory=lambda: _ar_dit())
+    flow_shift: float | None = 5.0
+    dmd_denoising_steps: list[int] | None = dataclasses.field(
+        default_factory=lambda: [1000, 750, 500, 250])
+    warp_denoising_step: bool = True
+    context_noise: float = 0.1
+
+
+def _ar_dit():
+    from fastvideo_tpu.models.dits.dreamx_world_ar import (
+        DreamXWorldARVideoConfig)
+
+    return DreamXWorldARVideoConfig()
+
+
+@dataclasses.dataclass
 class DreamXWorldSamplingParam(SamplingParam):
     """Reference presets.py DREAMX_WORLD_5B_CAM defaults."""
 

@@ -44,6 +44,10 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "MagiHumanDiT":
     ("fastvideo_tpu.models.dits.magi_human", "MagiHumanDiT",
      "fastvideo_tpu.configs.models.dits.magi_human:MagiHumanArchConfig"),
+    "DreamXWorldARTransformer3DModel":
+    ("fastvideo_tpu.models.dits.dreamx_world_ar",
+     "DreamXWorldARTransformer3DModel",
+     "fastvideo_tpu.models.dits.dreamx_world_ar:DreamXWorldARArchConfig"),
     "DreamXWorldTransformer3DModel":
     ("fastvideo_tpu.models.dits.dreamx_world",
      "DreamXWorldTransformer3DModel",

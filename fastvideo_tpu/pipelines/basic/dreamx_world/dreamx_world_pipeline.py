@@ -69,4 +69,27 @@ class DreamXWorldPipeline(WanPipeline):
         self.dreamx_camera_conditioning_stage = cam
 
 
+class DreamXWorldARPipeline(DreamXWorldPipeline):
+    """Autoregressive causal camera pipeline (reference
+    dreamx_world_ar_pipeline.py:27-67): same stage topology with the
+    streaming AR denoiser."""
+
+    def initialize_pipeline(self, fastvideo_args: FastVideoArgs) -> None:
+        self.modules["scheduler"] = FlowMatchEulerDiscreteScheduler(
+            shift=self.pipeline_config.flow_shift or 5.0)
+
+    def create_pipeline_stages(self, fastvideo_args: FastVideoArgs) -> None:
+        from fastvideo_tpu.pipelines.basic.dreamx_world.ar_denoising import (
+            DreamXWorldARDenoisingStage)
+
+        super().create_pipeline_stages(fastvideo_args)
+        ar = DreamXWorldARDenoisingStage(self.get_module("transformer"),
+                                         self.get_module("scheduler"),
+                                         self.pipeline_config,
+                                         vae=self.get_module("vae"))
+        self._stages[self._stages.index(self.denoising_stage)] = ar
+        self._stage_name_mapping["denoising_stage"] = ar
+        self.denoising_stage = ar
+
+
 EntryClass = DreamXWorldPipeline

@@ -92,6 +92,9 @@ _PIPELINES: dict[str, str] = {
     "DreamXWorldPipeline":
     "fastvideo_tpu.pipelines.basic.dreamx_world.dreamx_world_pipeline:"
     "DreamXWorldPipeline",
+    "DreamXWorldARPipeline":
+    "fastvideo_tpu.pipelines.basic.dreamx_world.dreamx_world_pipeline:"
+    "DreamXWorldARPipeline",
     "LingBotVideoPipeline":
     "fastvideo_tpu.pipelines.basic.lingbot_video.lingbot_video_pipeline:"
     "LingBotVideoPipeline",

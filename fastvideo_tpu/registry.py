@@ -134,6 +134,8 @@ def _register_builtin() -> None:
 
     from fastvideo_tpu.configs.pipelines import dreamx_world as dx_cfg
 
+    register_config(frag("dreamx", "-ar"),
+                    dx_cfg.DreamXWorld5BARPipelineConfig, priority=12)
     register_config(frag("dreamx"), dx_cfg.DreamXWorld5BCamPipelineConfig,
                     dx_cfg.DreamXWorldSamplingParam, priority=11)
 

@@ -1820,6 +1820,48 @@ def make_tiny_dreamx_checkpoint(root: str, seed: int = 0) -> str:
     return root
 
 
+def make_tiny_dreamx_ar_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny DreamX-World AR (causal forcing) checkpoint."""
+    import json as _json
+
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.models.dits.dreamx_world_ar import (
+        DreamXWorldARArchConfig, DreamXWorldARTransformer3DModel)
+
+    make_tiny_wan_checkpoint(root, seed=seed)
+    index = _json.load(open(os.path.join(root, "model_index.json")))
+    index["_class_name"] = "DreamXWorldARPipeline"
+    index["transformer"] = ["diffusers", "DreamXWorldARTransformer3DModel"]
+    _json.dump(index, open(os.path.join(root, "model_index.json"), "w"))
+
+    tdir = os.path.join(root, "transformer")
+    dit_cfg = dict(TINY_DX_DIT, local_attn_size=4, sink_size=1,
+                   num_frames_per_block=2,
+                   cam_self_attn_layers=[0, 1])
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        _json.dump({"_class_name": "DreamXWorldARTransformer3DModel",
+                    **dit_cfg}, fh)
+    arch = DreamXWorldARArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in dit_cfg.items()
+    })
+    dit = DreamXWorldARTransformer3DModel(arch, param_dtype=jnp.float32,
+                                          rngs=nnx.Rngs(seed))
+    sd = _export_torch_layout(dit)
+    rng = np.random.default_rng(seed + 9)
+    for k in sd:
+        # zero-init camera adapter would make conditioning a no-op
+        if "cam_self_attn.out_proj.weight" in k:
+            sd[k] = rng.standard_normal(sd[k].shape).astype(
+                np.float32) * 0.05
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      sd)
+    return root
+
+
 TINY_LBV_DIT = dict(patch_size=[1, 2, 2], in_channels=4, out_channels=4,
                     hidden_size=48, num_attention_heads=2, depth=2,
                     intermediate_size=64, text_dim=32, freq_dim=32,
