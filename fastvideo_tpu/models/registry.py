@@ -66,6 +66,9 @@ _TRANSFORMER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "MatrixGame3WanModel":
     ("fastvideo_tpu.models.dits.matrixgame3", "MatrixGame3WanModel",
      "fastvideo_tpu.configs.models.dits.matrixgame3:MatrixGame3ArchConfig"),
+    "MatrixGame2WanModel":
+    ("fastvideo_tpu.models.dits.matrixgame2", "MatrixGame2WanModel",
+     "fastvideo_tpu.models.dits.matrixgame2:MatrixGame2ArchConfig"),
     "StableAudioDiT":
     ("fastvideo_tpu.models.dits.stable_audio", "StableAudioDiT",
      "fastvideo_tpu.configs.models.dits.stable_audio:StableAudioArchConfig"),

@@ -98,6 +98,12 @@ _PIPELINES: dict[str, str] = {
     "LingBotVideoPipeline":
     "fastvideo_tpu.pipelines.basic.lingbot_video.lingbot_video_pipeline:"
     "LingBotVideoPipeline",
+    "MatrixGame2I2VPipeline":
+    "fastvideo_tpu.pipelines.basic.matrixgame2.matrixgame2_pipeline:"
+    "MatrixGame2I2VPipeline",
+    "MatrixGamePipeline":
+    "fastvideo_tpu.pipelines.basic.matrixgame2.matrixgame2_pipeline:"
+    "MatrixGamePipeline",
     "MatrixGame3I2VPipeline":
     "fastvideo_tpu.pipelines.basic.matrixgame3.matrixgame3_pipeline:"
     "MatrixGame3I2VPipeline",

@@ -83,7 +83,7 @@ class DenoisingStage(PipelineStage):
         def step_fn(state, latents, ctx, t, image_embeds=None,
                     image_cond: bool = False, guidance=None,
                     timestep_r=None, viewmats=None, intrinsics=None,
-                    c2ws_plucker=None):
+                    c2ws_plucker=None, mouse=None, keyboard=None):
             m = nnx.merge(graphdef, state)
             kwargs = {}
             if guidance is not None:
@@ -99,6 +99,10 @@ class DenoisingStage(PipelineStage):
             if c2ws_plucker is not None:
                 # Plücker-ray FiLM conditioning (LingBot-World)
                 kwargs["c2ws_plucker_emb"] = c2ws_plucker
+            if mouse is not None or keyboard is not None:
+                # Matrix-Game mouse/keyboard action attention
+                kwargs["mouse_cond"] = mouse
+                kwargs["keyboard_cond"] = keyboard
             return m(latents, ctx, t,
                      encoder_hidden_states_image=(image_embeds
                                                   if image_cond else None),
@@ -207,6 +211,12 @@ class DenoisingStage(PipelineStage):
         plucker = batch.extra.get("c2ws_plucker_emb")
         if plucker is not None:
             cam_kw["c2ws_plucker"] = jnp.asarray(plucker, jnp.float32)
+        if batch.extra.get("mouse_cond") is not None:
+            cam_kw["mouse"] = jnp.asarray(batch.extra["mouse_cond"],
+                                          jnp.float32)
+        if batch.extra.get("keyboard_cond") is not None:
+            cam_kw["keyboard"] = jnp.asarray(batch.extra["keyboard_cond"],
+                                             jnp.float32)
         ti2v = (self.pipeline_config is not None
                 and getattr(self.pipeline_config, "ti2v_task", False)
                 and batch.pil_image is not None)

@@ -170,6 +170,12 @@ def _register_builtin() -> None:
 
     from fastvideo_tpu.configs.pipelines import matrixgame3 as mg3_cfg
 
+    from fastvideo_tpu.configs.pipelines.matrixgame2 import (
+        MatrixGame2I2VConfig)
+
+    register_config(frag("matrix-game-2"), MatrixGame2I2VConfig,
+                    priority=13)
+    register_config(frag("matrixgame2"), MatrixGame2I2VConfig, priority=13)
     register_config(frag("matrix-game"), mg3_cfg.MatrixGame3I2V720PConfig,
                     mg3_cfg.MatrixGame3SamplingParam, priority=12)
     register_config(frag("matrixgame"), mg3_cfg.MatrixGame3I2V720PConfig,

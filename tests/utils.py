@@ -1951,6 +1951,71 @@ TINY_MG3_VAE = dict(base_dim=8, z_dim=4, dim_mult=[1, 2, 2],
                     scale_factor_temporal=4, scale_factor_spatial=4)
 
 
+def make_tiny_matrixgame2_checkpoint(root: str, seed: int = 0) -> str:
+    """Tiny Matrix-Game 2.0 I2V checkpoint (CLIP image cond, no text)."""
+    import json as _json
+
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.encoders.clip import (
+        CLIPVisionArchConfig)
+    from fastvideo_tpu.models.dits.matrixgame2 import (MatrixGame2ArchConfig,
+                                                       MatrixGame2WanModel)
+    from fastvideo_tpu.models.encoders.clip import CLIPVisionModel
+
+    make_tiny_wan_checkpoint(root, seed=seed)
+    # no text stream: drop the text encoder/tokenizer dirs
+    import shutil
+    shutil.rmtree(os.path.join(root, "text_encoder"), ignore_errors=True)
+    with open(os.path.join(root, "model_index.json"), "w") as fh:
+        _json.dump({
+            "_class_name": "MatrixGame2I2VPipeline",
+            "_diffusers_version": "0.33.0",
+            "scheduler": ["diffusers", "UniPCMultistepScheduler"],
+            "transformer": ["diffusers", "MatrixGame2WanModel"],
+            "vae": ["diffusers", "AutoencoderKLWan"],
+            "image_encoder": ["transformers",
+                              "CLIPVisionModelWithProjection"],
+        }, fh)
+
+    # align the action module's temporal fold with the tiny VAE (tr=2)
+    action = dict(TINY_MG3_ACTION, keyboard_dim_in=4, img_hidden_size=48,
+                  vae_time_compression_ratio=TINY_VAE[
+                      "scale_factor_temporal"], windows_size=2)
+    # i2v channel concat: z(4) + mask(tr=2) + cond(4) = 10
+    dit_cfg = dict(num_attention_heads=2, attention_head_dim=24,
+                   in_channels=10, out_channels=4, text_dim=32,
+                   freq_dim=32, ffn_dim=64, num_layers=2,
+                   patch_size=[1, 2, 2],
+                   qk_norm="rms_norm_across_heads", cross_attn_norm=True,
+                   eps=1e-6, use_memory=False, sigma_theta=0.0,
+                   image_dim=TINY_CLIP["hidden_size"],
+                   action_config=action)
+    tdir = os.path.join(root, "transformer")
+    with open(os.path.join(tdir, "config.json"), "w") as fh:
+        _json.dump({"_class_name": "MatrixGame2WanModel", **dit_cfg}, fh)
+    arch = MatrixGame2ArchConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in dit_cfg.items() if k != "action_config"
+    }, action_config=action)
+    dit = MatrixGame2WanModel(arch, param_dtype=jnp.float32,
+                              rngs=nnx.Rngs(seed))
+    _save_safetensors(os.path.join(tdir,
+                                   "diffusion_pytorch_model.safetensors"),
+                      _export_torch_layout(dit))
+
+    idir = os.path.join(root, "image_encoder")
+    os.makedirs(idir, exist_ok=True)
+    _json.dump({"architectures": ["CLIPVisionModelWithProjection"],
+                **TINY_CLIP}, open(os.path.join(idir, "config.json"), "w"))
+    clip = CLIPVisionModel(CLIPVisionArchConfig(**TINY_CLIP),
+                           param_dtype=jnp.float32, rngs=nnx.Rngs(seed + 5))
+    _save_safetensors(os.path.join(idir, "model.safetensors"),
+                      _export_torch_layout(clip))
+    return root
+
+
 def make_tiny_matrixgame3_checkpoint(root: str, seed: int = 0) -> str:
     """Tiny random-weight Matrix-Game 3.0 checkpoint (4x temporal VAE)."""
     import jax.numpy as jnp
