@@ -220,6 +220,14 @@ _ENCODER_REGISTRY: dict[str, tuple[str, str, str]] = {
     "LTX2GemmaTextEncoderModel":
     ("fastvideo_tpu.models.encoders.ltx2_gemma", "LTX2GemmaTextEncoderModel",
      "fastvideo_tpu.models.encoders.ltx2_gemma:LTX2GemmaArchConfig"),
+    "Qwen2_5_VLForConditionalGenerationSimple":
+    ("fastvideo_tpu.models.encoders.qwen2_5_vl",
+     "Qwen25VLForConditionalGeneration",
+     "fastvideo_tpu.models.encoders.qwen2_5_vl:Qwen25VLArchConfig"),
+    "Qwen25VLForConditionalGeneration":
+    ("fastvideo_tpu.models.encoders.qwen2_5_vl",
+     "Qwen25VLForConditionalGeneration",
+     "fastvideo_tpu.models.encoders.qwen2_5_vl:Qwen25VLArchConfig"),
     "LingBotVideoQwen3VLTextModel":
     ("fastvideo_tpu.models.encoders.lingbot_video",
      "LingBotVideoQwen3VLTextModel",
