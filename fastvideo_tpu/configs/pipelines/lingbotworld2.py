@@ -15,3 +15,11 @@ class LingBotWorld2CausalFastI2V480PConfig(WanT2V480PConfig):
     dit_config: LingBotWorld2CausalFastVideoConfig = dataclasses.field(
         default_factory=LingBotWorld2CausalFastVideoConfig)
     flow_shift: float | None = 10.0
+
+    def __post_init__(self) -> None:
+        # the released checkpoint ships the OFFICIAL Wan VAE key layout
+        from fastvideo_tpu.configs.models.vaes.wan import (
+            OfficialWanVAEConfig, WanVAEConfig)
+
+        if type(self.vae_config) is WanVAEConfig:
+            self.vae_config = OfficialWanVAEConfig()

@@ -73,7 +73,7 @@ def main(argv: list[str] | None = None) -> int:
         raise SystemExit("data.path is required to run training")
     logger.info("Starting %s training (%d steps)", cfg.method,
                 method.args.max_train_steps)
-    method.train(dataloader)
+    method.train(dataloader, callbacks=cfg.callbacks or None)
     return 0
 
 

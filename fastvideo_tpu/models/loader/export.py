@@ -19,7 +19,12 @@ import numpy as np
 def save_safetensors(path: str, tensors: dict[str, np.ndarray]) -> None:
     from safetensors.numpy import save_file
 
-    save_file(tensors, path)
+    # this safetensors build silently serialises the BASE buffer of
+    # non-contiguous arrays (transposed conv/linear exports) instead of
+    # raising — force contiguity or the file holds un-transposed data
+    # under the transposed shape
+    save_file({k: np.ascontiguousarray(v) for k, v in tensors.items()},
+              path)
 
 
 def export_torch_layout(model) -> dict[str, np.ndarray]:

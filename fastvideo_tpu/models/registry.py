@@ -125,6 +125,15 @@ _VAE_REGISTRY: dict[str, tuple[str, str, str]] = {
     "AutoencoderKLHunyuanVideo":
     ("fastvideo_tpu.models.vaes.hunyuan", "AutoencoderKLHunyuanVideo",
      "fastvideo_tpu.models.vaes.hunyuan:HunyuanVAEArchConfig"),
+    # GameCraft ships the original Hunyuan causal-3D VAE under its
+    # upstream class name (reference vaes/gamecraftvae.py:243-249)
+    "AutoencoderKLCausal3D":
+    ("fastvideo_tpu.models.vaes.hunyuan", "AutoencoderKLHunyuanVideo",
+     "fastvideo_tpu.models.vaes.hunyuan:HunyuanVAEArchConfig"),
+    # LingBot-World 2 wraps the standard Wan2.1 VAE with official keys
+    "LingBotWorld2WanVAE":
+    ("fastvideo_tpu.models.vaes.wan", "AutoencoderKLWan",
+     "fastvideo_tpu.configs.models.vaes.wan:WanVAEArchConfig"),
     "AutoencoderKL":
     ("fastvideo_tpu.models.vaes.autoencoder_kl", "AutoencoderKL",
      "fastvideo_tpu.models.vaes.autoencoder_kl:AutoencoderKLArchConfig"),
