@@ -163,6 +163,57 @@ class CausalWanTransformerBlock(WanTransformerBlock):
         return hidden_states.astype(orig_dtype), kv_cache
 
 
+def _masked_block_forward(block: "CausalWanTransformerBlock",
+                          hidden_states: Array,
+                          encoder_hidden_states: Array, temb: Array,
+                          freqs_cis, chunk_tokens: int,
+                          tf_clean_len: int) -> Array:
+    """Full-sequence block forward under a structural flash mask.
+
+    ``temb`` is per-token [B, S, 6, C] (inhomogeneous timesteps). The
+    blockwise-causal / teacher-forcing mask is computed inside the flash
+    kernel from static chunk geometry (no [S, S] bias ever materializes —
+    the reference gets the same from flex-attention block masks,
+    causal_wanvideo.py:436-565).
+    """
+    from fastvideo_tpu.ops.flash_attention import flash_attention
+
+    orig_dtype = hidden_states.dtype
+    b = hidden_states.shape[0]
+    n, d = block.num_heads, block.dim // block.num_heads
+
+    e = block.scale_shift_table.value[None] + temb.astype(jnp.float32)
+    mods = [e[:, :, i] for i in range(6)]  # each [B, S, C]
+    shift_msa, scale_msa, gate_msa, c_shift, c_scale, c_gate = mods
+
+    norm_hidden = block.norm1._norm_f32(hidden_states)
+    norm_hidden = (norm_hidden * (1.0 + scale_msa) + shift_msa).astype(
+        orig_dtype)
+    q = block.norm_q(block.to_q(norm_hidden)).reshape(b, -1, n, d)
+    k = block.norm_k(block.to_k(norm_hidden)).reshape(b, -1, n, d)
+    v = block.to_v(norm_hidden).reshape(b, -1, n, d)
+    cos, sin = freqs_cis
+    q = apply_rotary_emb(q, cos, sin)
+    k = apply_rotary_emb(k, cos, sin)
+    attn_out = flash_attention(q, k, v, scale=d**-0.5,
+                               chunk_tokens=chunk_tokens,
+                               tf_clean_len=tf_clean_len)
+    attn_out = block.to_out(attn_out.reshape(b, -1, block.dim))
+
+    zero = jnp.zeros((), jnp.float32)
+    norm_hidden, hidden_states = block.self_attn_residual_norm(
+        hidden_states, attn_out, gate_msa, zero, zero)
+
+    attn_out = block.attn2(norm_hidden, encoder_hidden_states)
+    one = jnp.ones((), jnp.float32)
+    norm_hidden, hidden_states = block.cross_attn_residual_norm(
+        hidden_states, attn_out, one, c_shift, c_scale)
+
+    ff = block.ffn(norm_hidden)
+    hidden_states = block.mlp_residual(hidden_states, ff, c_gate)
+    return hidden_states.astype(orig_dtype)
+
+
 class CausalWanTransformer3DModel(WanTransformer3DModel):
     """Block-autoregressive Wan (reference causal_wanvideo.py:369-860)."""
 
@@ -251,6 +302,95 @@ class CausalWanTransformer3DModel(WanTransformer3DModel):
 
         return unpatchify(x, gt, gh, gw, cfg.patch_size,
                           cfg.out_channels), new_caches
+
+    # -- full-sequence training forward -------------------------------------
+
+    def train_forward(self, hidden_states: Array,
+                      encoder_hidden_states: Array, timestep: Array,
+                      clean_x: Array | None = None,
+                      aug_t: Array | None = None) -> Array:
+        """Blockwise-causal full-sequence forward for diffusion-forcing /
+        teacher-forcing training (reference causal_wanvideo.py:684-830).
+
+        hidden_states [B, C, T, H, W]; ``timestep`` [B, gt] per latent
+        frame (inhomogeneous). With ``clean_x`` the sequence becomes
+        ``[clean | noisy]`` under the teacher-forcing mask and only the
+        noisy half's prediction is returned; ``aug_t`` [B, gt] optionally
+        noise-augments the clean context timesteps (default zeros).
+        """
+        cfg = self.config
+        b, c, t, h, w = hidden_states.shape
+        pt, ph, pw = cfg.patch_size
+        gt, gh, gw = t // pt, h // ph, w // pw
+        fs = gh * gw
+        seq_len = gt * fs
+        if timestep.ndim != 2 or timestep.shape[1] != gt:
+            raise ValueError(
+                f"timestep must be [B, {gt}] per latent frame, got "
+                f"{timestep.shape}")
+        chunk_tokens = cfg.num_frames_per_block * fs
+
+        cos, sin = get_rotary_pos_embed_wan((gt, gh, gw),
+                                            cfg.attention_head_dim,
+                                            cfg.rope_theta)
+        x = self.patch_embedding(hidden_states)  # [B, S, C]
+
+        ts_tok = jnp.repeat(timestep.astype(jnp.float32), fs, axis=1)
+        temb, timestep_proj, ctx, _ = self.condition_embedder(
+            ts_tok.reshape(-1), encoder_hidden_states, None, seq_len)
+        timestep_proj = timestep_proj.reshape(b, seq_len, 6, -1)
+        ctx = ctx.astype(x.dtype)
+
+        tf_clean_len = 0
+        if clean_x is not None:
+            tf_clean_len = seq_len
+            clean_tokens = self.patch_embedding(clean_x)
+            if aug_t is None:
+                aug_t = jnp.zeros_like(timestep)
+            aug_tok = jnp.repeat(aug_t.astype(jnp.float32), fs, axis=1)
+            _, proj_clean, _, _ = self.condition_embedder(
+                aug_tok.reshape(-1), encoder_hidden_states, None, seq_len)
+            proj_clean = proj_clean.reshape(b, seq_len, 6, -1)
+            # Clean frame i and noisy frame i share a rope position
+            # (causal_wanvideo.py:774-786).
+            x = jnp.concatenate([clean_tokens, x], axis=1)
+            timestep_proj = jnp.concatenate([proj_clean, timestep_proj],
+                                            axis=1)
+            cos = jnp.concatenate([cos, cos], axis=0)
+            sin = jnp.concatenate([sin, sin], axis=0)
+
+        freqs_cis = (cos, sin)
+        from flax import nnx as _nnx
+
+        graphdef, _ = _nnx.split(self.blocks[0])
+        states = [_nnx.split(blk)[1] for blk in self.blocks]
+        stacked = jax.tree.map(lambda *leaves: jnp.stack(leaves), *states)
+
+        def body(carry, layer_state):
+            blk = _nnx.merge(graphdef, layer_state)
+
+            def run(x_):
+                return _masked_block_forward(blk, x_, ctx, timestep_proj,
+                                             freqs_cis, chunk_tokens,
+                                             tf_clean_len)
+
+            fn = jax.checkpoint(run) if self.gradient_checkpointing else run
+            return fn(carry), None
+
+        x, _ = jax.lax.scan(body, x, stacked)
+
+        if clean_x is not None:
+            x = x[:, seq_len:]
+
+        # per-token output modulation from the NOISY timesteps
+        e = (self.scale_shift_table.value[None] +
+             temb.reshape(b, seq_len, -1).astype(jnp.float32)[:, :, None])
+        shift, scale = e[:, :, 0], e[:, :, 1]
+        x = self.norm_out(x, shift, scale)
+        x = self.proj_out(x)
+        from fastvideo_tpu.layers.embeddings import unpatchify
+
+        return unpatchify(x, gt, gh, gw, cfg.patch_size, cfg.out_channels)
 
 
 EntryClass = CausalWanTransformer3DModel

@@ -32,7 +32,8 @@ Array = jax.Array
 
 
 def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, kt: int, bh: int, w_out: int,
-                 fuse_rms_silu: bool, gamma_ref=None, mode: str = "tap"):
+                 fuse_rms_silu: bool, gamma_ref=None, mode: str = "tap",
+                 accw_ref=None):
     """One (t, h-tile) output block: KT*3*3 tap matmuls from VMEM.
 
     x_ref: [kt, bh+2, w_out+2, C] overlapping input window
@@ -40,6 +41,11 @@ def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, kt: int, bh: int, w_out: int,
 
     mode: how taps map onto MXU contractions
       - "tap":   kt*9 matmuls with K=C
+      - "nb":    kt*3 matmuls with K=C, N=3*round_up(Co,128): the three dw
+                 taps ride the N dimension of one dot (each padded to a lane
+                 tile so the epilogue slices are 128-aligned), and the W
+                 shift-add happens once on the fp32 accumulator. Fewer,
+                 wider dots than "tap" for the same MXU ceiling.
       - "dw":    kt*3 matmuls with K=3C (dw folded via channel concat)
       - "dhw":   kt matmuls with K=9C
       - "full":  1 matmul with K=kt*9*C
@@ -53,6 +59,32 @@ def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, kt: int, bh: int, w_out: int,
         inv = (c**0.5) * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
         xn = (xf * inv * gamma_ref[...].astype(jnp.float32)).astype(x.dtype)
         x = xn * jax.nn.sigmoid(xn.astype(jnp.float32)).astype(x.dtype)
+    if mode == "nb":
+        # w_ref: [kt, 3, C, 3*co_pad] with block dw at cols
+        # [dw*co_pad, dw*co_pad+co) and zero elsewhere. The fp32 N-batched
+        # accumulator lives in an explicit VMEM scratch (acc_ref) — as an
+        # SSA value it lands on Mosaic's stack and blows the scoped-vmem
+        # limit at decoder shapes.
+        wp = x.shape[2]  # w_out + 2
+        co_pad = w_ref.shape[-1] // 3
+        first = True
+        for dt in range(kt):
+            for dh in range(3):
+                xs = x[dt, dh:dh + bh].reshape(bh * wp, c)
+                d = jnp.dot(xs, w_ref[dt, dh],
+                            preferred_element_type=jnp.float32)
+                if first:
+                    accw_ref[...] = d
+                    first = False
+                else:
+                    accw_ref[...] += d
+        y = accw_ref[...].reshape(bh, wp, 3 * co_pad)
+        acc = (y[:, 0:w_out, 0:co] +
+               y[:, 1:w_out + 1, co_pad:co_pad + co] +
+               y[:, 2:w_out + 2, 2 * co_pad:2 * co_pad + co])
+        acc = acc + b_ref[0].astype(jnp.float32)
+        o_ref[0] = acc.astype(o_ref.dtype)
+        return
     rows = bh * w_out
     acc = jnp.zeros((rows, co), jnp.float32)
     if mode == "tap":
@@ -91,15 +123,22 @@ def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, kt: int, bh: int, w_out: int,
     o_ref[0] = acc.reshape(bh, w_out, co).astype(o_ref.dtype)
 
 
-def _pick_bh(h: int, w: int, c: int, kt: int) -> int:
+def _pick_bh(h: int, w: int, c: int, kt: int, mode: str = "tap",
+             co: int = 0) -> int:
     """Largest h-tile whose double-buffered window fits a VMEM budget."""
-    budget = 6 * 1024 * 1024
-    for bh in (16, 8, 4, 2, 1):
+    budget = 11 * 1024 * 1024  # of ~16 MB/core
+    co = co or c
+    co_pad = -(-co // 128) * 128
+    for bh in (16, 12, 8, 6, 4, 2, 1):
         if h % bh:
             continue
         win = kt * (bh + 2) * (w + 2) * c * 2 * 2  # bf16, double-buffered
-        acc = bh * w * c * 4 * 2
-        if win + acc < budget:
+        if mode == "nb":
+            acc = bh * (w + 2) * 3 * co_pad * 4  # fp32 N-batched accumulator
+        else:
+            acc = bh * w * co * 4
+        out = bh * w * co * 2 * 2
+        if win + acc + out < budget:
             return bh
     return 1
 
@@ -115,11 +154,17 @@ def _conv3d_pallas(x: Array, w: Array, b: Array, gamma: Array | None, *,
     tp, hp, wp, c = x.shape
     t_out, h, w_out = tp - kt + 1, hp - 2, wp - 2
     co = w.shape[-1]
-    bh = bh_override or _pick_bh(h, w_out, c, kt)
+    bh = bh_override or _pick_bh(h, w_out, c, kt, mode, co)
     grid = (t_out, h // bh)
+    if mode == "nb":
+        # Repack [kt,3,3,C,Co] -> [kt,3,C,3*co_pad]: dw tap blocks side by
+        # side on N, each padded to a 128-lane tile so the epilogue's
+        # channel-block slices are lane-aligned (no in-kernel relayouts).
+        co_pad = -(-co // 128) * 128
+        wn = jnp.pad(w.transpose(0, 1, 3, 4, 2),  # [kt,3,C,Co,dw]
+                     ((0, 0), (0, 0), (0, 0), (0, co_pad - co), (0, 0)))
+        w = wn.transpose(0, 1, 2, 4, 3).reshape(kt, 3, c, 3 * co_pad)
 
-    kernel = functools.partial(_conv_kernel, kt=kt, bh=bh, w_out=w_out,
-                               fuse_rms_silu=fuse_rms_silu, mode=mode)
     in_specs = [
         pl.BlockSpec(
             (Element(kt), Element(bh + 2), Element(wp), Element(c)),
@@ -133,10 +178,21 @@ def _conv3d_pallas(x: Array, w: Array, b: Array, gamma: Array | None, *,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(gamma.reshape(1, c))
 
-        def kernel(x_ref, w_ref, b_ref, g_ref, o_ref):  # noqa: F811
-            _conv_kernel(x_ref, w_ref, b_ref, o_ref, kt=kt, bh=bh,
-                         w_out=w_out, fuse_rms_silu=True, gamma_ref=g_ref,
-                         mode=mode)
+    scratch_shapes = []
+    if mode == "nb":
+        co_pad = w.shape[-1] // 3
+        scratch_shapes.append(
+            pltpu.VMEM((bh * wp, 3 * co_pad), jnp.float32))
+
+    def kernel(*refs):
+        x_ref, w_ref, b_ref = refs[:3]
+        rest = list(refs[3:])
+        g_ref = rest.pop(0) if fuse_rms_silu else None
+        o_ref = rest.pop(0)
+        accw_ref = rest.pop(0) if mode == "nb" else None
+        _conv_kernel(x_ref, w_ref, b_ref, o_ref, kt=kt, bh=bh, w_out=w_out,
+                     fuse_rms_silu=fuse_rms_silu, gamma_ref=g_ref,
+                     mode=mode, accw_ref=accw_ref)
 
     flops = 2 * t_out * h * w_out * c * co * kt * 9
     return pl.pallas_call(
@@ -147,6 +203,7 @@ def _conv3d_pallas(x: Array, w: Array, b: Array, gamma: Array | None, *,
                                lambda t, i: (t, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_out, h, w_out, co), out_dtype),
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=x.size * x.dtype.itemsize * 2,

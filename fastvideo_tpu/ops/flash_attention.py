@@ -36,10 +36,65 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _MIN_LANE = 128
 
 
+def _mask_tile(mask, qi: int, kj: int, block_q: int, block_kv: int,
+               causal: bool, chunk_tokens: int, tf_clean_len: int):
+    """Combine the structural mask for one (q, kv) tile onto ``mask``.
+
+    chunk_tokens > 0 switches causal to chunk granularity (blockwise-causal
+    attention of the causal Wan student, reference
+    causal_wanvideo.py:436-502); tf_clean_len > 0 additionally applies the
+    teacher-forcing ``[clean | noisy]`` mask (causal_wanvideo.py:504-565):
+    clean tokens are chunk-causal among themselves, a noisy token attends
+    its own noisy chunk plus the clean context of strictly previous chunks.
+    """
+    shape = (block_q, block_kv)
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + kj * block_kv
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + qi * block_q
+    if tf_clean_len > 0:
+        ct = chunk_tokens
+        s_len = tf_clean_len
+        q_clean = row < s_len
+        cq_noisy = (row - s_len) // ct
+        clean_ok = q_clean & (col < s_len) & (col // ct <= row // ct)
+        noisy_own = (col >= s_len) & ((col - s_len) // ct == cq_noisy)
+        noisy_ctx = (col < s_len) & (col // ct < cq_noisy)
+        noisy_ok = (~q_clean) & (noisy_own | noisy_ctx)
+        return mask & (clean_ok | noisy_ok)
+    if chunk_tokens > 0:
+        return mask & (col // chunk_tokens <= row // chunk_tokens)
+    if causal:
+        return mask & (col <= row)
+    return mask
+
+
+def _tile_reachable(qi, kj, block_q: int, block_kv: int, causal: bool,
+                    chunk_tokens: int, tf_clean_len: int):
+    """Predicate: this kv tile has any unmasked element for this q tile."""
+    if tf_clean_len > 0:
+        # Noisy rows reach forward only within their own chunk, whose end
+        # is bounded by chunk_end of the last row; clean rows reach
+        # backwards only. A tile is reachable iff its first col is below
+        # the last row's chunk end (in its own half).
+        ct = chunk_tokens
+        row_max = (qi + 1) * block_q - 1
+        s_len = tf_clean_len
+        # last row may be clean or noisy; bound both halves
+        noisy_end = s_len + (jnp.maximum(row_max - s_len, 0) // ct + 1) * ct
+        clean_end = (row_max // ct + 1) * ct
+        return kj * block_kv < jnp.maximum(noisy_end, clean_end)
+    if chunk_tokens > 0:
+        row_max = (qi + 1) * block_q - 1
+        return kj * block_kv < (row_max // chunk_tokens + 1) * chunk_tokens
+    if causal:
+        return kj * block_kv <= (qi + 1) * block_q - 1
+    return None
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
                 acc_ref, *,
                 scale: float, causal: bool, q_valid: int, kv_valid: int,
-                block_q: int, block_kv: int, num_kv_blocks: int):
+                block_q: int, block_kv: int, num_kv_blocks: int,
+                chunk_tokens: int = 0, tf_clean_len: int = 0):
     qi = pl.program_id(2)
     kj = pl.program_id(3)
 
@@ -56,18 +111,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
                                 preferred_element_type=jnp.float32)
         s *= scale
 
-        # Tail / causal masking.
+        # Tail / causal / structural masking.
         need_kv_mask = kv_valid % block_kv != 0 or kv_valid != pl.num_programs(
             3) * block_kv
-        if causal or need_kv_mask:
+        if causal or chunk_tokens or tf_clean_len or need_kv_mask:
             col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv),
                                            1) + kj * block_kv
             mask = col < kv_valid
-            if causal:
-                row = jax.lax.broadcasted_iota(jnp.int32,
-                                               (block_q, block_kv),
-                                               0) + qi * block_q
-                mask = jnp.logical_and(mask, col <= row)
+            mask = _mask_tile(mask, qi, kj, block_q, block_kv, causal,
+                              chunk_tokens, tf_clean_len)
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_ref[...]  # [block_q, 128]
@@ -85,9 +137,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
                          preferred_element_type=jnp.float32)
         acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
 
-    if causal:
-        # Skip KV tiles strictly above the causal diagonal.
-        @pl.when(kj * block_kv <= (qi + 1) * block_q - 1)
+    reach = _tile_reachable(qi, kj, block_q, block_kv, causal, chunk_tokens,
+                            tf_clean_len)
+    if reach is not None:
+        # Skip KV tiles with no unmasked element.
+        @pl.when(reach)
         def _run():
             _body()
     else:
@@ -114,10 +168,12 @@ def _pad_to(x: Array, size: int, axis: int) -> Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "causal", "block_q", "block_kv", "kv_valid"))
+    static_argnames=("scale", "causal", "block_q", "block_kv", "kv_valid",
+                     "chunk_tokens", "tf_clean_len"))
 def _flash_attention_fwd_bhsd(q: Array, k: Array, v: Array, *, scale: float,
                               causal: bool, block_q: int, block_kv: int,
-                              kv_valid: int) -> Array:
+                              kv_valid: int, chunk_tokens: int = 0,
+                              tf_clean_len: int = 0) -> Array:
     b, h, sq, d = q.shape
     skv = k.shape[2]
     q_pad = math.ceil(sq / block_q) * block_q
@@ -137,6 +193,8 @@ def _flash_attention_fwd_bhsd(q: Array, k: Array, v: Array, *, scale: float,
         block_q=block_q,
         block_kv=block_kv,
         num_kv_blocks=num_kv_blocks,
+        chunk_tokens=chunk_tokens,
+        tf_clean_len=tf_clean_len,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -192,28 +250,36 @@ def _reference_attention(q: Array, k: Array, v: Array, scale: float,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(3, 4, 5, 6, 7))
+                   nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _flash_attention_bhsd(q, k, v, scale, causal, block_q, block_kv,
-                          kv_valid):
+                          kv_valid, chunk_tokens=0, tf_clean_len=0):
     out, _ = _flash_attention_fwd_bhsd(q, k, v, scale=scale, causal=causal,
                                        block_q=block_q, block_kv=block_kv,
-                                       kv_valid=kv_valid)
+                                       kv_valid=kv_valid,
+                                       chunk_tokens=chunk_tokens,
+                                       tf_clean_len=tf_clean_len)
     return out
 
 
-def _vjp_fwd(q, k, v, scale, causal, block_q, block_kv, kv_valid):
+def _vjp_fwd(q, k, v, scale, causal, block_q, block_kv, kv_valid,
+             chunk_tokens=0, tf_clean_len=0):
     out, lse = _flash_attention_fwd_bhsd(q, k, v, scale=scale,
                                          causal=causal, block_q=block_q,
                                          block_kv=block_kv,
-                                         kv_valid=kv_valid)
+                                         kv_valid=kv_valid,
+                                         chunk_tokens=chunk_tokens,
+                                         tf_clean_len=tf_clean_len)
     return out, (q, k, v, out, lse)
 
 
-def _vjp_bwd(scale, causal, block_q, block_kv, kv_valid, res, g):
+def _vjp_bwd(scale, causal, block_q, block_kv, kv_valid, chunk_tokens,
+             tf_clean_len, res, g):
     q, k, v, out, lse = res
     return _flash_attention_bwd_bhsd(q, k, v, out, lse, g, scale=scale,
                                      causal=causal, block_q=block_q,
-                                     block_kv=block_kv, kv_valid=kv_valid)
+                                     block_kv=block_kv, kv_valid=kv_valid,
+                                     chunk_tokens=chunk_tokens,
+                                     tf_clean_len=tf_clean_len)
 
 
 _flash_attention_bhsd.defvjp(_vjp_fwd, _vjp_bwd)
@@ -224,7 +290,8 @@ _flash_attention_bhsd.defvjp(_vjp_fwd, _vjp_bwd)
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    dq_acc, *, scale: float, causal: bool, kv_valid: int,
-                   block_q: int, block_kv: int, num_kv_blocks: int):
+                   block_q: int, block_kv: int, num_kv_blocks: int,
+                   chunk_tokens: int = 0, tf_clean_len: int = 0):
     qi = pl.program_id(2)
     kj = pl.program_id(3)
 
@@ -243,10 +310,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                                 preferred_element_type=jnp.float32) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kj * block_kv
         mask = col < kv_valid
-        if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, s.shape,
-                                           0) + qi * block_q
-            mask = jnp.logical_and(mask, col <= row)
+        mask = _mask_tile(mask, qi, kj, block_q, block_kv, causal,
+                          chunk_tokens, tf_clean_len)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -254,8 +319,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         dq_acc[...] += jax.lax.dot(ds.astype(k.dtype), k,
                                    preferred_element_type=jnp.float32)
 
-    if causal:
-        @pl.when(kj * block_kv <= (qi + 1) * block_q - 1)
+    reach = _tile_reachable(qi, kj, block_q, block_kv, causal, chunk_tokens,
+                            tf_clean_len)
+    if reach is not None:
+        @pl.when(reach)
         def _run():
             _body()
     else:
@@ -269,7 +336,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
                     dv_ref, dk_acc, dv_acc, *, scale: float, causal: bool,
                     kv_valid: int, block_q: int, block_kv: int,
-                    num_q_blocks: int):
+                    num_q_blocks: int, chunk_tokens: int = 0,
+                    tf_clean_len: int = 0):
     kj = pl.program_id(2)
     qi = pl.program_id(3)
 
@@ -289,10 +357,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
                                 preferred_element_type=jnp.float32) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kj * block_kv
         mask = col < kv_valid
-        if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, s.shape,
-                                           0) + qi * block_q
-            mask = jnp.logical_and(mask, col <= row)
+        mask = _mask_tile(mask, qi, kj, block_q, block_kv, causal,
+                          chunk_tokens, tf_clean_len)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         # dv += p^T dO ; dk += ds^T q
         dv_acc[...] += jax.lax.dot_general(
@@ -305,8 +371,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    if causal:
-        @pl.when((qi + 1) * block_q - 1 >= kj * block_kv)
+    reach = _tile_reachable(qi, kj, block_q, block_kv, causal, chunk_tokens,
+                            tf_clean_len)
+    if reach is not None:
+        @pl.when(reach)
         def _run():
             _body()
     else:
@@ -320,9 +388,11 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "causal", "block_q", "block_kv", "kv_valid"))
+    static_argnames=("scale", "causal", "block_q", "block_kv", "kv_valid",
+                     "chunk_tokens", "tf_clean_len"))
 def _flash_attention_bwd_bhsd(q, k, v, out, lse, do, *, scale, causal,
-                              block_q, block_kv, kv_valid):
+                              block_q, block_kv, kv_valid, chunk_tokens=0,
+                              tf_clean_len=0):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     q_pad = math.ceil(sq / block_q) * block_q
@@ -343,7 +413,9 @@ def _flash_attention_bwd_bhsd(q, k, v, out, lse, do, *, scale, causal,
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
                           kv_valid=kv_valid, block_q=block_q,
-                          block_kv=block_kv, num_kv_blocks=num_kv_blocks),
+                          block_kv=block_kv, num_kv_blocks=num_kv_blocks,
+                          chunk_tokens=chunk_tokens,
+                          tf_clean_len=tf_clean_len),
         interpret=_use_interpret(),
         out_shape=jax.ShapeDtypeStruct((b, h, q_pad, d), q.dtype),
         grid=(b, h, num_q_blocks, num_kv_blocks),
@@ -368,7 +440,9 @@ def _flash_attention_bwd_bhsd(q, k, v, out, lse, do, *, scale, causal,
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
                           kv_valid=kv_valid, block_q=block_q,
-                          block_kv=block_kv, num_q_blocks=num_q_blocks),
+                          block_kv=block_kv, num_q_blocks=num_q_blocks,
+                          chunk_tokens=chunk_tokens,
+                          tf_clean_len=tf_clean_len),
         interpret=_use_interpret(),
         out_shape=(jax.ShapeDtypeStruct((b, h, kv_pad, d), k.dtype),
                    jax.ShapeDtypeStruct((b, h, kv_pad, d), v.dtype)),
@@ -407,12 +481,18 @@ def flash_attention(
     block_q: int = 512,
     block_kv: int = 1024,
     kv_valid: int | None = None,
+    chunk_tokens: int = 0,
+    tf_clean_len: int = 0,
 ) -> Array:
     """Flash attention over ``[B, S, H, D]`` tensors (returns same layout).
 
     Args:
       kv_valid: number of real (unpadded) KV tokens; keys at index >= this
         are masked out. Defaults to the full KV length.
+      chunk_tokens: > 0 applies blockwise-causal masking at this chunk
+        granularity (tokens per causal block) instead of token-level causal.
+      tf_clean_len: > 0 applies the teacher-forcing ``[clean | noisy]`` mask
+        (requires chunk_tokens; sequence length must be 2 * tf_clean_len).
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
@@ -426,5 +506,6 @@ def flash_attention(
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     out = _flash_attention_bhsd(qt, kt, vt, float(scale), causal, block_q,
-                                block_kv, int(kv_valid))
+                                block_kv, int(kv_valid), int(chunk_tokens),
+                                int(tf_clean_len))
     return out.transpose(0, 2, 1, 3)

@@ -108,10 +108,13 @@ class TrainingPipeline:
 
     # -- the jitted step ---------------------------------------------------
 
-    def _build_train_step(self):
+    def _make_loss_fn(self):
+        """Return ``loss_fn(params, latents, embeds, key) -> scalar``.
+
+        Subclasses override this to change the training objective while
+        reusing the jitted accumulate/clip/update scaffold."""
         args = self.args
         graphdef = self.graphdef
-        tx = self.tx
         num_train = self.scheduler.num_train_timesteps
         sched_sigmas = jnp.asarray(np.asarray(self.scheduler.sigmas))
         sched_ts = jnp.asarray(np.asarray(self.scheduler.timesteps))
@@ -141,6 +144,13 @@ class TrainingPipeline:
             return jnp.mean(
                 jnp.square(pred.astype(jnp.float32) -
                            target.astype(jnp.float32)))
+
+        return loss_fn
+
+    def _build_train_step(self):
+        args = self.args
+        tx = self.tx
+        loss_fn = self._make_loss_fn()
 
         def train_step(params, opt_state, rng, latents, embeds):
             # latents/embeds: [accum, B, ...] microbatches

@@ -59,8 +59,19 @@ def main():
 
         f_xla = jax.jit(lambda x, w, b: ref_conv(x, w, b, tp))
         timeit(f_xla, x, wk, b, flops=flops, name="  xla conv3d")
-        f_pal = jax.jit(lambda x, w, b: conv3d_ndhwc(x, w, b, time_pad=tp))
-        timeit(f_pal, x, wk, b, flops=flops, name="  pallas conv3d")
+        for mode, bh in (("tap", None), ("nb", None), ("nb", 2), ("nb", 4)):
+            try:
+                o_pal = conv3d_ndhwc(xs, wk, b, time_pad=tp, mode=mode,
+                                     bh_override=bh)
+                err = float(jnp.max(jnp.abs(o_pal.astype(jnp.float32)
+                                            - o_ref)))
+                f_pal = jax.jit(lambda x, w, b: conv3d_ndhwc(
+                    x, w, b, time_pad=tp, mode=mode, bh_override=bh))
+                timeit(f_pal, x, wk, b, flops=flops,
+                       name=f"  pallas {mode} bh={bh} err={err:.4f}")
+            except Exception as e:
+                print(f"  pallas {mode} bh={bh}: FAIL "
+                      f"{type(e).__name__} {str(e)[:90]}")
 
     # fused rms+silu+conv vs unfused pair
     t, h, w_, c = 16, 480, 832, 96

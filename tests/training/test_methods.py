@@ -147,16 +147,27 @@ method_config:
     par.destroy_mesh()
 
 
-def test_dfsft_method_trains(ckpt, parquet_dir, tmp_path):
+@pytest.fixture(scope="module")
+def causal_ckpt(tmp_path_factory):
+    root = tmp_path_factory.mktemp("wan_tiny_causal")
+    return make_tiny_wan_checkpoint(
+        str(root / "CausalWan-tiny-Diffusers"), causal=True)
+
+
+@pytest.mark.parametrize("method_name", ["dfsft", "tfsft"])
+def test_diffusion_forcing_methods_train(causal_ckpt, parquet_dir, tmp_path,
+                                         method_name):
+    """dfsft/tfsft: per-chunk inhomogeneous timesteps on the causal student
+    (reference train/methods/fine_tuning/{dfsft,tfsft}.py)."""
     import fastvideo_tpu.parallel as par
     from fastvideo_tpu.entrypoints.cli.train import (build_from_config,
                                                      load_train_config)
 
-    cfg_path = tmp_path / "dfsft.yaml"
+    cfg_path = tmp_path / f"{method_name}.yaml"
     cfg_path.write_text(f"""
-method: dfsft
+method: {method_name}
 model:
-  pretrained_model_path: {ckpt}
+  pretrained_model_path: {causal_ckpt}
   dit_precision: fp32
 data:
   path: {parquet_dir}
@@ -166,11 +177,41 @@ training:
   max_train_steps: 2
   num_gpus: 1
 method_config:
-  sample_steps: [1000, 522]
+  chunk_size: 2
+  min_timestep_ratio: 0.2
+  max_timestep_ratio: 0.9
 """)
     par.destroy_mesh()
     cfg = load_train_config(str(cfg_path))
     method, dataloader = build_from_config(cfg)
     method.train(dataloader, max_steps=2)
     assert method.pipeline.state.step == 2
+    par.destroy_mesh()
+
+
+def test_dfsft_rejects_chunk_mismatch(causal_ckpt, parquet_dir, tmp_path):
+    import fastvideo_tpu.parallel as par
+    from fastvideo_tpu.entrypoints.cli.train import (build_from_config,
+                                                     load_train_config)
+
+    cfg_path = tmp_path / "bad.yaml"
+    cfg_path.write_text(f"""
+method: dfsft
+model:
+  pretrained_model_path: {causal_ckpt}
+  dit_precision: fp32
+data:
+  path: {parquet_dir}
+  batch_size: 1
+training:
+  learning_rate: 0.001
+  max_train_steps: 1
+  num_gpus: 1
+method_config:
+  chunk_size: 3
+""")
+    par.destroy_mesh()
+    cfg = load_train_config(str(cfg_path))
+    with pytest.raises(ValueError, match="num_frames_per_block"):
+        build_from_config(cfg)
     par.destroy_mesh()

@@ -74,14 +74,20 @@ def _make_tiny_wan_v2v_variant(root: str, seed: int, class_name: str,
     return root
 
 
-def make_tiny_wan_checkpoint(root: str, seed: int = 0) -> str:
-    """Write a tiny random-weight Wan T2V checkpoint (diffusers layout)."""
+def make_tiny_wan_checkpoint(root: str, seed: int = 0,
+                             causal: bool = False) -> str:
+    """Write a tiny random-weight Wan T2V checkpoint (diffusers layout).
+
+    With ``causal=True`` the transformer is a CausalWanTransformer3DModel
+    (block-autoregressive student for dfsft/tfsft/self-forcing)."""
     import jax.numpy as jnp
     from flax import nnx
 
     from fastvideo_tpu.configs.models.dits.wan import WanArchConfig
     from fastvideo_tpu.configs.models.encoders.t5 import T5ArchConfig
     from fastvideo_tpu.configs.models.vaes.wan import WanVAEArchConfig
+    from fastvideo_tpu.models.dits.causal_wan import (
+        CausalWanTransformer3DModel)
     from fastvideo_tpu.models.dits.wan import WanTransformer3DModel
     from fastvideo_tpu.models.encoders.t5 import T5EncoderModel
     from fastvideo_tpu.models.vaes.wan import AutoencoderKLWan
@@ -102,14 +108,18 @@ def make_tiny_wan_checkpoint(root: str, seed: int = 0) -> str:
     tdir = os.path.join(root, "transformer")
     os.makedirs(tdir, exist_ok=True)
     dit_cfg = {k: v for k, v in TINY_DIT.items()}
+    dit_cls = WanTransformer3DModel
+    if causal:
+        dit_cfg.update(num_frames_per_block=2, local_attn_size=-1,
+                       sink_size=0)
+        dit_cls = CausalWanTransformer3DModel
     with open(os.path.join(tdir, "config.json"), "w") as fh:
-        json.dump({"_class_name": "WanTransformer3DModel", **dit_cfg}, fh)
+        json.dump({"_class_name": dit_cls.__name__, **dit_cfg}, fh)
     arch = WanArchConfig(**{
         **{k: tuple(v) if isinstance(v, list) else v
            for k, v in dit_cfg.items()}
     })
-    dit = WanTransformer3DModel(arch, param_dtype=jnp.float32,
-                                rngs=nnx.Rngs(seed))
+    dit = dit_cls(arch, param_dtype=jnp.float32, rngs=nnx.Rngs(seed))
     _save_safetensors(os.path.join(tdir,
                                    "diffusion_pytorch_model.safetensors"),
                       _export_torch_layout(dit))
