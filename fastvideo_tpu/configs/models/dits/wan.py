@@ -22,6 +22,10 @@ WAN_PARAM_NAMES_MAPPING: dict[str, str] = {
     r"condition_embedder.time_embedder.mlp.fc_in.\1",
     r"^condition_embedder\.time_embedder\.linear_2\.(.*)$":
     r"condition_embedder.time_embedder.mlp.fc_out.\1",
+    r"^condition_embedder\.delta_embedder\.linear_1\.(.*)$":
+    r"condition_embedder.delta_embedder.mlp.fc_in.\1",
+    r"^condition_embedder\.delta_embedder\.linear_2\.(.*)$":
+    r"condition_embedder.delta_embedder.mlp.fc_out.\1",
     r"^condition_embedder\.time_proj\.(.*)$":
     r"condition_embedder.time_modulation.linear.\1",
     r"^condition_embedder\.image_embedder\.ff\.net\.0\.proj\.(.*)$":
@@ -83,6 +87,13 @@ class WanArchConfig(DiTArchConfig):
     local_attn_size: int = -1
     sink_size: int = 0
     num_frames_per_block: int = 3
+    # AnyFlow dual-timestep (t, r) conditioning: a second copy of the time
+    # embedder whose output is fused into temb (reference
+    # models/dits/wanvideo.py:64-137 r_embedder*).
+    r_embedder: bool = False
+    r_embedder_fusion: str = "additive"  # or "gated"
+    r_embedder_gate_value: float = 0.25
+    r_embedder_deltatime_type: str = "r"  # or "t-r"
 
     @property
     def hidden_size(self) -> int:

@@ -62,10 +62,28 @@ class WanTimeTextImageEmbedding(nnx.Module):
 
     def __init__(self, dim: int, time_freq_dim: int, text_embed_dim: int,
                  image_embed_dim: int | None = None, *,
+                 r_embedder: bool = False, r_embedder_fusion: str = "additive",
+                 r_embedder_gate_value: float = 0.25,
+                 r_embedder_deltatime_type: str = "r",
                  param_dtype: jnp.dtype, rngs: nnx.Rngs):
         self.time_embedder = TimestepEmbedder(
             dim, frequency_embedding_size=time_freq_dim, act_layer="silu",
             param_dtype=param_dtype, rngs=rngs)
+        # AnyFlow dual-timestep branch (reference wanvideo.py:92-137):
+        # a second TimestepEmbedder whose output is fused into temb by a
+        # non-learned gate, additively or as a convex blend.
+        if r_embedder:
+            if r_embedder_fusion not in ("additive", "gated"):
+                raise ValueError(f"bad r_embedder_fusion {r_embedder_fusion}")
+            if r_embedder_deltatime_type not in ("r", "t-r"):
+                raise ValueError(
+                    f"bad r_embedder_deltatime_type {r_embedder_deltatime_type}")
+        self.delta_embedder = (TimestepEmbedder(
+            dim, frequency_embedding_size=time_freq_dim, act_layer="silu",
+            param_dtype=param_dtype, rngs=rngs) if r_embedder else None)
+        self.r_fusion = r_embedder_fusion
+        self.r_gate = float(r_embedder_gate_value)
+        self.r_deltatime_type = r_embedder_deltatime_type
         self.time_modulation = ModulateProjection(
             dim, factor=6, act_layer="silu", param_dtype=param_dtype,
             rngs=rngs)
@@ -80,8 +98,17 @@ class WanTimeTextImageEmbedding(nnx.Module):
 
     def __call__(self, timestep: Array, encoder_hidden_states: Array,
                  encoder_hidden_states_image: Array | None = None,
-                 timestep_seq_len: int | None = None):
+                 timestep_seq_len: int | None = None,
+                 r_timestep: Array | None = None):
         temb = self.time_embedder(timestep, timestep_seq_len)
+        if self.delta_embedder is not None and r_timestep is not None:
+            delta_input = (r_timestep if self.r_deltatime_type == "r"
+                           else timestep - r_timestep)
+            delta_emb = self.delta_embedder(delta_input, timestep_seq_len)
+            if self.r_fusion == "gated":
+                temb = (1.0 - self.r_gate) * temb + self.r_gate * delta_emb
+            else:
+                temb = temb + self.r_gate * delta_emb
         timestep_proj = self.time_modulation(temb)
         if self.text_embedder is not None:
             encoder_hidden_states = self.text_embedder(encoder_hidden_states)
@@ -307,6 +334,14 @@ class WanTransformer3DModel(nnx.Module):
                                             rngs=rngs)
         self.condition_embedder = WanTimeTextImageEmbedding(
             inner_dim, config.freq_dim, config.text_dim, config.image_dim,
+            r_embedder=getattr(config, "r_embedder", False),
+            r_embedder_fusion=getattr(config, "r_embedder_fusion",
+                                      "additive"),
+            r_embedder_gate_value=getattr(config, "r_embedder_gate_value",
+                                          0.25),
+            r_embedder_deltatime_type=getattr(config,
+                                              "r_embedder_deltatime_type",
+                                              "r"),
             param_dtype=param_dtype, rngs=rngs)
         from fastvideo_tpu.attention.selector import resolve_backend_name
 
@@ -382,8 +417,12 @@ class WanTransformer3DModel(nnx.Module):
         timestep: Array,
         encoder_hidden_states_image: Array | None = None,
         start_frame: int = 0,
+        r_timestep: Array | None = None,
     ) -> Array:
-        """hidden_states [B, C, T, H, W]; timestep [B] or [B, S] fp32."""
+        """hidden_states [B, C, T, H, W]; timestep [B] or [B, S] fp32.
+
+        ``r_timestep`` [B]: AnyFlow flow-map target time — only consumed
+        when the arch config enables ``r_embedder``."""
         cfg = self.config
         b, c, t, h, w = hidden_states.shape
         pt, ph, pw = cfg.patch_size
@@ -427,7 +466,8 @@ class WanTransformer3DModel(nnx.Module):
 
         temb, timestep_proj, encoder_hidden_states, enc_image = (
             self.condition_embedder(timestep, encoder_hidden_states,
-                                    encoder_hidden_states_image, ts_seq_len))
+                                    encoder_hidden_states_image, ts_seq_len,
+                                    r_timestep=r_timestep))
         if ts_seq_len is not None:
             # [B, S, 6, C]
             timestep_proj = timestep_proj.reshape(

@@ -49,13 +49,24 @@ def load_model_component(component_dir: str, *,
                          param_names_mapping: dict[str, str] | None = None,
                          model_config=None,
                          extra_init_kwargs: dict | None = None,
-                         strict: bool = True):
-    """Generic diffusers-format component loader (transformer/vae/encoder)."""
+                         strict: bool = True,
+                         arch_overrides: dict[str, Any] | None = None):
+    """Generic diffusers-format component loader (transformer/vae/encoder).
+
+    ``arch_overrides``: arch-config attributes forced after the HF config is
+    applied (e.g. ``{"r_embedder": True}`` to grow the AnyFlow dual-timestep
+    branch on a checkpoint that predates it).
+    """
     hf_config = load_json_config(os.path.join(component_dir, "config.json"))
     class_name = hf_config.get("_class_name") or hf_config.get(
         "architectures", ["?"])[0]
     model_cls, arch_cls = resolve_model_cls(class_name)
     arch = _build_arch_config(arch_cls, hf_config)
+    for k, v in (arch_overrides or {}).items():
+        if not hasattr(arch, k):
+            raise ValueError(f"arch_overrides: {arch_cls.__name__} has no "
+                             f"field {k!r}")
+        setattr(arch, k, v)
     if model_config is not None:
         # propagate checkpoint dims to the pipeline config so stages see
         # the real architecture (latent shape, text_len, ...).

@@ -126,7 +126,6 @@ def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, kt: int, bh: int, w_out: int,
 def _pick_bh(h: int, w: int, c: int, kt: int, mode: str = "tap",
              co: int = 0) -> int:
     """Largest h-tile whose double-buffered window fits a VMEM budget."""
-    budget = 11 * 1024 * 1024  # of ~16 MB/core
     co = co or c
     co_pad = -(-co // 128) * 128
     for bh in (16, 12, 8, 6, 4, 2, 1):
@@ -134,9 +133,15 @@ def _pick_bh(h: int, w: int, c: int, kt: int, mode: str = "tap",
             continue
         win = kt * (bh + 2) * (w + 2) * c * 2 * 2  # bf16, double-buffered
         if mode == "nb":
-            acc = bh * (w + 2) * 3 * co_pad * 4  # fp32 N-batched accumulator
+            # explicit VMEM scratch accumulator -> full scoped-vmem budget
+            budget = 11 * 1024 * 1024
+            acc = bh * (w + 2) * 3 * co_pad * 4
         else:
-            acc = bh * w * co * 4
+            # SSA fp32 accumulator lands on Mosaic's stack, which shares the
+            # 16 MB scoped limit with spills — stay conservative or the
+            # kernel dies with a scoped-vmem stack OOM at decoder shapes.
+            budget = 6 * 1024 * 1024
+            acc = bh * w * co * 4 * 2
         out = bh * w * co * 2 * 2
         if win + acc + out < budget:
             return bh

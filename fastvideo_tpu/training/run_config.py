@@ -68,7 +68,8 @@ def build_training_args(cfg: TrainRunConfig):
     return TrainingArgs(**cfg.training)
 
 
-def build_transformer(spec: ModelSpec):
+def build_transformer(spec: ModelSpec,
+                      arch_overrides: dict[str, Any] | None = None):
     """Load the DiT from a diffusers-format dir (transformer/ subdir)."""
     from fastvideo_tpu.models.loader.component_loader import (
         load_model_component)
@@ -81,7 +82,8 @@ def build_transformer(spec: ModelSpec):
             model_path=spec.pretrained_model_path).dit_config
     tdir = os.path.join(spec.pretrained_model_path, "transformer")
     return load_model_component(tdir, precision=spec.dit_precision,
-                                model_config=dit_config)
+                                model_config=dit_config,
+                                arch_overrides=arch_overrides)
 
 
 def build_dataloader(cfg: TrainRunConfig, training_args):

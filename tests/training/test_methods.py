@@ -215,3 +215,52 @@ method_config:
     with pytest.raises(ValueError, match="num_frames_per_block"):
         build_from_config(cfg)
     par.destroy_mesh()
+
+
+def test_anyflow_pretrain_method_trains(ckpt, parquet_dir, tmp_path):
+    """anyflow_pretrain: dual-timestep r_embedder trunk + central-difference
+    flow-map target (reference train/methods/distribution_matching/
+    anyflow_pretrain.py)."""
+    import jax
+    import numpy as np
+
+    import fastvideo_tpu.parallel as par
+    from fastvideo_tpu.entrypoints.cli.train import (build_from_config,
+                                                     load_train_config)
+
+    cfg_path = tmp_path / "afp.yaml"
+    cfg_path.write_text(f"""
+method: anyflow_pretrain
+model:
+  pretrained_model_path: {ckpt}
+  dit_precision: fp32
+data:
+  path: {parquet_dir}
+  batch_size: 2
+training:
+  learning_rate: 0.001
+  max_train_steps: 2
+  num_gpus: 1
+method_config:
+  diffusion_ratio: 0.5
+  consistency_ratio: 0.5
+  epsilon: 5.0
+  weight_type: beta08
+""")
+    par.destroy_mesh()
+    cfg = load_train_config(str(cfg_path))
+    method, dataloader = build_from_config(cfg)
+
+    # delta_embedder initialized as a copy of time_embedder (the tiny ckpt
+    # has no delta weights; reference wanvideo.py:102-104 deepcopy)
+    ce = method.pipeline.transformer.condition_embedder
+    t_w = np.asarray(ce.time_embedder.mlp.fc_in.kernel.value)
+    d_w = np.asarray(ce.delta_embedder.mlp.fc_in.kernel.value)
+    np.testing.assert_allclose(t_w, d_w)
+
+    before = np.asarray(jax.tree.leaves(method.pipeline.state.params)[0])
+    method.train(dataloader, max_steps=2)
+    assert method.pipeline.state.step == 2
+    after = np.asarray(jax.tree.leaves(method.pipeline.state.params)[0])
+    assert not np.allclose(before, after)
+    par.destroy_mesh()
