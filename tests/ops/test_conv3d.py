@@ -1,0 +1,71 @@
+"""Pallas conv3d kernel vs XLA 3D conv (interpret mode on CPU).
+
+Covers the causal-VAE hot-path shapes in miniature: kt in {1, 3}, both
+kernel modes the VAE can select, and the fused rmsnorm+silu prologue.
+Reference math: the causal Conv3d of
+/root/reference/fastvideo/models/vaes/wanvae.py:157-206.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastvideo_tpu.ops.conv3d import conv3d_ndhwc, supports
+
+
+def _ref_conv3d(x, w, b, time_pad, gamma=None):
+    if gamma is not None:
+        xf = x.astype(jnp.float32)
+        c = x.shape[-1]
+        sq = jnp.sum(jnp.square(xf), axis=-1, keepdims=True)
+        inv = (c**0.5) * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+        xn = xf * inv * gamma.astype(jnp.float32)
+        x = (xn * jax.nn.sigmoid(xn)).astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (time_pad, 0), (1, 1), (1, 1), (0, 0)))
+    o = jax.lax.conv_general_dilated(
+        xp.astype(jnp.float32), w.astype(jnp.float32),
+        window_strides=(1, 1, 1), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return o + b.astype(jnp.float32)
+
+
+@pytest.mark.parametrize("mode", ["tap", "dma"])
+@pytest.mark.parametrize("kt,fuse", [(3, False), (3, True), (1, False)])
+def test_conv3d_matches_xla(mode, kt, fuse):
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    t, h, w_, c, co = 4, 8, 16, 16, 24
+    x = jax.random.normal(k1, (1, t, h, w_, c), jnp.float32)
+    w = jax.random.normal(k2, (kt, 3, 3, c, co), jnp.float32) * 0.05
+    b = jax.random.normal(k3, (co,), jnp.float32) * 0.1
+    gamma = jax.random.normal(k4, (c,), jnp.float32) * 0.2 + 1.0 if fuse \
+        else None
+    tp = kt - 1
+
+    ref = _ref_conv3d(x, w, b, tp, gamma)
+    out = conv3d_ndhwc(x, w, b, time_pad=tp, gamma=gamma, mode=mode)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_conv3d_batched():
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (2, 3, 4, 8, 8), jnp.float32)
+    w = jax.random.normal(key, (3, 3, 3, 8, 8), jnp.float32) * 0.1
+    b = jnp.zeros((8,), jnp.float32)
+    ref = _ref_conv3d(x, w, b, 2)
+    out = conv3d_ndhwc(x, w, b, time_pad=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_supports_gate():
+    assert supports((3, 3, 3), (1, 1, 1), (2, 1, 1), 96, 96)
+    assert supports((1, 3, 3), (1, 1, 1), (0, 1, 1), 128, 96)
+    assert not supports((3, 3, 3), (2, 2, 2), (2, 1, 1), 96, 96)
+    assert not supports((3, 1, 1), (1, 1, 1), (2, 0, 0), 96, 96)
+    assert not supports((3, 3, 3), (1, 1, 1), (2, 1, 1), 12, 96)
