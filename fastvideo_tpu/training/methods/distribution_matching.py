@@ -1,7 +1,8 @@
 """Distribution-matching methods (reference train/methods/distribution_matching/).
 
-``dmd2`` (dmd2.py) and ``self_forcing`` (self_forcing.py) wrap the round-1
-three-role pipelines behind the plugin protocol.
+``dmd2`` (dmd2.py), ``self_forcing`` (self_forcing.py) and
+``streaming_long_tuning`` (streaming_long_tuning.py) wrap the three-role
+pipelines behind the plugin protocol.
 """
 
 from __future__ import annotations
@@ -63,3 +64,39 @@ class SelfForcingMethod(PipelineMethod):
         return cls(SelfForcingDistillationPipeline(
             generator, real_score, fake_score, targs, _dmd_config(cfg),
             denoise_steps=tuple(steps)))
+
+
+@register_method
+class StreamingLongTuningMethod(PipelineMethod):
+    """LongLive-style multi-stage streaming self-forcing.
+
+    Config keys (``method_config``):
+      - ``multi_phased_distill_schedule``: compact string
+        (``"700:21,3000:240"``) or list-of-dicts stage schedule
+      - ``streaming_chunk_size`` / ``num_latent_t`` defaults
+      - ``denoise_steps``: generator denoise timesteps
+    """
+
+    name = "streaming_long_tuning"
+
+    @classmethod
+    def from_config(cls, cfg: TrainRunConfig) -> "StreamingLongTuningMethod":
+        from fastvideo_tpu.training.streaming_long_pipeline import (
+            StreamingLongTuningPipeline, parse_multi_phased_distill_schedule)
+
+        targs = build_training_args(cfg)
+        generator = build_transformer(cfg.model)
+        real_score = build_transformer(cfg.model)
+        fake_score = build_transformer(cfg.model)
+        mc = cfg.method_config
+        steps = mc.get("denoise_steps", cfg.dmd.dmd_denoising_steps)
+        chunk = mc.get("streaming_chunk_size")
+        stages = parse_multi_phased_distill_schedule(
+            mc.get("multi_phased_distill_schedule"),
+            default_num_latent_t=int(mc.get("num_latent_t", 8)),
+            default_streaming_chunk_size=chunk,
+            default_streaming_max_length=mc.get("streaming_max_length"))
+        return cls(StreamingLongTuningPipeline(
+            generator, real_score, fake_score, targs, _dmd_config(cfg),
+            denoise_steps=tuple(steps), stages=stages,
+            default_chunk_size=chunk))
