@@ -27,6 +27,7 @@ _BUILTIN_MODULES = (
     "fastvideo_tpu.eval.suite.common",
     "fastvideo_tpu.eval.suite.optical_flow",
     "fastvideo_tpu.eval.suite.vbench",
+    "fastvideo_tpu.eval.suite.vbench_semantic",
     "fastvideo_tpu.eval.suite.audio",
     "fastvideo_tpu.eval.suite.physics_iq",
 )

@@ -1,0 +1,346 @@
+"""Semantic VBench dimensions (text-conditioned, CLIP-backed).
+
+Behavioral reference: /root/reference/fastvideo/eval/metrics/vbench/
+{overall_consistency, temporal_style, appearance_style, object_class,
+multiple_objects, color, scene, human_action, spatial_relationship,
+imaging_quality}. Scoring protocols (frame sampling, aggregation,
+auxiliary_info keys) match the reference; backbones deviate where the
+original requires downloads or CUDA-only deps (zero-egress policy,
+deviations documented per class):
+
+* ViCLIP (overall_consistency / temporal_style) -> the repo's JAX CLIP
+  dual tower, video feature = mean of 8 normalized frame embeddings.
+* GRiT dense captioning / detection (object_class, multiple_objects,
+  color, scene, spatial_relationship) -> CLIP zero-shot prompt
+  contrasts: an object counts as "detected" in a frame when
+  cos(frame, "a photo of a {object}") exceeds cos(frame, "a photo")
+  (specific beats generic); colors classify among VBench's 12 color
+  keywords; spatial relations score by orientation-swapped prompt
+  contrast (left<->right, top<->bottom) since CLIP has no boxes.
+* UMT action recognition (human_action) -> "a person {action}" zero-shot
+  contrast.
+* MUSIQ (imaging_quality) -> pyiqa-gated: runs the reference formula
+  when the optional ``pyiqa`` package is installed locally.
+
+All CLIP-backed dims gate on $FASTVIDEO_CLIPSCORE_WEIGHTS (a dir with
+text/ + vision/ + tokenizer/ components — same checkpoint the RL reward
+scorers use).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from fastvideo_tpu.eval.base import BaseMetric
+from fastvideo_tpu.eval.registry import register
+from fastvideo_tpu.eval.types import MetricResult
+
+_DUAL_ENV = "FASTVIDEO_CLIPSCORE_WEIGHTS"
+
+# reference vbench/color/metric.py:18-31
+COLOR_KEYWORDS = ["white", "red", "pink", "blue", "silver", "purple",
+                  "orange", "green", "gray", "yellow", "black", "grey"]
+
+_SWAP = {"left": "right", "right": "left", "top": "bottom",
+         "bottom": "top", "above": "below", "below": "above",
+         "under": "over", "over": "under"}
+
+
+class _DualTowerMixin:
+    """Shared lazily-constructed CLIP dual tower + frame sampling."""
+
+    weights_env = _DUAL_ENV
+    _tower = None
+
+    def setup(self) -> None:
+        if self._tower is None:
+            from fastvideo_tpu.models.clip_scoring import ClipDualTower
+
+            type(self)._tower = ClipDualTower.from_env(_DUAL_ENV)
+
+    def _frames(self, video: np.ndarray, max_frames: int = 16) -> np.ndarray:
+        video = np.asarray(video, np.float32)
+        idx = np.linspace(0, len(video) - 1,
+                          min(len(video), max_frames)).astype(int)
+        return self._tower.embed_frames_hwc(video[idx])
+
+    def _detected(self, frame_embs: np.ndarray, obj: str) -> np.ndarray:
+        """Per-frame zero-shot detection: specific prompt beats generic."""
+        te = self._tower.embed_text([f"a photo of a {obj}", "a photo"])
+        sims = frame_embs @ te.T  # [T, 2]
+        return sims[:, 0] > sims[:, 1]
+
+
+@register("vbench.overall_consistency")
+class OverallConsistencyMetric(_DualTowerMixin, BaseMetric):
+    """Video-text cosine (reference overall_consistency/metric.py:79-96;
+    ViCLIP -> mean-pooled CLIP frame features, deviation above)."""
+
+    requires_reference = False
+
+    def compute(self, sample: dict) -> MetricResult:
+        video = sample.get("video")
+        prompt = sample.get("text_prompt")
+        if video is None:
+            return self._skip("missing sample['video']")
+        if prompt is None:
+            return self._skip("missing text_prompt")
+        self.setup()
+        fe = self._frames(video, max_frames=8)
+        vid = fe.mean(axis=0)
+        vid = vid / (np.linalg.norm(vid) + 1e-8)
+        te = self._tower.embed_text([prompt])[0]
+        return MetricResult(name=self.name, score=float(vid @ te))
+
+
+@register("vbench.temporal_style")
+class TemporalStyleMetric(OverallConsistencyMetric):
+    """Same scoring as overall_consistency on style prompts
+    (reference temporal_style/metric.py:15-17)."""
+
+
+@register("vbench.appearance_style")
+class AppearanceStyleMetric(_DualTowerMixin, BaseMetric):
+    """Mean per-frame text-image cosine
+    (reference appearance_style/metric.py:63-94)."""
+
+    requires_reference = False
+
+    def compute(self, sample: dict) -> MetricResult:
+        video = sample.get("video")
+        aux = sample.get("auxiliary_info") or {}
+        prompt = aux.get("appearance_style") or sample.get("text_prompt")
+        if video is None:
+            return self._skip("missing sample['video']")
+        if prompt is None:
+            return self._skip("missing text_prompt")
+        self.setup()
+        fe = self._frames(video)
+        te = self._tower.embed_text([prompt])[0]
+        sims = fe @ te
+        return MetricResult(name=self.name, score=float(sims.mean()),
+                            details={"per_frame": sims.tolist()})
+
+
+@register("vbench.object_class")
+class ObjectClassMetric(_DualTowerMixin, BaseMetric):
+    """score = matching_frames / total_frames
+    (reference object_class/metric.py:38-71; GRiT -> zero-shot
+    detection deviation)."""
+
+    requires_reference = False
+
+    def compute(self, sample: dict) -> MetricResult:
+        video = sample.get("video")
+        aux = sample.get("auxiliary_info") or {}
+        if video is None:
+            return self._skip("missing sample['video']")
+        if "object" not in aux:
+            return self._skip("missing 'object' in auxiliary_info")
+        obj = aux["object"]
+        if " and " in obj:
+            return self._skip("'object' contains ' and ' (multi-object)")
+        self.setup()
+        fe = self._frames(video)
+        det = self._detected(fe, obj)
+        return MetricResult(name=self.name,
+                            score=float(det.mean()),
+                            details={"matching_frames": int(det.sum()),
+                                     "total_frames": int(det.size)})
+
+
+@register("vbench.multiple_objects")
+class MultipleObjectsMetric(_DualTowerMixin, BaseMetric):
+    """Both objects of 'A and B' detected per frame
+    (reference multiple_objects/metric.py:38-73)."""
+
+    requires_reference = False
+
+    def compute(self, sample: dict) -> MetricResult:
+        video = sample.get("video")
+        aux = sample.get("auxiliary_info") or {}
+        if video is None:
+            return self._skip("missing sample['video']")
+        if "object" not in aux or " and " not in str(aux["object"]):
+            return self._skip("auxiliary_info['object'] must be 'A and B'")
+        obj_a, obj_b = (s.strip() for s in aux["object"].split(" and ", 1))
+        self.setup()
+        fe = self._frames(video)
+        both = self._detected(fe, obj_a) & self._detected(fe, obj_b)
+        return MetricResult(name=self.name, score=float(both.mean()),
+                            details={"matching_frames": int(both.sum()),
+                                     "total_frames": int(both.size)})
+
+
+@register("vbench.color")
+class ColorMetric(_DualTowerMixin, BaseMetric):
+    """score = frames_with_correct_color / frames_with_object_detected
+    (reference color/metric.py:80-106; color classifies zero-shot among
+    VBench's 12 color keywords)."""
+
+    requires_reference = False
+
+    def compute(self, sample: dict) -> MetricResult:
+        video = sample.get("video")
+        aux = sample.get("auxiliary_info") or {}
+        if video is None:
+            return self._skip("missing sample['video']")
+        if "color" not in aux:
+            return self._skip("missing 'color' in auxiliary_info")
+        color = str(aux["color"]).strip()
+        prompt = sample.get("text_prompt") or ""
+        obj = (prompt.replace("a ", "").replace("an ", "")
+               .replace(color, "").strip()) or aux.get("object", "object")
+        self.setup()
+        fe = self._frames(video)
+        det = self._detected(fe, obj)
+        te = self._tower.embed_text(
+            [f"a {c} {obj}" for c in COLOR_KEYWORDS])
+        best = np.argmax(fe @ te.T, axis=-1)
+        correct = np.array([COLOR_KEYWORDS[b] == color for b in best])
+        n_det = int(det.sum())
+        n_correct = int((correct & det).sum())
+        return MetricResult(
+            name=self.name,
+            score=float(n_correct / n_det) if n_det else 0.0,
+            details={"object_detected": n_det, "color_correct": n_correct})
+
+
+@register("vbench.scene")
+class SceneMetric(_DualTowerMixin, BaseMetric):
+    """Scene match per frame (reference scene/metric.py; Tag2Text
+    captioning -> zero-shot contrast deviation)."""
+
+    requires_reference = False
+
+    def compute(self, sample: dict) -> MetricResult:
+        video = sample.get("video")
+        aux = sample.get("auxiliary_info") or {}
+        if video is None:
+            return self._skip("missing sample['video']")
+        if "scene" not in aux:
+            return self._skip("missing 'scene' in auxiliary_info")
+        self.setup()
+        fe = self._frames(video)
+        det = self._detected(fe, str(aux["scene"]))
+        return MetricResult(name=self.name, score=float(det.mean()),
+                            details={"matching_frames": int(det.sum())})
+
+
+@register("vbench.human_action")
+class HumanActionMetric(_DualTowerMixin, BaseMetric):
+    """Action recognized per frame (reference human_action/metric.py;
+    UMT Kinetics-400 classifier -> 'a person {action}' zero-shot
+    contrast deviation)."""
+
+    requires_reference = False
+
+    def compute(self, sample: dict) -> MetricResult:
+        video = sample.get("video")
+        aux = sample.get("auxiliary_info") or {}
+        if video is None:
+            return self._skip("missing sample['video']")
+        action = aux.get("human_action") or aux.get("action")
+        if not action:
+            return self._skip("missing 'human_action' in auxiliary_info")
+        self.setup()
+        fe = self._frames(video)
+        te = self._tower.embed_text([f"a person {action}", "a person"])
+        sims = fe @ te.T
+        det = sims[:, 0] > sims[:, 1]
+        return MetricResult(name=self.name, score=float(det.mean()),
+                            details={"matching_frames": int(det.sum())})
+
+
+@register("vbench.spatial_relationship")
+class SpatialRelationshipMetric(_DualTowerMixin, BaseMetric):
+    """Relation correctness (reference spatial_relationship/
+    metric.py:54-123; detection boxes -> orientation-swapped prompt
+    contrast deviation: frame scores 1.0 when the stated relation beats
+    the flipped one)."""
+
+    requires_reference = False
+
+    def compute(self, sample: dict) -> MetricResult:
+        video = sample.get("video")
+        aux = sample.get("auxiliary_info") or {}
+        if video is None:
+            return self._skip("missing sample['video']")
+        sp = aux.get("spatial_relationship")
+        if not isinstance(sp, dict):
+            return self._skip(
+                "missing 'spatial_relationship' in auxiliary_info")
+        try:
+            obj_a, obj_b = sp["object_a"], sp["object_b"]
+            relation = str(sp["relationship"])
+        except KeyError:
+            return self._skip("spatial_relationship missing "
+                              "object_a/object_b/relationship")
+        swapped = relation
+        for k, v in _SWAP.items():
+            if k in relation.split():
+                swapped = relation.replace(k, v)
+                break
+        self.setup()
+        fe = self._frames(video)
+        if swapped == relation:
+            # orientation-free relation ("next to"): both-present test
+            both = self._detected(fe, obj_a) & self._detected(fe, obj_b)
+            per_frame = both.astype(np.float64)
+        else:
+            te = self._tower.embed_text([
+                f"a {obj_a} {relation} a {obj_b}",
+                f"a {obj_a} {swapped} a {obj_b}",
+            ])
+            sims = fe @ te.T
+            per_frame = (sims[:, 0] > sims[:, 1]).astype(np.float64)
+        return MetricResult(name=self.name, score=float(per_frame.mean()),
+                            details={"per_frame": per_frame.tolist()})
+
+
+@register("vbench.imaging_quality")
+class ImagingQualityMetric(BaseMetric):
+    """MUSIQ-SPAQ mean frame score / 100 (reference imaging_quality/
+    metric.py:46-71). Runs only when the optional ``pyiqa`` package is
+    installed locally (dependency gate, not a download)."""
+
+    requires_reference = False
+    dependencies = ["pyiqa"]
+
+    def __init__(self) -> None:
+        self._model = None
+
+    def setup(self) -> None:
+        if self._model is None:
+            import pyiqa  # noqa: F401  (dependency-gated)
+            import torch
+
+            self._model = pyiqa.create_metric("musiq-spaq", device="cpu")
+            self._torch = torch
+
+    def compute(self, sample: dict) -> MetricResult:
+        video = sample.get("video")
+        if video is None:
+            return self._skip("missing sample['video']")
+        self.setup()
+        frames = np.asarray(video, np.float32).transpose(0, 3, 1, 2)
+        t, _, h, w = frames.shape
+        if max(h, w) > 512:
+            scale = 512.0 / max(h, w)
+            import torch.nn.functional as F
+
+            frames_t = self._torch.from_numpy(frames)
+            frames_t = F.interpolate(frames_t, scale_factor=scale,
+                                     mode="bilinear", align_corners=False)
+        else:
+            frames_t = self._torch.from_numpy(frames)
+        scores = []
+        for i in range(0, t, 32):
+            out = self._model(frames_t[i:i + 32])
+            scores.append(out.reshape(-1))
+        per_frame = self._torch.cat(scores)
+        return MetricResult(name=self.name,
+                            score=float(per_frame.mean()) / 100.0,
+                            details={"per_frame_raw": per_frame.tolist()})

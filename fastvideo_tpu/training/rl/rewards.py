@@ -71,71 +71,25 @@ class MultiRewardScorer:
 
 
 class _ClipDualTowerScorer:
-    """Text+vision CLIP similarity scorer over the repo's JAX CLIP stacks.
+    """Text+vision CLIP similarity scorer (models/clip_scoring.py tower).
 
-    Loads from a local diffusers/transformers-style dir with ``text``
-    and ``vision`` component subdirs (converted CLIPModel weights)."""
+    Loads from a local diffusers/transformers-style dir with ``text``,
+    ``vision`` and ``tokenizer`` component subdirs."""
 
     env_var = ""
     scale = 1.0
 
     def __init__(self, checkpoint: str | None = None):
-        checkpoint = checkpoint or os.getenv(self.env_var, "")
-        if not checkpoint or not os.path.exists(checkpoint):
-            raise FileNotFoundError(
-                f"{type(self).__name__} needs a local CLIP checkpoint dir "
-                f"(text/ + vision/ components); set {self.env_var}")
-        from fastvideo_tpu.models.loader.component_loader import (
-            load_model_component)
+        from fastvideo_tpu.models.clip_scoring import ClipDualTower
 
-        self.text = load_model_component(os.path.join(checkpoint, "text"))
-        self.vision = load_model_component(os.path.join(checkpoint,
-                                                        "vision"))
-        self.tokenizer = None
-        tok_dir = os.path.join(checkpoint, "tokenizer")
-        if os.path.exists(tok_dir):
-            from transformers import AutoTokenizer
-
-            self.tokenizer = AutoTokenizer.from_pretrained(tok_dir)
-
-    def _embed_text(self, prompts: Sequence[str]) -> np.ndarray:
-        import jax.numpy as jnp
-
-        if self.tokenizer is None:
-            raise RuntimeError("scorer checkpoint has no tokenizer/ dir")
-        toks = self.tokenizer(list(prompts), padding="max_length",
-                              truncation=True, max_length=77,
-                              return_tensors="np")
-        out = self.text(jnp.asarray(toks["input_ids"]))
-        emb = np.asarray(getattr(out, "pooler_output",
-                                 out.last_hidden_state[:, -1]))
-        return emb / np.linalg.norm(emb, axis=-1, keepdims=True)
-
-    def _embed_frames(self, frames: np.ndarray) -> np.ndarray:
-        import PIL.Image
-        import jax.numpy as jnp
-
-        from fastvideo_tpu.models.encoders.clip import preprocess_image
-
-        embs = []
-        for frame in frames:  # [C,H,W] in [0,1]
-            img = PIL.Image.fromarray(
-                (np.clip(frame.transpose(1, 2, 0), 0, 1) * 255).astype(
-                    np.uint8))
-            px = preprocess_image(img, self.vision.config)
-            out = self.vision(jnp.asarray(px))
-            pooled = getattr(out, "pooler_output", None)
-            if pooled is None:
-                pooled = out.last_hidden_state.mean(axis=1)
-            embs.append(np.asarray(pooled)[0])
-        emb = np.stack(embs)
-        return emb / np.linalg.norm(emb, axis=-1, keepdims=True)
+        self.tower = ClipDualTower(checkpoint or os.getenv(self.env_var, ""),
+                                   env_var=self.env_var)
 
     def __call__(self, media: np.ndarray,
                  prompts: Sequence[str]) -> np.ndarray:
         frames = select_first_frame(np.asarray(media, np.float32))
-        te = self._embed_text(prompts)
-        fe = self._embed_frames(frames)
+        te = self.tower.embed_text(prompts)
+        fe = self.tower.embed_frames_chw(frames)
         return np.sum(te * fe, axis=-1).astype(np.float32) * self.scale
 
 
