@@ -30,6 +30,7 @@ _BUILTIN_MODULES = (
     "fastvideo_tpu.eval.suite.vbench_semantic",
     "fastvideo_tpu.eval.suite.audio",
     "fastvideo_tpu.eval.suite.physics_iq",
+    "fastvideo_tpu.eval.suite.judge",
 )
 _loaded_builtins = False
 
