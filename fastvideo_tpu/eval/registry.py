@@ -31,6 +31,7 @@ _BUILTIN_MODULES = (
     "fastvideo_tpu.eval.suite.audio",
     "fastvideo_tpu.eval.suite.physics_iq",
     "fastvideo_tpu.eval.suite.judge",
+    "fastvideo_tpu.eval.suite.videoscore2",
 )
 _loaded_builtins = False
 
