@@ -29,6 +29,7 @@ _BUILTIN_MODULES = (
     "fastvideo_tpu.eval.suite.vbench",
     "fastvideo_tpu.eval.suite.vbench_semantic",
     "fastvideo_tpu.eval.suite.audio",
+    "fastvideo_tpu.eval.suite.audio_models",
     "fastvideo_tpu.eval.suite.physics_iq",
     "fastvideo_tpu.eval.suite.judge",
     "fastvideo_tpu.eval.suite.videoscore2",

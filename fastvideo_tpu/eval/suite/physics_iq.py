@@ -210,3 +210,9 @@ class PhysicsIQMetric(_PhysicsIQBase):
                                details["spatiotemporal_iou"],
                                details["weighted_spatial_iou"]]))
         return MetricResult(name=self.name, score=score, details=details)
+
+
+@register("physics_iq")
+class PhysicsIQAliasMetric(PhysicsIQMetric):
+    """Reference registry-name parity: the bare ``physics_iq`` selector
+    resolves to the combined score (reference registers both)."""
