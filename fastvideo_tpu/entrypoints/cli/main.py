@@ -220,6 +220,53 @@ def _cmd_dashboard(args: argparse.Namespace) -> int:
     return 0
 
 
+def _add_studio(sub: argparse._SubParsersAction) -> None:
+    """``fastvideo studio`` — training/inference job manager UI backend
+    (reference apps/fastvideo_studio/server.py:624)."""
+    p = sub.add_parser("studio", help="Serve the Studio job-manager API")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8234)
+    p.add_argument("--data-dir", default="studio_data")
+    p.set_defaults(func=_cmd_studio)
+
+
+def _cmd_studio(args: argparse.Namespace) -> int:
+    from fastvideo_tpu.apps.studio.server import StudioServer
+
+    logger.info("Studio on http://%s:%d", args.host, args.port)
+    StudioServer(args.data_dir, host=args.host,
+                 port=args.port).serve_forever()
+    return 0
+
+
+def _add_dreamverse(sub: argparse._SubParsersAction) -> None:
+    """``fastvideo dreamverse`` — interactive world-model streaming
+    backend (reference apps/dreamverse/dreamverse/main.py)."""
+    p = sub.add_parser("dreamverse",
+                       help="Serve the Dreamverse streaming backend")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8766)
+    p.add_argument("--worker", default="streaming",
+                   choices=["mock", "streaming"])
+    p.add_argument("--slots", type=int, default=1)
+    p.set_defaults(func=_cmd_dreamverse)
+
+
+def _cmd_dreamverse(args: argparse.Namespace) -> int:
+    from fastvideo_tpu.apps.dreamverse.config import DreamverseConfig
+    from fastvideo_tpu.apps.dreamverse.server import (DreamverseServer,
+                                                      build_pool)
+
+    cfg = DreamverseConfig.from_env()
+    server = DreamverseServer(cfg, build_pool(cfg, args.worker,
+                                              args.slots),
+                              host=args.host, port=args.port)
+    logger.info("Dreamverse on ws://%s:%d (%s workers)", args.host,
+                args.port, args.worker)
+    server.run_forever()
+    return 0
+
+
 def _add_eval(sub: argparse._SubParsersAction) -> None:
     """``fastvideo eval run|list`` (reference entrypoints/cli/eval.py:96)."""
     p = sub.add_parser("eval", help="Evaluate generated videos")
@@ -341,6 +388,8 @@ def main(argv: list[str] | None = None) -> int:
     _add_eval(sub)
     _add_router_serve(sub)
     _add_dashboard(sub)
+    _add_studio(sub)
+    _add_dreamverse(sub)
     args = parser.parse_args(argv)
     return args.func(args)
 
