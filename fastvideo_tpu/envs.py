@@ -59,6 +59,11 @@ environment_flags: dict[str, Callable[[], Any]] = {
     # Watchdog timeout (seconds) for one engine iteration.
     "FASTVIDEO_ENGINE_ITERATION_TIMEOUT_S":
     lambda: int(os.getenv("FASTVIDEO_ENGINE_ITERATION_TIMEOUT_S", "600")),
+    # Snap request shapes to canonical buckets (bounds XLA compiles in
+    # serving; consumed by pipelines/stages/input_validation.py).
+    "FASTVIDEO_SHAPE_BUCKETS":
+    lambda: os.getenv("FASTVIDEO_SHAPE_BUCKETS", "0") in
+    ("1", "true", "True"),
     # Disable donation of latent buffers (debugging aid).
     "FASTVIDEO_DISABLE_DONATION":
     lambda: os.getenv("FASTVIDEO_DISABLE_DONATION", "0") == "1",

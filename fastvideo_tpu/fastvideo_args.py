@@ -60,6 +60,8 @@ class FastVideoArgs:
 
     # offload flags kept for API compat (mostly no-ops on HBM-resident TPU)
     dit_cpu_offload: bool = False
+    # snap request shapes to canonical buckets (serving compile control)
+    shape_bucketing: bool = False
     text_encoder_cpu_offload: bool = False
     vae_cpu_offload: bool = False
 
