@@ -180,6 +180,68 @@ def parse_enhance_response(content: str) -> str | None:
     return None
 
 
+class CausalLMProvider:
+    """Local-LM provider over :class:`fastvideo_tpu.models.lm.CausalLM`.
+
+    Zero-egress replacement for the reference's HTTP LLM providers: the
+    enhancer runs on-box on the repo's own decode runtime. Construct
+    from a live (lm, tokenizer) pair, or from a local checkpoint dir
+    via :meth:`from_checkpoint` (gated like every other local-weights
+    path)."""
+
+    def __init__(self, lm, tokenizer, max_new_tokens: int = 256,
+                 temperature: float = 0.0):
+        self.lm = lm
+        self.tokenizer = tokenizer
+        self.max_new_tokens = int(max_new_tokens)
+        self.temperature = float(temperature)
+
+    @classmethod
+    def from_checkpoint(cls, path: str | None = None,
+                        **kwargs) -> "CausalLMProvider":
+        import os
+
+        from fastvideo_tpu.models.lm import CausalLM
+        from fastvideo_tpu.models.loader.component_loader import (
+            load_model_component)
+
+        path = path or os.getenv("FASTVIDEO_ENHANCER_LM_WEIGHTS", "")
+        if not path or not os.path.exists(path):
+            raise FileNotFoundError(
+                "CausalLMProvider needs a local LM checkpoint dir "
+                "(trunk components + tokenizer/); set "
+                "FASTVIDEO_ENHANCER_LM_WEIGHTS")
+        from transformers import AutoTokenizer
+
+        trunk = load_model_component(os.path.join(path, "text_encoder"))
+        tokenizer = AutoTokenizer.from_pretrained(
+            os.path.join(path, "tokenizer"))
+        return cls(CausalLM(trunk, tie_word_embeddings=True), tokenizer,
+                   **kwargs)
+
+    def __call__(self, system_prompt: str, user_prompt: str,
+                 timeout_s: float) -> str:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        text = f"{system_prompt}\n\n{user_prompt}\n"
+        toks = self.tokenizer(text, return_tensors="np")
+        ids = jnp.asarray(toks["input_ids"])
+        mask = jnp.ones_like(ids)
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        res = self.lm.generate(ids, mask,
+                               max_new_tokens=self.max_new_tokens,
+                               eos_token_id=eos,
+                               temperature=self.temperature,
+                               key=jax.random.PRNGKey(0))
+        n = int(res.num_tokens[0])
+        out_ids = list(np.asarray(res.tokens)[0, :n])
+        if eos is not None and out_ids and out_ids[-1] == eos:
+            out_ids = out_ids[:-1]
+        return self.tokenizer.decode(out_ids, skip_special_tokens=True)
+
+
 class PromptEnhancer:
     """Staged-provider enhancer (reference :382-1006)."""
 

@@ -160,3 +160,49 @@ def test_session_controller_flow():
         s2.close()
     finally:
         pool.shutdown()
+
+
+def test_causal_lm_provider_with_tiny_lm():
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.apps.dreamverse.prompt_enhancer import (
+        CausalLMProvider, PromptEnhancer)
+    from fastvideo_tpu.models.encoders.llama import (LlamaArchConfig,
+                                                     LlamaEncoderModel)
+    from fastvideo_tpu.models.lm import CausalLM
+
+    class CharTok:
+        eos_token_id = 3
+
+        def __call__(self, text, return_tensors=None):
+            import numpy as np
+
+            ids = np.asarray([[min(ord(c) % 64, 63) for c in text[:16]]])
+            return {"input_ids": ids}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(65 + (int(i) % 26)) for i in ids)
+
+    cfg = LlamaArchConfig(vocab_size=64, hidden_size=16,
+                          intermediate_size=32, num_hidden_layers=1,
+                          num_attention_heads=2, num_key_value_heads=1)
+    trunk = LlamaEncoderModel(cfg, param_dtype=jnp.float32,
+                              rngs=nnx.Rngs(0))
+    provider = CausalLMProvider(
+        CausalLM(trunk, tie_word_embeddings=True), CharTok(),
+        max_new_tokens=4)
+    out = provider("system", "user prompt", 5.0)
+    assert isinstance(out, str) and len(out) <= 4
+
+    # wired through the enhancer: plain-text output counts as enhanced
+    enh = PromptEnhancer()
+    enh.add_provider("local", provider)
+    res = enh.enhance("a cat")
+    assert res.source == "local" and not res.fallback_used
+
+    # gating error without weights
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        CausalLMProvider.from_checkpoint("/nonexistent")
