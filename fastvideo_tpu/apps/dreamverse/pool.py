@@ -36,6 +36,8 @@ class CommandType(enum.Enum):
     USER_JOIN = "user_join"
     USER_STEP = "user_step"
     USER_LEAVE = "user_leave"
+    RELOAD_MODEL = "reload_model"
+    APPLY_LORA = "apply_lora"
 
 
 @dataclass
@@ -152,6 +154,24 @@ class DevicePool:
                     payload={"prompt": prompt, **kwargs},
                     user_id=user_id))
 
+    def reload_model(self, slot_id: int | None = None, **payload) -> None:
+        """Hot-swap the worker model on one slot or all slots
+        (reference CommandType.RELOAD_MODEL)."""
+        targets = [slot_id] if slot_id is not None else \
+            [s.slot_id for s in self.slots]
+        for sid in targets:
+            self._commands[sid].put(Command(CommandType.RELOAD_MODEL,
+                                            payload=payload))
+
+    def apply_lora(self, slot_id: int | None = None, **payload) -> None:
+        """Apply a LoRA adapter on one slot or all slots
+        (reference CommandType.APPLY_LORA)."""
+        targets = [slot_id] if slot_id is not None else \
+            [s.slot_id for s in self.slots]
+        for sid in targets:
+            self._commands[sid].put(Command(CommandType.APPLY_LORA,
+                                            payload=payload))
+
     def get_status(self) -> dict:
         """Reference :993-1040."""
         with self._lock:
@@ -204,6 +224,21 @@ class DevicePool:
             if cmd.type == CommandType.WARMUP:
                 if hasattr(worker, "warmup"):
                     worker.warmup()
+                continue
+            if cmd.type == CommandType.RELOAD_MODEL:
+                if hasattr(worker, "reload_model"):
+                    worker.reload_model(**(cmd.payload or {}))
+                else:
+                    worker = self._worker_factory()
+                    for uid in list(sessions):
+                        sessions[uid] = worker
+                continue
+            if cmd.type == CommandType.APPLY_LORA:
+                if hasattr(worker, "apply_lora"):
+                    worker.apply_lora(**(cmd.payload or {}))
+                else:
+                    logger.warning("slot %d worker has no apply_lora",
+                                   slot_id)
                 continue
             if cmd.type == CommandType.USER_STEP:
                 user_id = cmd.user_id

@@ -38,11 +38,12 @@ class SessionController:
                  config: DreamverseConfig | None = None,
                  enhancer: PromptEnhancer | None = None,
                  safety: PromptSafetyFilter | None = None,
-                 user_id: str | None = None):
+                 user_id: str | None = None, event_logger=None):
         self.pool = pool
         self.config = config or DreamverseConfig()
         self.enhancer = enhancer or PromptEnhancer()
         self.safety = safety or PromptSafetyFilter()
+        self.event_logger = event_logger
         self.user_id = user_id or f"user_{uuid.uuid4().hex[:8]}"
         self.created_at = time.time()
         self.segments_generated = 0
@@ -54,7 +55,15 @@ class SessionController:
         self.slot = pool.acquire(self.user_id)
         if self.slot is None:
             pool.unregister_stream_queue(self.user_id)
+            self._log("session_rejected", reason="no_capacity")
             raise SessionError("No capacity available — try again later")
+        self._log("session_start", slot_id=self.slot.slot_id)
+
+    def _log(self, event: str, **payload) -> None:
+        if self.event_logger is not None:
+            self.event_logger.write_event(event=event,
+                                          client_id=self.user_id,
+                                          payload=payload or None)
 
     # -- prompt pipeline -----------------------------------------------------
 
@@ -67,6 +76,7 @@ class SessionController:
             raise SessionError("Empty prompt")
         error = self.safety.get_prompt_safety_error(raw_prompt)
         if error is not None:
+            self._log("prompt_blocked")
             raise SessionError(error)
         sub = PromptSubmission(prompt_id=uuid.uuid4().hex[:8],
                                raw_prompt=raw_prompt,
@@ -79,6 +89,7 @@ class SessionController:
                             fallback_used=result.fallback_used)
         self._ready.put(ready)
         self._last_activity = time.time()
+        self._log("prompt_ready", source=ready.source)
         return ready
 
     def _auto_prompt(self) -> ReadyPrompt:
@@ -120,6 +131,8 @@ class SessionController:
             num_inference_steps=self.config.num_inference_steps)
         self.segments_generated += 1
         self._last_activity = time.time()
+        self._log("segment_advance", segment=self.segments_generated,
+                  source=ready.source)
         return ready
 
     # -- lifecycle -----------------------------------------------------------
@@ -148,5 +161,6 @@ class SessionController:
         if self._closed:
             return
         self._closed = True
+        self._log("session_end", segments=self.segments_generated)
         self.pool.release(self.user_id)
         self.pool.unregister_stream_queue(self.user_id)

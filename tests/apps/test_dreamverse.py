@@ -206,3 +206,71 @@ def test_causal_lm_provider_with_tiny_lm():
 
     with _pytest.raises(FileNotFoundError):
         CausalLMProvider.from_checkpoint("/nonexistent")
+
+
+def test_session_event_logger(tmp_path):
+    from fastvideo_tpu.apps.dreamverse import (DevicePool, DreamverseConfig,
+                                               SessionController)
+    from fastvideo_tpu.apps.dreamverse.session import SessionError
+    from fastvideo_tpu.apps.dreamverse.session_logger import (
+        SessionEventLogger)
+
+    log = SessionEventLogger(tmp_path)
+    pool = DevicePool(num_slots=1)
+    try:
+        sess = SessionController(pool, DreamverseConfig(), event_logger=log)
+        sess.submit_prompt("a dog")
+        with pytest.raises(SessionError):
+            sess.submit_prompt("nsfw")
+        sess.advance(wait_ms=100)
+        sess.close()
+        events = [e["event"] for e in log.read_events()]
+        assert events == ["session_start", "prompt_ready",
+                          "prompt_blocked", "segment_advance",
+                          "session_end"]
+        assert all(e["client_id"] == sess.user_id
+                   for e in log.read_events())
+    finally:
+        pool.shutdown()
+
+
+def test_pool_reload_and_lora_commands():
+    import threading
+
+    from fastvideo_tpu.apps.dreamverse import DevicePool
+
+    calls = []
+    built = []
+
+    class Worker:
+        def __init__(self):
+            built.append(1)
+            self.done = threading.Event()
+
+        def reset(self, **kw):
+            pass
+
+        def step(self, prompt, **kw):
+            return prompt.encode()
+
+        def reload_model(self, **kw):
+            calls.append(("reload", kw))
+            self.done.set()
+
+        def apply_lora(self, **kw):
+            calls.append(("lora", kw))
+            self.done.set()
+
+    pool = DevicePool(num_slots=1, worker_factory=Worker)
+    try:
+        q = pool.register_stream_queue("u")
+        pool.acquire("u")
+        pool.apply_lora(path="/lora/a", alpha=0.7)
+        pool.reload_model(model_path="/new")
+        # drain through a step to guarantee ordering
+        pool.submit_step("u", "ping")
+        assert q.get(timeout=5)  # MediaInit arrives after the commands ran
+        assert ("lora", {"path": "/lora/a", "alpha": 0.7}) in calls
+        assert ("reload", {"model_path": "/new"}) in calls
+    finally:
+        pool.shutdown()
