@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -123,6 +124,19 @@ class CausalConv3d(nnx.Module):
         w = self.weight.value.astype(x.dtype)
         kt, kh, kw = self.kernel_size
         st, sh, sw = self.stride
+        conv_mode = os.getenv("FASTVIDEO_VAE_CONV3D", "")
+        if conv_mode:
+            from fastvideo_tpu.ops import conv3d as conv3d_ops
+
+            if conv3d_ops.supports(self.kernel_size, self.stride,
+                                   (tp, ph, pw), x.shape[-1],
+                                   w.shape[-1]):
+                # Pallas conv3d path (ops/conv3d.py): the kernel does its
+                # own causal/spatial padding; mode picks the tap layout
+                # ("tap" | "dma" | "nb" | "dw" | "dhw").
+                return conv3d_ops.conv3d_ndhwc(
+                    x, w, self.bias.value.astype(x.dtype), time_pad=tp,
+                    mode=conv_mode)
         if (kh, kw) != (1, 1) and st == 1:
             # Temporal-tap decomposition into TRUE 2D NHWC convs with the
             # time dim folded into the conv batch. Measured 87.6 TF/s on
