@@ -151,6 +151,20 @@ def stream_fmp4(*, frames: list[np.ndarray] | np.ndarray, stream_id: str,
                             stdout=subprocess.PIPE,
                             stderr=subprocess.PIPE)
 
+    # Drain stderr concurrently: ffmpeg blocks once the (~64 KB) stderr
+    # pipe fills, which would wedge stdout before EOF and deadlock the
+    # reader loop below.
+    stderr_buf: list[bytes] = []
+
+    def _drain_stderr():
+        try:
+            stderr_buf.append(proc.stderr.read())
+        except Exception:
+            pass
+
+    errt = threading.Thread(target=_drain_stderr, daemon=True)
+    errt.start()
+
     def _write_frames():
         try:
             for frame in frames:
@@ -174,10 +188,11 @@ def stream_fmp4(*, frames: list[np.ndarray] | np.ndarray, stream_id: str,
         n += 1
     writer.join(timeout=10)
     rc = proc.wait()
+    errt.join(timeout=5)
     if audio_file is not None:
         os.unlink(audio_file.name)
     if rc != 0:
-        err = proc.stderr.read().decode(errors="replace")[:300]
+        err = b"".join(stderr_buf).decode(errors="replace")[:300]
         return False, f"ffmpeg exited {rc}: {err}"
     publish(StreamComplete(stream_id=stream_id, chunks=n))
     return True, None

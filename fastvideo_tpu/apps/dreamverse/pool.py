@@ -214,8 +214,12 @@ class DevicePool:
                 if worker is None:
                     worker = self._worker_factory()
             if cmd.type == CommandType.USER_JOIN:
+                first_user = not sessions
                 sessions[cmd.user_id] = worker
-                if hasattr(worker, "reset"):
+                # Only reset for the first user on the slot: with
+                # max_users_per_slot > 1 the worker is shared, and a reset
+                # here would silently restart an existing user's stream.
+                if first_user and hasattr(worker, "reset"):
                     worker.reset()
                 continue
             if cmd.type == CommandType.USER_LEAVE:

@@ -221,6 +221,35 @@ class CausalLMProvider:
 
     def __call__(self, system_prompt: str, user_prompt: str,
                  timeout_s: float) -> str:
+        # The decode is one jitted scan dispatch and cannot be cancelled
+        # mid-flight, but the CALLER's deadline is still honoured: run it
+        # on a worker thread and raise TimeoutError past the deadline so
+        # the staged enhancer falls back instead of hanging the session.
+        import threading
+
+        result: list[str] = []
+        error: list[BaseException] = []
+
+        def _decode():
+            try:
+                result.append(self._generate(system_prompt, user_prompt))
+            except BaseException as exc:  # surfaced to the caller below
+                error.append(exc)
+
+        # non-daemon: a timed-out decode finishes in the background (the
+        # dispatch can't be cancelled); killing it at interpreter exit
+        # mid-XLA aborts the process.
+        t = threading.Thread(target=_decode, daemon=False)
+        t.start()
+        t.join(timeout=max(0.1, float(timeout_s)))
+        if t.is_alive():
+            raise TimeoutError(
+                f"local LM enhance exceeded {timeout_s:.1f}s deadline")
+        if error:
+            raise error[0]
+        return result[0]
+
+    def _generate(self, system_prompt: str, user_prompt: str) -> str:
         import jax
         import jax.numpy as jnp
         import numpy as np

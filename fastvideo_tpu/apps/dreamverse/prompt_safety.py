@@ -16,6 +16,10 @@ import re
 from dataclasses import dataclass
 from functools import lru_cache
 
+from fastvideo_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
 _BLOCK_PATTERNS = [
     # minimal conservative fallback rules; the fasttext classifiers are
     # authoritative when installed
@@ -85,8 +89,16 @@ class PromptSafetyFilter:
         if self.classifier_path:
             try:
                 return self._classify_fasttext(prompt)
-            except ImportError:
-                pass  # fasttext not installed -> rule fallback
+            except Exception as exc:
+                # Any classifier failure (missing fasttext, corrupt .bin,
+                # predict error) degrades to the rule fallback instead of
+                # erroring every prompt in every session.
+                logger.warning(
+                    "fasttext safety classifier unavailable (%s); "
+                    "falling back to keyword rules", exc)
+                # lru_cache only caches successful loads — disable the
+                # classifier so a corrupt .bin isn't re-parsed per prompt.
+                self.classifier_path = ""
         for pat in _BLOCK_PATTERNS:
             if pat.search(prompt):
                 return _BLOCK_MESSAGE

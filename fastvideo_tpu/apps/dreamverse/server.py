@@ -135,7 +135,16 @@ class DreamverseServer:
                 mtype = msg.get("type")
                 try:
                     if mtype == "join":
-                        session = SessionController(self.pool, self.config)
+                        # Re-join on the same socket releases the previous
+                        # session first — otherwise its pool slot and
+                        # stream queue leak until restart.
+                        if session is not None:
+                            await asyncio.to_thread(session.close)
+                            session = None
+                        # Pool acquire + model reset block; keep the event
+                        # loop free for other connections' media relays.
+                        session = await asyncio.to_thread(
+                            SessionController, self.pool, self.config)
                         await ws.send(json.dumps({
                             "type": "joined", "user_id": session.user_id,
                             "slot_id": session.slot.slot_id}))
@@ -143,20 +152,23 @@ class DreamverseServer:
                         await ws.send(json.dumps({
                             "type": "error", "detail": "join first"}))
                     elif mtype == "prompt":
-                        ready = session.submit_prompt(
-                            msg.get("prompt", ""))
+                        # Safety classifier + staged enhancer (possibly an
+                        # on-box LM decode) run for seconds — off-loop.
+                        ready = await asyncio.to_thread(
+                            session.submit_prompt, msg.get("prompt", ""))
                         await ws.send(json.dumps({
                             "type": "prompt_ready", "prompt": ready.prompt,
                             "source": ready.source}))
                     elif mtype == "advance":
-                        ready = session.advance(
+                        ready = await asyncio.to_thread(
+                            session.advance,
                             wait_ms=int(msg.get("wait_ms", 10)))
                         await self._wait_segment(ws, session)
                     elif mtype == "snapshot":
                         await ws.send(json.dumps({
                             "type": "snapshot", **session.snapshot()}))
                     elif mtype == "leave":
-                        session.close()
+                        await asyncio.to_thread(session.close)
                         session = None
                         await ws.send(json.dumps({"type": "left"}))
                     else:
@@ -168,7 +180,7 @@ class DreamverseServer:
                                               "detail": str(exc)}))
         finally:
             if session is not None:
-                session.close()
+                await asyncio.to_thread(session.close)
 
     async def start(self):
         import websockets

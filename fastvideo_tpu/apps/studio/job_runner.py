@@ -307,7 +307,9 @@ class JobRunner:
         buf.write(f"loading {job.model_id}\n")
         gen = VideoGenerator.from_pretrained(job.model_id)
         buf.write("generating\n")
-        out_path = os.path.join(job.output_dir, "output.mp4")
+        # output_path is a DIRECTORY (file name comes from
+        # output_video_name) — the /video endpoint serves
+        # <output_dir>/output.mp4.
         gen.generate_video(
             cfg.get("prompt", ""),
             negative_prompt=cfg.get("negative_prompt"),
@@ -316,6 +318,7 @@ class JobRunner:
             width=int(cfg.get("width", 256)),
             num_frames=int(cfg.get("num_frames", 21)),
             seed=int(cfg.get("seed", 0)),
-            output_path=out_path)
-        buf.write(f"saved {out_path}\n")
+            output_path=job.output_dir,
+            output_video_name="output.mp4")
+        buf.write(f"saved {os.path.join(job.output_dir, 'output.mp4')}\n")
         return 0

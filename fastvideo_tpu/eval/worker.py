@@ -58,6 +58,10 @@ class EvalWorker:
         sample = dict(kwargs)
         for key in ("video", "reference"):
             val = sample.get(key)
+            if isinstance(val, Video) and isinstance(val.source, str):
+                # path-based metrics (e.g. judge.*) read {key}_path after
+                # the handle is replaced by its frame array below
+                sample.setdefault(f"{key}_path", val.source)
             if isinstance(val, Video) and val.frames is not None:
                 sample[key] = val.frames
                 if val.fps and "fps" not in sample:

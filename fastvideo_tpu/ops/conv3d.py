@@ -176,14 +176,15 @@ def _conv_kernel_dma(x_ref, w_ref, b_ref, o_ref, acc_ref, *, kt: int,
 
 
 def _pick_bh(h: int, w: int, c: int, kt: int, mode: str = "tap",
-             co: int = 0) -> int:
+             co: int = 0, itemsize: int = 2) -> int:
     """Largest h-tile whose double-buffered window fits a VMEM budget."""
     co = co or c
     co_pad = -(-co // 128) * 128
     for bh in (16, 12, 8, 6, 4, 2, 1):
         if h % bh:
             continue
-        win = kt * (bh + 2) * (w + 2) * c * 2 * 2  # bf16, double-buffered
+        # input window at the actual activation dtype, double-buffered
+        win = kt * (bh + 2) * (w + 2) * c * itemsize * 2
         if mode == "dma":
             # explicit fp32 scratch accumulator + per-dot SSA partials
             budget = 10 * 1024 * 1024
@@ -198,7 +199,7 @@ def _pick_bh(h: int, w: int, c: int, kt: int, mode: str = "tap",
             # kernel dies with a scoped-vmem stack OOM at decoder shapes.
             budget = 6 * 1024 * 1024
             acc = bh * w * co * 4 * 2
-        out = bh * w * co * 2 * 2
+        out = bh * w * co * itemsize * 2
         if win + acc + out < budget:
             return bh
     return 1
@@ -215,7 +216,8 @@ def _conv3d_pallas(x: Array, w: Array, b: Array, gamma: Array | None, *,
     tp, hp, wp, c = x.shape
     t_out, h, w_out = tp - kt + 1, hp - 2, wp - 2
     co = w.shape[-1]
-    bh = bh_override or _pick_bh(h, w_out, c, kt, mode, co)
+    bh = bh_override or _pick_bh(h, w_out, c, kt, mode, co,
+                                 itemsize=x.dtype.itemsize)
     if mode == "dma":
         # dw rides the innermost grid dim; the window's width shift is an
         # Element offset resolved by the DMA engine, so the kernel body is

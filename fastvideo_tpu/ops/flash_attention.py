@@ -494,6 +494,12 @@ def flash_attention(
       tf_clean_len: > 0 applies the teacher-forcing ``[clean | noisy]`` mask
         (requires chunk_tokens; sequence length must be 2 * tf_clean_len).
     """
+    if tf_clean_len > 0 and chunk_tokens <= 0:
+        # The TF mask divides token indices by chunk_tokens inside the
+        # kernel; a zero divisor is defined-garbage on TPU, not an error.
+        raise ValueError(
+            "tf_clean_len > 0 requires chunk_tokens > 0 (teacher-forcing "
+            "masks are chunk-granular)")
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     b, sq, h, d = q.shape

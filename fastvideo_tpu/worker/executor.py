@@ -46,10 +46,13 @@ def iteration_watchdog(what: str = "engine iteration"):
     start = time.monotonic()
 
     def _alarm() -> None:
-        fired.set()
+        # log BEFORE setting the event: the main thread emits its
+        # "eventually completed" line only once ``fired`` is set, so this
+        # order guarantees the exceeded line precedes it.
         logger.critical(
             "%s exceeded FASTVIDEO_ENGINE_ITERATION_TIMEOUT_S=%ds "
             "(thread stacks dumped to stderr)", what, timeout)
+        fired.set()
 
     watchdog = threading.Timer(timeout, _alarm)
     watchdog.daemon = True

@@ -192,7 +192,9 @@ def test_causal_lm_provider_with_tiny_lm():
     provider = CausalLMProvider(
         CausalLM(trunk, tie_word_embeddings=True), CharTok(),
         max_new_tokens=4)
-    out = provider("system", "user prompt", 5.0)
+    # generous deadline: the first call pays the jit compile of the
+    # prefill+decode programs (tens of seconds on a loaded 1-CPU box)
+    out = provider("system", "user prompt", 120.0)
     assert isinstance(out, str) and len(out) <= 4
 
     # wired through the enhancer: plain-text output counts as enhanced
