@@ -8,6 +8,12 @@ in its native space. This adapter wraps our AutoencoderKLWan with that
 contract. (The reference additionally carries an official-port decoder
 with a time-conv interleave upsample; our Wan decoder's numerics already
 match the checkpoint path used by the Cosmos2.5 pipeline.)
+
+Not in the VAE registry on purpose: standard Cosmos2.5 checkpoints name
+``AutoencoderKLWan``, whose checkpoint config carries the cosmos latent
+stats, so the pipeline normalizes through the Wan class directly. Use
+this adapter when driving the VAE programmatically against code that
+expects the normalized-latent contract.
 """
 
 from __future__ import annotations
@@ -54,8 +60,11 @@ class Cosmos25WanVAEAdapter:
     def encode(self, x: Array) -> _TensorLatentDist:
         dist = self.inner.encode(x)
         z_mean = dist.mean
-        if z_mean.ndim == 5 and z_mean.shape[-1] != z_mean.shape[1]:
-            # NDHWC -> NCDHW for channel-stat normalization
+        if z_mean.ndim == 5:
+            # AutoencoderKLWan.encode always returns NDHWC; transpose to
+            # NCDHW unconditionally for channel-stat normalization. (A
+            # shape heuristic here silently broke whenever latent T
+            # happened to equal z_dim.)
             z_mean = jnp.transpose(z_mean, (0, 4, 1, 2, 3))
         mean, std = self._stats()
         return _TensorLatentDist((z_mean - mean) / std)

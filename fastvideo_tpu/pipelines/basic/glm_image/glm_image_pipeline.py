@@ -115,26 +115,15 @@ class GlmImageBeforeDenoisingStage(PipelineStage):
             batch.extra.setdefault("glm_prior_token_drop",
                                    jnp.zeros((1,), bool))
 
-        pos = self._glyph_embeds(prompt)
+        # cond / uncond glyph embeds are kept SEPARATE (each at its
+        # natural length) and the denoise loop runs two calls: the joint
+        # [text|image] attention has no pad-mask plumbing, and left-pad
+        # zeros would otherwise be attended as real tokens (the reference
+        # instead threads attention_mask_kv through its kernel).
+        batch.prompt_embeds = [self._glyph_embeds(prompt)]
         if batch.do_classifier_free_guidance:
-            neg = self._glyph_embeds(batch.negative_prompt or "")
-            max_l = max(pos.shape[1], neg.shape[1])
-
-            def left_pad(e):
-                if e.shape[1] < max_l:
-                    e = jnp.pad(e, ((0, 0), (max_l - e.shape[1], 0), (0, 0)))
-                return e
-
-            att = np.ones((2, max_l), np.float32)
-            att[0, :max_l - pos.shape[1]] = 0
-            att[1, :max_l - neg.shape[1]] = 0
-            batch.prompt_embeds = [jnp.concatenate(
-                [left_pad(pos), left_pad(neg)], axis=0)]
-            batch.extra["glm_text_mask"] = jnp.asarray(att)
-        else:
-            batch.prompt_embeds = [pos]
-            batch.extra["glm_text_mask"] = jnp.ones((1, pos.shape[1]),
-                                                    jnp.float32)
+            batch.extra["glm_neg_embeds"] = self._glyph_embeds(
+                batch.negative_prompt or "")
 
         # GLM geometry is fixed: f8 VAE, p2 patches, d32 AR priors
         # upsampled to the d16 patch grid
@@ -236,32 +225,34 @@ class GlmImageDenoisingStage(PipelineStage):
         if latents.ndim == 5:
             latents = latents[:, :, 0]
         embeds = batch.prompt_embeds[0].astype(jnp.bfloat16)
+        neg_embeds = batch.extra.get("glm_neg_embeds")
+        if neg_embeds is not None:
+            neg_embeds = neg_embeds.astype(jnp.bfloat16)
         prior = jnp.asarray(batch.extra["glm_prior_token_id"])
         caches = batch.extra.get("glm_kv_caches")
 
-        bs = 2 if (do_cfg and caches is None) else 1
-        target = jnp.asarray([[batch.height, batch.width]] * bs, jnp.int32)
-        crop = jnp.zeros((bs, 2), jnp.int32)
-        if caches is None and do_cfg and prior.shape[0] == 1:
-            prior_b = jnp.concatenate([prior, prior], axis=0)
-            drop_b = jnp.asarray([False, True])
-        else:
-            prior_b = prior
-            drop_b = jnp.asarray(batch.extra.get("glm_prior_token_drop",
-                                                 jnp.zeros((1,), bool)))
+        target = jnp.asarray([[batch.height, batch.width]], jnp.int32)
+        crop = jnp.zeros((1, 2), jnp.int32)
+        drop = jnp.asarray(batch.extra.get("glm_prior_token_drop",
+                                           jnp.zeros((1,), bool)))
 
         for i, t in enumerate(np.asarray(batch.timesteps)):
-            t_exp = jnp.full((bs,), float(t) - 1.0, jnp.float32)
+            t_exp = jnp.full((1,), float(t) - 1.0, jnp.float32)
             with set_forward_context(current_timestep=i,
                                      forward_batch=batch):
+                x = latents.astype(jnp.bfloat16)
                 if caches is None:
-                    x = (jnp.concatenate([latents] * 2) if do_cfg
-                         else latents).astype(jnp.bfloat16)
-                    pred = self.transformer(x, embeds, prior_b, drop_b,
-                                            t_exp, target, crop)
+                    # separate cond/uncond calls: glyph lengths differ,
+                    # and the joint attention has no pad masking
+                    pred = self.transformer(
+                        x, embeds, prior[:1], drop, t_exp, target,
+                        crop).astype(jnp.float32)
                     if do_cfg:
-                        cond, uncond = jnp.split(pred.astype(jnp.float32),
-                                                 2, axis=0)
+                        uncond = self.transformer(
+                            x, neg_embeds, prior[:1],
+                            jnp.ones((1,), bool), t_exp, target,
+                            crop).astype(jnp.float32)
+                        cond = pred
                         pred = uncond + gs * (cond - uncond)
                         if batch.guidance_rescale:
                             dims = tuple(range(1, cond.ndim))
@@ -271,14 +262,14 @@ class GlmImageDenoisingStage(PipelineStage):
                                     (std_t / std_c) +
                                     (1 - batch.guidance_rescale) * pred)
                 else:
-                    x = latents.astype(jnp.bfloat16)
                     pred = self.transformer(
-                        x, embeds[:1], prior[:1], jnp.zeros((1,), bool),
+                        x, embeds, prior[:1], jnp.zeros((1,), bool),
                         t_exp, target, crop, kv_caches=caches,
                         kv_caches_mode="read").astype(jnp.float32)
                     if do_cfg:
                         uncond = self.transformer(
-                            x, embeds[1:2], prior[:1],
+                            x, neg_embeds if neg_embeds is not None
+                            else embeds, prior[:1],
                             jnp.ones((1,), bool), t_exp, target, crop,
                             kv_caches=caches,
                             kv_caches_mode="skip").astype(jnp.float32)

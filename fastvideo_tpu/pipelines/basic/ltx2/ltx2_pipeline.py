@@ -231,6 +231,16 @@ class LTX2UpsampleStage(PipelineStage):
         noise = jnp.asarray(randn_like_reference(
             tuple(up.shape), [(batch.seed or 0) + 7]))
         batch.latents = (1.0 - sigma0) * up + sigma0 * noise
+        audio = batch.extra.get("ltx2_audio_latents")
+        if audio is not None:
+            # same noise mixing as the video latents — the refine stage
+            # denoises audio from sigma0 too (reference
+            # stages/ltx2_refine.py:292-295)
+            a_noise = jnp.asarray(randn_like_reference(
+                tuple(audio.shape), [(batch.seed or 0) + 11]))
+            batch.extra["ltx2_audio_latents"] = (
+                (1.0 - sigma0) * audio.astype(jnp.float32) +
+                sigma0 * a_noise)
         batch.extra["ltx2_refine_sigmas"] = np.asarray(self.sigmas)
         return batch
 

@@ -215,7 +215,9 @@ class MagiHumanDenoisingStage(PipelineStage):
             np.full(txt_len, MODALITY_TEXT, np.int64),
         ])
         with set_forward_context(current_timestep=i, forward_batch=batch):
-            out = self.transformer(x, coords, mm)
+            # one jitted XLA program per (shape) — NOT eager per-op
+            # dispatch, which costs a host round-trip per op
+            out = step(state, x, jnp.asarray(coords), jnp.asarray(mm))
         arch = self.cfg.dit_config.arch_config
         return _unpack_tokens(out.astype(jnp.float32),
                               layout["video_token_num"],

@@ -37,11 +37,16 @@ class MatrixGame2ActionStage(PipelineStage):
             if kb.ndim == 2:
                 kb = kb[None]
         mouse = batch.extra.get("mouse_cond")
-        if mouse is not None:
+        if mouse is None:
+            # idle mouse (zeros), like the keyboard default — otherwise
+            # the DiT silently skips its mouse-attention branch and the
+            # conditioning topology no longer matches the checkpoint
+            mouse = np.zeros((1, f, self.mouse_dim), np.float32)
+        else:
             mouse = np.asarray(mouse, np.float32)
             if mouse.ndim == 2:
                 mouse = mouse[None]
-            batch.extra["mouse_cond"] = mouse[:, :f]
+        batch.extra["mouse_cond"] = mouse[:, :f]
         batch.extra["keyboard_cond"] = kb[:, :f]
         if not batch.prompt_embeds:
             # Matrix-Game 2.0 has no text stream; the transformer swaps in
