@@ -89,6 +89,7 @@ class StreamingVideoGenerator:
         self.kv_caches = None
         self.vae_cache = None
         self.ctx = None
+        self.ca_caches = None
         self.block_index = 0
         self.frames_emitted = 0
 
@@ -97,12 +98,18 @@ class StreamingVideoGenerator:
             graphdef, state = nnx.split(self.transformer)
 
             @jax.jit
-            def fwd(state, latents, ctx, t, caches, freqs):
+            def fwd(state, latents, ctx, t, caches, freqs, ca_caches):
                 m = nnx.merge(graphdef, state)
                 return m.forward_block(latents, ctx, t, caches,
-                                       freqs_cis=freqs)
+                                       freqs_cis=freqs,
+                                       crossattn_caches=ca_caches)
 
-            self._fwd = (fwd, state)
+            @jax.jit
+            def precompute_ca(state, ctx):
+                m = nnx.merge(graphdef, state)
+                return m.precompute_crossattn_caches(ctx)
+
+            self._fwd = (fwd, precompute_ca, state)
         return self._fwd
 
     def reset(self, prompt: str, output_path: str | None = None) -> None:
@@ -124,6 +131,9 @@ class StreamingVideoGenerator:
             self.ctx = out.last_hidden_state.astype(self.dtype)
         else:
             self.ctx = jnp.zeros((1, 512, cfg.text_dim), self.dtype)
+        # text K/V once per prompt — constant across blocks and steps
+        fwd, precompute_ca, state = self._get_fwd()
+        self.ca_caches = precompute_ca(state, self.ctx)
         if output_path:
             self._writer = IncrementalVideoWriter(output_path)
 
@@ -143,17 +153,18 @@ class StreamingVideoGenerator:
             (nfpb // pt, self.lat_h // cfg.patch_size[1],
              self.lat_w // cfg.patch_size[2]), cfg.attention_head_dim,
             cfg.rope_theta, start_frame=s)
-        fwd, state = self._get_fwd()
+        fwd, _, state = self._get_fwd()
         self.scheduler.set_timesteps(self.num_inference_steps)
         for t_cur in self.scheduler.timesteps:
             t_arr = jnp.full((b,), float(t_cur), jnp.float32)
             pred, _ = fwd(state, cur.astype(self.dtype), self.ctx, t_arr,
-                          self.kv_caches, freqs)
+                          self.kv_caches, freqs, self.ca_caches)
             cur = self.scheduler.step(pred.astype(jnp.float32), t_cur,
                                       cur.astype(jnp.float32)).prev_sample
         t_ctx = jnp.zeros((b,), jnp.float32)
         _, self.kv_caches = fwd(state, cur.astype(self.dtype), self.ctx,
-                                t_ctx, self.kv_caches, freqs)
+                                t_ctx, self.kv_caches, freqs,
+                                self.ca_caches)
 
         z = self.vae.denormalize_latents(cur)
         pixels, self.vae_cache = self.vae.streaming_decode(

@@ -254,6 +254,30 @@ class CausalWanTransformer3DModel(WanTransformer3DModel):
     def init_crossattn_caches(self) -> list[dict]:
         return [{} for _ in range(self.config.num_layers)]
 
+    def precompute_crossattn_caches(
+            self, encoder_hidden_states: Array,
+            dtype: jnp.dtype | None = None) -> list[dict]:
+        """Per-layer text K/V, computed ONCE per prompt.
+
+        The text context is constant across blocks and denoise steps, so
+        the cross-attention projections need not rerun inside every
+        forward_block call (reference caches them in its python-side
+        crossattn_cache dicts, causal_wanvideo.py:388-414). Jit-friendly:
+        returns concrete arrays that callers thread into ``forward_block``
+        as the ``crossattn_caches`` pytree."""
+        ctx = self.condition_embedder.text_embedder(encoder_hidden_states)
+        if dtype is not None:
+            ctx = ctx.astype(dtype)
+        caches: list[dict] = []
+        b = ctx.shape[0]
+        for block in self.blocks:
+            ca = block.attn2
+            n, d = block.num_heads, block.dim // block.num_heads
+            kx = ca.norm_k(ca.to_k(ctx)).reshape(b, -1, n, d)
+            vx = ca.to_v(ctx).reshape(b, -1, n, d)
+            caches.append({"k": kx, "v": vx})
+        return caches
+
     # -- block forward -----------------------------------------------------
 
     def forward_block(self, hidden_states: Array,

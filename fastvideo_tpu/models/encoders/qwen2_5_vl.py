@@ -24,7 +24,6 @@ from flax import nnx
 
 from fastvideo_tpu.configs.models.base import ArchConfig, ModelConfig
 from fastvideo_tpu.layers.linear import Linear
-from fastvideo_tpu.models.encoders.minimax_h3_qwen3_vl import get_rope_index
 from fastvideo_tpu.models.encoders.t5 import BaseEncoderOutput
 
 Array = jax.Array
@@ -70,6 +69,8 @@ class Qwen25VLArchConfig(ArchConfig):
     vision_window_size: int = 112
     vision_out_hidden_size: int = 3584
     vision_fullatt_block_indexes: tuple[int, ...] = (7, 15, 23, 31)
+    # video temporal-position scale (reference vision_config)
+    vision_tokens_per_second: int = 2
 
 
 @dataclasses.dataclass
@@ -78,6 +79,88 @@ class Qwen25VLConfig(ModelConfig):
         default_factory=Qwen25VLArchConfig)
     param_names_mapping: dict[str, str] = dataclasses.field(
         default_factory=lambda: dict(QWEN25_VL_PARAM_NAMES_MAPPING))
+
+
+def get_rope_index_qwen25vl(
+        input_ids: np.ndarray,
+        image_grid_thw: np.ndarray | None,
+        video_grid_thw: np.ndarray | None,
+        spatial_merge_size: int, vision_start_token_id: int,
+        image_token_id: int, video_token_id: int,
+        tokens_per_second: int = 2,
+        second_per_grid_ts: np.ndarray | None = None,
+        attention_mask: np.ndarray | None = None) -> np.ndarray:
+    """3D multimodal positions, Qwen2.5-VL semantics (reference
+    qwen2_5_vl_custom.py:1585-1675). Host-side numpy.
+
+    Unlike Qwen3-VL (one vision block per FRAME with t=1), a Qwen2.5-VL
+    video is ONE vision block of t*h*w tokens whose temporal index is
+    ``frame_idx * second_per_grid_t * tokens_per_second``. Positions are
+    computed over attention-unmasked tokens only; masked slots get 1.
+    """
+    b, s = input_ids.shape
+    if image_grid_thw is None and video_grid_thw is None:
+        if attention_mask is not None:
+            pos = np.cumsum(attention_mask, axis=-1) - 1
+            pos[attention_mask == 0] = 1
+            return np.broadcast_to(pos[None], (3, b, s)).copy()
+        return np.broadcast_to(np.arange(s)[None, None], (3, b, s)).copy()
+    position_ids = np.ones((3, b, s), np.int64)
+    image_index = video_index = 0
+    merge = spatial_merge_size
+    for bi in range(b):
+        sequence = input_ids[bi]
+        keep = (np.ones(s, bool) if attention_mask is None
+                else np.asarray(attention_mask[bi]) > 0)
+        sequence = sequence[keep]
+        tokens = sequence.tolist()
+        starts = np.argwhere(sequence == vision_start_token_id).reshape(-1)
+        vision_tokens = (sequence[starts + 1] if len(starts)
+                         else np.array([]))
+        image_count = int((vision_tokens == image_token_id).sum())
+        video_count = int((vision_tokens == video_token_id).sum())
+        pieces = []
+        start = 0
+        remaining_images, remaining_videos = image_count, video_count
+        for _ in range(image_count + video_count):
+            image_end = (tokens.index(image_token_id, start)
+                         if remaining_images else len(tokens) + 1)
+            video_end = (tokens.index(video_token_id, start)
+                         if remaining_videos else len(tokens) + 1)
+            if image_end < video_end:
+                f, h, w = (int(v) for v in image_grid_thw[image_index])
+                spg = 0.0
+                image_index += 1
+                remaining_images -= 1
+                end = image_end
+            else:
+                f, h, w = (int(v) for v in video_grid_thw[video_index])
+                spg = (float(second_per_grid_ts[video_index])
+                       if second_per_grid_ts is not None else 1.0)
+                video_index += 1
+                remaining_videos -= 1
+                end = video_end
+            gf, gh, gw = f, h // merge, w // merge
+            text_length = end - start
+            offset = int(pieces[-1].max()) + 1 if pieces else 0
+            pieces.append(
+                np.broadcast_to(np.arange(text_length)[None],
+                                (3, text_length)) + offset)
+            temporal = np.repeat(
+                (np.arange(gf) * spg * tokens_per_second).astype(np.int64),
+                gh * gw)
+            rows = np.tile(np.repeat(np.arange(gh), gw), gf)
+            cols = np.tile(np.arange(gw), gf * gh)
+            pieces.append(np.stack([temporal, rows, cols]) + text_length +
+                          offset)
+            start = end + gf * gh * gw
+        if start < len(tokens):
+            offset = int(pieces[-1].max()) + 1 if pieces else 0
+            n = len(tokens) - start
+            pieces.append(np.broadcast_to(np.arange(n)[None], (3, n)) +
+                          offset)
+        position_ids[:, bi, keep] = np.concatenate(pieces, axis=1)
+    return position_ids
 
 
 def _rotate_half(x: Array) -> Array:
@@ -416,18 +499,36 @@ class Qwen25VLForConditionalGeneration(nnx.Module):
                      if g is not None]
             grid = np.concatenate(grids, axis=0)
             vis = self.visual(pixel_values.astype(x.dtype), grid)
-            is_img = (ids_np == cfg.image_token_id) | \
-                (ids_np == cfg.video_token_id)
-            # static scatter: k-th image token takes vis[k]
-            order = np.cumsum(is_img.reshape(-1)) - 1
-            gathered = vis[jnp.asarray(np.clip(order, 0, vis.shape[0] - 1))]
-            gathered = gathered.reshape(*ids_np.shape, -1)
-            x = jnp.where(jnp.asarray(is_img)[..., None], gathered, x)
+            # vis rows are ordered [all image grids, then all video
+            # grids] — splice each token type from its own span (a
+            # combined scatter routes image embeds to video tokens
+            # whenever a video precedes an image in the prompt; the
+            # reference splices by token id)
+            merge2 = cfg.vision_spatial_merge_size ** 2
+            n_img = (0 if image_grid_thw is None
+                     else int(np.prod(image_grid_thw, axis=1).sum()) //
+                     merge2)
+            for token_id, lo, hi in (
+                    (cfg.image_token_id, 0, n_img),
+                    (cfg.video_token_id, n_img, vis.shape[0])):
+                if hi <= lo:
+                    continue
+                span = vis[lo:hi]
+                is_tok = ids_np == token_id
+                order = np.cumsum(is_tok.reshape(-1)) - 1
+                gathered = span[jnp.asarray(
+                    np.clip(order, 0, span.shape[0] - 1))]
+                gathered = gathered.reshape(*ids_np.shape, -1)
+                x = jnp.where(jnp.asarray(is_tok)[..., None], gathered, x)
 
-        position_ids = get_rope_index(
+        position_ids = get_rope_index_qwen25vl(
             ids_np, image_grid_thw, video_grid_thw,
             cfg.vision_spatial_merge_size, cfg.vision_start_token_id,
-            cfg.image_token_id, cfg.video_token_id)
+            cfg.image_token_id, cfg.video_token_id,
+            tokens_per_second=cfg.vision_tokens_per_second,
+            second_per_grid_ts=kwargs.get("second_per_grid_ts"),
+            attention_mask=(None if attention_mask is None
+                            else np.asarray(attention_mask)))
         cos_np, sin_np = sectioned_mrope_cos_sin(
             position_ids, cfg.head_dim, cfg.rope_theta, cfg.mrope_section)
         cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)

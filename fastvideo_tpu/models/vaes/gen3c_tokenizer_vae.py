@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from flax import nnx
 
 Array = jax.Array
 
@@ -29,16 +30,23 @@ class _TensorLatentDist:
         return self.mean
 
 
-class AutoencoderKLGen3CTokenizer:
+class AutoencoderKLGen3CTokenizer(nnx.Module):
     """Wrap ``inner`` (NCDHW encode->dist / decode) with the 2x temporal
-    resampling contract (reference :205-275)."""
+    resampling contract (reference :205-275).
+
+    An :class:`nnx.Module` so pipeline stages can ``nnx.split`` it like
+    any other VAE (the inner module's params are the only leaves; the
+    resampling itself is pure jnp)."""
 
     def __init__(self, inner, inner_temporal_compression: int = 4,
                  target_temporal_compression: int = 8):
         self.inner = inner
-        self.config = getattr(inner, "config", None)
         self._inner_tc = inner_temporal_compression
         self._target_tc = target_temporal_compression
+
+    @property
+    def config(self):
+        return getattr(self.inner, "config", None)
 
     def _inner_to_target_time(self, z: Array) -> Array:
         if z.shape[2] <= 1:
@@ -71,12 +79,38 @@ class AutoencoderKLGen3CTokenizer:
         return z0 * (1.0 - frac) + z1 * frac
 
     def encode(self, x: Array) -> _TensorLatentDist:
-        dist = self.inner.encode(x)
-        z = dist.mode() if hasattr(dist, "mode") else dist
+        # All temporal resampling here operates on axis 2 == T, i.e. the
+        # NCDHW layout. AutoencoderKLWan.encode returns an NDHWC
+        # distribution, so prefer encode_latents (which is NCDHW) and
+        # fall back to an explicit transpose.
+        if hasattr(self.inner, "encode_latents"):
+            z = self.inner.encode_latents(x)
+        else:
+            dist = self.inner.encode(x)
+            z = dist.mode() if hasattr(dist, "mode") else dist
+            if z.ndim == 5 and getattr(self.inner, "encode_layout",
+                                       "NCDHW") == "NDHWC":
+                z = jnp.transpose(z, (0, 4, 1, 2, 3))
         return _TensorLatentDist(self._inner_to_target_time(z))
+
+    def encode_latents(self, x: Array, key: jax.Array | None = None) -> Array:
+        """NCDHW latents at the target temporal contract."""
+        dist = self.encode(x)
+        return dist.sample(key) if key is not None else dist.mode()
 
     def decode(self, z: Array, **kwargs) -> Array:
         return self.inner.decode(self._target_to_inner_time(z), **kwargs)
+
+    def decode_dispatched(self, z: Array, **kwargs) -> Array:
+        """Chunked-decode passthrough (per-channel denormalize commutes
+        with the temporal resample, so ordering is safe)."""
+        if hasattr(self.inner, "decode_dispatched"):
+            return self.inner.decode_dispatched(
+                self._target_to_inner_time(z), **kwargs)
+        if kwargs.pop("denormalize", False):
+            z = self.denormalize_latents(z)
+        kwargs.pop("decode_dtype", None)
+        return self.decode(z, **kwargs)
 
     def normalize_latents(self, z: Array) -> Array:
         return (self.inner.normalize_latents(z)

@@ -39,14 +39,19 @@ class DreamXWorldARDenoisingStage(PipelineStage):
 
             @jax.jit
             def fwd(state, latents, ctx, t, caches, cam_caches, freqs,
-                    viewmats, intrinsics):
+                    viewmats, intrinsics, ca_caches):
                 m = nnx.merge(graphdef, state)
                 return m.forward_block(
                     latents, ctx, t, caches, freqs_cis=freqs,
                     y_camera={"viewmats": viewmats, "K": intrinsics},
-                    cam_caches=cam_caches)
+                    cam_caches=cam_caches, crossattn_caches=ca_caches)
 
-            self._fwd = (fwd, state)
+            @jax.jit
+            def precompute_ca(state, ctx):
+                m = nnx.merge(graphdef, state)
+                return m.precompute_crossattn_caches(ctx)
+
+            self._fwd = (fwd, precompute_ca, state)
         return self._fwd
 
     def _first_frame_latent(self, batch: ForwardBatch):
@@ -103,8 +108,9 @@ class DreamXWorldARDenoisingStage(PipelineStage):
         caches = self.transformer.init_caches(b, frame_seqlen, target_dtype)
         cam_caches = self.transformer.init_cam_caches(b, frame_seqlen,
                                                       target_dtype)
-        ca_caches = self.transformer.init_crossattn_caches()
-        fwd, state = self._get_fwd()
+        fwd, precompute_ca, state = self._get_fwd()
+        # text K/V once per prompt instead of per block per step
+        ca_caches = precompute_ca(state, ctx)
         context_noise = float(getattr(pcfg, "context_noise", 0.1))
         context_t = (context_noise * 1000.0
                      if 0.0 < context_noise <= 1.0 else context_noise)
@@ -128,7 +134,7 @@ class DreamXWorldARDenoisingStage(PipelineStage):
                     t_tok = t_tok.at[:, :frame_seqlen].set(0.0)
                 denoised, _, _ = fwd(state, cur.astype(target_dtype), ctx,
                                      t_tok, caches, cam_caches, freqs,
-                                     cam_v, cam_k)
+                                     cam_v, cam_k, ca_caches)
                 denoised = denoised.astype(jnp.float32)
                 if i < len(steps) - 1:
                     next_sigma = float(steps[i + 1]) / num_train
@@ -147,7 +153,7 @@ class DreamXWorldARDenoisingStage(PipelineStage):
             t_tok = jnp.full((b, seq), float(context_t), jnp.float32)
             _, caches, cam_caches = fwd(state, cur.astype(target_dtype),
                                         ctx, t_tok, caches, cam_caches,
-                                        freqs, cam_v, cam_k)
+                                        freqs, cam_v, cam_k, ca_caches)
 
         batch.latents = jnp.concatenate(out_blocks, axis=2)
         return batch

@@ -125,12 +125,16 @@ class Gen3CLatentPreparationStage(CosmosLatentPreparationStage):
     def latent_shape(self, batch: ForwardBatch) -> tuple[int, ...]:
         z = self.transformer.config.in_channels
         # gen3c in_channels excludes the mask/pose condition blocks
-        sf_t, sf_s = 4, 8
+        sf_s = 8
         if self.vae_config is not None:
-            arch = self.vae_config.arch_config
-            sf_t = arch.scale_factor_temporal
-            sf_s = arch.scale_factor_spatial
-        nf = (batch.num_frames - 1) // sf_t + 1
+            sf_s = self.vae_config.arch_config.scale_factor_spatial
+        # the VAE may be the 8x-contract tokenizer adapter — ask it
+        if hasattr(self.vae, "get_latent_num_frames"):
+            nf = self.vae.get_latent_num_frames(batch.num_frames)
+        else:
+            sf_t = (self.vae_config.arch_config.scale_factor_temporal
+                    if self.vae_config is not None else 4)
+            nf = (batch.num_frames - 1) // sf_t + 1
         return (1, z, nf, batch.height // sf_s, batch.width // sf_s)
 
     def _vae_encode(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -140,8 +144,9 @@ class Gen3CLatentPreparationStage(CosmosLatentPreparationStage):
             @jax.jit
             def encode_fn(state, x):
                 vae = nnx.merge(graphdef, state)
-                z = vae.encode(x).mode()
-                z = jnp.transpose(z, (0, 4, 1, 2, 3))  # NDHWC -> NCDHW
+                # encode_latents is NCDHW on both the Wan VAE and the
+                # tokenizer adapter (raw .encode layouts differ)
+                z = vae.encode_latents(x)
                 return vae.normalize_latents(z)
 
             self._encode = (encode_fn, state)
@@ -305,6 +310,21 @@ class Gen3CPipeline(ComposedPipelineBase):
             sigma_data=float(getattr(self.pipeline_config, "sigma_data",
                                      0.5)),
             final_sigmas_type="sigma_min")
+        # GEN3C diffusion operates at 8x temporal compression while the
+        # bundled tokenizer/VAE is a 4x model — wrap it with the temporal
+        # adapter (reference models/vaes/gen3c_tokenizer_vae.py:157-366).
+        target_tc = int(getattr(self.pipeline_config,
+                                "target_temporal_compression", 8))
+        vae = self.get_module("vae")
+        inner_tc = int(getattr(vae.config, "scale_factor_temporal",
+                               target_tc) or target_tc)
+        if target_tc != inner_tc:
+            from fastvideo_tpu.models.vaes.gen3c_tokenizer_vae import (
+                AutoencoderKLGen3CTokenizer)
+
+            self.modules["vae"] = AutoencoderKLGen3CTokenizer(
+                vae, inner_temporal_compression=inner_tc,
+                target_temporal_compression=target_tc)
 
     def create_pipeline_stages(self, fastvideo_args: FastVideoArgs) -> None:
         cfg = self.pipeline_config

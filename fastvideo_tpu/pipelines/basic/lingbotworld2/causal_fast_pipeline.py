@@ -48,13 +48,19 @@ class LingBotWorld2GenerationStage(PipelineStage):
             graphdef, state = nnx.split(self.transformer)
 
             @jax.jit
-            def fwd(state, latents, ctx, t, caches, freqs, cam):
+            def fwd(state, latents, ctx, t, caches, freqs, cam, ca_caches):
                 m = nnx.merge(graphdef, state)
                 return m.forward_block(latents, ctx, t, caches,
                                        freqs_cis=freqs,
-                                       c2ws_plucker_emb=cam)
+                                       c2ws_plucker_emb=cam,
+                                       crossattn_caches=ca_caches)
 
-            self._fwd = (fwd, state)
+            @jax.jit
+            def precompute_ca(state, ctx):
+                m = nnx.merge(graphdef, state)
+                return m.precompute_crossattn_caches(ctx)
+
+            self._fwd = (fwd, precompute_ca, state)
         return self._fwd
 
     def forward(self, batch: ForwardBatch,
@@ -99,8 +105,9 @@ class LingBotWorld2GenerationStage(PipelineStage):
 
         frame_seqlen = (h // ph) * (w // pw)
         caches = self.transformer.init_caches(b, frame_seqlen, target_dtype)
-        ca_caches = self.transformer.init_crossattn_caches()
-        fwd, state = self._get_fwd()
+        fwd, precompute_ca, state = self._get_fwd()
+        # text K/V once per prompt instead of per chunk per step
+        ca_caches = precompute_ca(state, ctx)
 
         out_chunks = []
         seed = batch.seed or 0
@@ -118,7 +125,7 @@ class LingBotWorld2GenerationStage(PipelineStage):
                 model_in = jnp.concatenate(
                     [cur, cur_y], axis=1).astype(target_dtype)
                 flow, _ = fwd(state, model_in, ctx, t_arr, caches, freqs,
-                              cur_cam)
+                              cur_cam, ca_caches)
                 sigma = t_cur / num_train
                 x0 = cur - sigma * flow.astype(jnp.float32)
                 if i < len(timesteps) - 1:
@@ -132,7 +139,7 @@ class LingBotWorld2GenerationStage(PipelineStage):
             model_in = jnp.concatenate(
                 [x0, cur_y], axis=1).astype(target_dtype)
             _, caches = fwd(state, model_in, ctx, t_ctx, caches, freqs,
-                            cur_cam)
+                            cur_cam, ca_caches)
 
         batch.latents = jnp.concatenate(out_chunks, axis=2)
         return batch

@@ -37,12 +37,18 @@ class CausalDenoisingStage(PipelineStage):
             graphdef, state = nnx.split(self.transformer)
 
             @jax.jit
-            def fwd(state, latents, ctx, t, caches, freqs):
+            def fwd(state, latents, ctx, t, caches, freqs, ca_caches):
                 m = nnx.merge(graphdef, state)
                 return m.forward_block(latents, ctx, t, caches,
-                                       freqs_cis=freqs)
+                                       freqs_cis=freqs,
+                                       crossattn_caches=ca_caches)
 
-            self._fwd = (fwd, state)
+            @jax.jit
+            def precompute_ca(state, ctx):
+                m = nnx.merge(graphdef, state)
+                return m.precompute_crossattn_caches(ctx)
+
+            self._fwd = (fwd, precompute_ca, state)
         return self._fwd
 
     def forward(self, batch: ForwardBatch,
@@ -62,7 +68,9 @@ class CausalDenoisingStage(PipelineStage):
         ctx = batch.prompt_embeds[0].astype(target_dtype)
 
         caches = self.transformer.init_caches(b, frame_seqlen, target_dtype)
-        fwd, state = self._get_fwd()
+        fwd, precompute_ca, state = self._get_fwd()
+        # text K/V once per prompt instead of per block per step
+        ca_caches = precompute_ca(state, ctx)
 
         num_blocks = t // nfpb
         out_blocks = []
@@ -79,7 +87,7 @@ class CausalDenoisingStage(PipelineStage):
                                          forward_batch=batch):
                     # cache writes discarded during denoising
                     pred, _ = fwd(state, cur.astype(target_dtype), ctx,
-                                  t_arr, caches, freqs)
+                                  t_arr, caches, freqs, ca_caches)
                 cur = self.scheduler.step(pred.astype(jnp.float32), t_cur,
                                           cur).prev_sample
             out_blocks.append(cur)
@@ -88,7 +96,7 @@ class CausalDenoisingStage(PipelineStage):
             with set_forward_context(current_timestep=0,
                                      forward_batch=batch):
                 _, caches = fwd(state, cur.astype(target_dtype), ctx, t_ctx,
-                                caches, freqs)
+                                caches, freqs, ca_caches)
 
         batch.latents = jnp.concatenate(out_blocks, axis=2)
         batch.extra["kv_caches"] = caches
