@@ -29,6 +29,10 @@ class BaseMetric:
     # env var pointing at local weights (zero-egress gate); None = no gate
     weights_env: ClassVar[str | None] = None
     is_set_metric: ClassVar[bool] = False
+    # False for path-only metrics (e.g. VLM judges that upload files):
+    # when every active metric is path-only, the MediaPool skips frame
+    # decoding entirely
+    needs_frames: ClassVar[bool] = True
 
     def setup(self) -> None:
         """Eagerly load weights/jit programs. Called once per worker."""

@@ -91,8 +91,14 @@ class Evaluator:
 
         per_sample: list[Any] = [None] * len(samples)
         max_size = self._prefetch_factor * len(self._workers)
+        # skip frame decoding when every active metric is path-only
+        active = [m for name, m in self._workers[0].metrics().items()
+                  if filt is None or name in filt]
+        decode_frames = any(
+            getattr(m, "needs_frames", True) for m in active) or not active
         with MediaPool(samples, loader_threads=self._loader_threads,
-                       max_size=max_size) as pool:
+                       max_size=max_size,
+                       decode_frames=decode_frames) as pool:
             if len(self._workers) == 1:
                 while (item := pool.get()) is not None:
                     idx, decoded = item

@@ -99,9 +99,10 @@ class MediaPool:
     while (item := pool.get()) is not None: idx, decoded = item``."""
 
     def __init__(self, samples: list[dict], *, loader_threads: int = 1,
-                 max_size: int = 4) -> None:
+                 max_size: int = 4, decode_frames: bool = True) -> None:
         if loader_threads < 1:
             raise ValueError("loader_threads must be >= 1")
+        self._decode_frames = decode_frames
         self._samples = samples
         self._n_loaders = loader_threads
         self._task_q: queue.Queue = queue.Queue()
@@ -158,7 +159,8 @@ class MediaPool:
                 return
             idx, sample = item
             try:
-                decoded = self._decode(sample)
+                decoded = (self._decode(sample) if self._decode_frames
+                           else dict(sample))
             except BaseException as exc:  # forwarded to consumer
                 self._ready_q.put((idx, _DecodeError(exc)))
                 continue

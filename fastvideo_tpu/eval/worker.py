@@ -102,6 +102,9 @@ class EvalWorker:
     def set_metrics(self) -> dict[str, BaseMetric]:
         return {n: m for n, m in self._metrics.items() if m.is_set_metric}
 
+    def metrics(self) -> dict[str, BaseMetric]:
+        return dict(self._metrics)
+
     def unload(self) -> None:
         self._metrics = {}
         self._unloaded = True
