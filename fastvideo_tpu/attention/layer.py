@@ -153,12 +153,18 @@ class DistributedAttention(nnx.Module):
         txt_len = replicated_q.shape[1]
 
         def attend(q_, k_, v_, rq, rk, rv):
-            qq = jnp.concatenate([q_, rq.astype(q_.dtype)], axis=1)
-            kk = jnp.concatenate([k_, rk.astype(k_.dtype)], axis=1)
-            vv = jnp.concatenate([v_, rv.astype(v_.dtype)], axis=1)
-            kvv = None if kv_valid is None else kv_valid + txt_len
+            # TEXT-FIRST concat: kv_valid is a valid-PREFIX count, and the
+            # sp zero-pad sits at the END of the image tokens — with text
+            # first, the prefix [text | real image] is exactly the valid
+            # set (image-first would keep the pads and cut off text).
+            # Attention is permutation-invariant in its keys, so ordering
+            # only affects the output split.
+            qq = jnp.concatenate([rq.astype(q_.dtype), q_], axis=1)
+            kk = jnp.concatenate([rk.astype(k_.dtype), k_], axis=1)
+            vv = jnp.concatenate([rv.astype(v_.dtype), v_], axis=1)
+            kvv = None if kv_valid is None else txt_len + kv_valid
             out = self.backend.forward(qq, kk, vv, metadata, kv_valid=kvv)
-            return out[:, :-txt_len], out[:, -txt_len:]
+            return out[:, txt_len:], out[:, :txt_len]
 
         sp = get_sp_size()
         if sp == 1 and get_tp_size() == 1:

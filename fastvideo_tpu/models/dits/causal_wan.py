@@ -38,9 +38,14 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 def init_layer_cache(batch_size: int, window_tokens: int, sink_tokens: int,
                      num_heads: int, head_dim: int,
                      dtype=jnp.bfloat16) -> dict:
+    """``window_tokens`` is the TOTAL attention budget (reference
+    causal_denoising.py:365-377 allocates one local_attn_size*frame_seqlen
+    buffer); the sink lives INSIDE it, so the rolling part holds
+    window_tokens - sink_tokens."""
     z = lambda n: jnp.zeros((batch_size, n, num_heads, head_dim), dtype)  # noqa: E731
+    roll = max(window_tokens - sink_tokens, 0)
     return {
-        "k": z(window_tokens), "v": z(window_tokens),
+        "k": z(roll), "v": z(roll),
         "sink_k": z(sink_tokens), "sink_v": z(sink_tokens),
         "valid": jnp.zeros((), jnp.int32),
         "global_end": jnp.zeros((), jnp.int32),
@@ -87,10 +92,17 @@ def cached_self_attention(q: Array, k: Array, v: Array, cache: dict,
     valid = jnp.minimum(cache["valid"] + n, window)
 
     # masks: window slots [0, window-valid) are empty; sink slots beyond
-    # min(global_end, sink_cap) are empty.
+    # min(global_end, sink_cap) are empty; window slots whose ABSOLUTE
+    # position falls inside the sink region are masked too — those tokens
+    # are attended via the frozen sink buffer, and counting both copies
+    # double-weighted early frames (the reference keeps ONE
+    # local_attn_size buffer with the sink frozen at its front, each
+    # token present exactly once).
     win_pos = jnp.arange(window)
     win_ok = win_pos >= (window - valid)
     if sink_cap > 0:
+        abs_pos = global_end - window + win_pos
+        win_ok = win_ok & (abs_pos >= sink_cap)
         sink_ok = jnp.arange(sink_cap) < jnp.minimum(global_end, sink_cap)
         keys = jnp.concatenate([sink_k, new_k], axis=1)
         vals = jnp.concatenate([sink_v, new_v], axis=1)
@@ -103,7 +115,8 @@ def cached_self_attention(q: Array, k: Array, v: Array, cache: dict,
                                        vals.astype(q.dtype), bias=bias,
                                        scale=scale)
     new_cache = dict(cache)
-    new_cache.update(k=new_k, v=new_v, valid=valid, global_end=global_end)
+    new_cache.update(k=new_k, v=new_v, valid=valid, global_end=global_end,
+                     sink_k=sink_k, sink_v=sink_v)
     return out, new_cache
 
 

@@ -325,6 +325,12 @@ class Cosmos25Transformer3DModel(nnx.Module):
             context = self.crossattn_proj(context)
 
         x, orig_len = shard_seq(x)
+        from fastvideo_tpu.parallel import pad_rope_to, pad_tokens_to
+        cos, sin = pad_rope_to(cos, sin, x.shape[1])
+        if embedded_timestep.shape[1] > 1:
+            embedded_timestep = pad_tokens_to(embedded_timestep, x.shape[1])
+        if adaln_lora is not None and adaln_lora.shape[1] > 1:
+            adaln_lora = pad_tokens_to(adaln_lora, x.shape[1])
         for block in self.transformer_blocks:
             if self.gradient_checkpointing:
                 x = jax.checkpoint(

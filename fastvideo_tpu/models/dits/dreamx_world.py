@@ -239,7 +239,8 @@ class DreamXWorldTransformer3DModel(WanTransformer3DModel):
     def _forward_with_camera(self, hidden_states, encoder_hidden_states,
                              timestep, encoder_hidden_states_image):
         from fastvideo_tpu.layers.rotary import get_rotary_pos_embed_wan
-        from fastvideo_tpu.parallel import shard_seq, unshard_seq
+        from fastvideo_tpu.parallel import (pad_rope_to, pad_tokens_to,
+                                            shard_seq, unshard_seq)
 
         cfg = self.config
         b, c, t, h, w = hidden_states.shape
@@ -250,6 +251,7 @@ class DreamXWorldTransformer3DModel(WanTransformer3DModel):
                                             cfg.rope_theta)
         x = self.patch_embedding(hidden_states)
         x, orig_seq_len = shard_seq(x)
+        cos, sin = pad_rope_to(cos, sin, x.shape[1])
         kv_valid = orig_seq_len if x.shape[1] != orig_seq_len else None
 
         ts_seq_len = timestep.shape[1] if timestep.ndim == 2 else None
@@ -261,6 +263,8 @@ class DreamXWorldTransformer3DModel(WanTransformer3DModel):
         if ts_seq_len is not None:
             timestep_proj = timestep_proj.reshape(
                 *timestep_proj.shape[:2], 6, -1)
+            timestep_proj = pad_tokens_to(timestep_proj, x.shape[1])
+            temb = pad_tokens_to(temb, x.shape[1])
         else:
             timestep_proj = timestep_proj.reshape(timestep_proj.shape[0], 6,
                                                   -1)

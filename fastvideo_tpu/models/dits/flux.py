@@ -149,7 +149,8 @@ class FluxJointAttention(nnx.Module):
         return x.reshape(b, s, self.heads, self.head_dim)
 
     def __call__(self, x: Array, context: Array,
-                 freqs_cis: tuple[Array, Array]):
+                 freqs_cis: tuple[Array, Array],
+                 kv_valid: int | None = None):
         b, s, _ = x.shape
         q = self.norm_q(self._h(self.to_q(x))).astype(x.dtype)
         k = self.norm_k(self._h(self.to_k(x))).astype(x.dtype)
@@ -160,7 +161,8 @@ class FluxJointAttention(nnx.Module):
             x.dtype)
         cv = self._h(self.add_v_proj(context))
         img_out, ctx_out = self.attn.joint_forward(q, k, v, cq, ck, cv,
-                                                   freqs_cis=freqs_cis)
+                                                   freqs_cis=freqs_cis,
+                                                   kv_valid=kv_valid)
         img_out = self.to_out(img_out.reshape(b, s, -1))
         ctx_out = self.to_add_out(ctx_out.reshape(b, context.shape[1], -1))
         return img_out, ctx_out
@@ -178,13 +180,15 @@ class FluxTransformerBlock(nnx.Module):
                               act_type="gelu_pytorch_tanh", **kw)
 
     def __call__(self, x: Array, context: Array, temb: Array,
-                 freqs_cis: tuple[Array, Array]):
+                 freqs_cis: tuple[Array, Array],
+                 kv_valid: int | None = None):
         norm_x, gate_msa, shift_mlp, scale_mlp, gate_mlp = self.norm1(
             x, temb)
         norm_ctx, c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = \
             self.norm1_context(context, temb)
         attn_out, ctx_attn = self.attn(norm_x.astype(x.dtype),
-                                       norm_ctx.astype(x.dtype), freqs_cis)
+                                       norm_ctx.astype(x.dtype), freqs_cis,
+                                       kv_valid)
         x = x + gate_msa[:, None] * attn_out
         h = _ln(x) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
         x = x + gate_mlp[:, None] * self.ff(h.astype(x.dtype))
@@ -218,7 +222,8 @@ class FluxSingleTransformerBlock(nnx.Module):
         return x.reshape(b, s, self.heads, self.head_dim)
 
     def __call__(self, x: Array, context: Array, temb: Array,
-                 freqs_cis: tuple[Array, Array]):
+                 freqs_cis: tuple[Array, Array],
+                 kv_valid: int | None = None):
         mods = jnp.split(self.norm.linear(jax.nn.silu(temb)), 3, axis=-1)
         shift_msa, scale_msa, gate = mods
 
@@ -235,7 +240,8 @@ class FluxSingleTransformerBlock(nnx.Module):
         ck = self.norm_k(self._h(self.to_k(norm_ctx))).astype(x.dtype)
         cv = self._h(self.to_v(norm_ctx))
         img_attn, ctx_attn = self.attn.joint_forward(q, k, v, cq, ck, cv,
-                                                     freqs_cis=freqs_cis)
+                                                     freqs_cis=freqs_cis,
+                                                     kv_valid=kv_valid)
         img_attn = img_attn.reshape(b, s, -1)
         ctx_attn = ctx_attn.reshape(b, context.shape[1], -1)
 
@@ -294,10 +300,13 @@ class FluxTransformer2DModel(nnx.Module):
             encoder_hidden_states.astype(x.dtype))
         freqs_cis = flux_rope(img_ids, tuple(cfg.axes_dims_rope))
         x, orig_len = shard_seq(x)
+        from fastvideo_tpu.parallel import pad_rope_to
+        freqs_cis = pad_rope_to(*freqs_cis, x.shape[1])
+        kv_valid = orig_len if x.shape[1] != orig_len else None
         for block in self.transformer_blocks:
-            x, context = block(x, context, temb, freqs_cis)
+            x, context = block(x, context, temb, freqs_cis, kv_valid)
         for block in self.single_transformer_blocks:
-            x, context = block(x, context, temb, freqs_cis)
+            x, context = block(x, context, temb, freqs_cis, kv_valid)
         x = unshard_seq(x, orig_len)
         x = self.norm_out(x, temb)
         return self.proj_out(x)

@@ -412,6 +412,8 @@ class Flux2Transformer2DModel(nnx.Module):
         txt_freqs = flux_rope(txt_ids, axes, cfg.rope_theta)
 
         x, orig_len = shard_seq(x)
+        from fastvideo_tpu.parallel import pad_rope_to
+        img_freqs = pad_rope_to(*img_freqs, x.shape[1])
         for block in self.transformer_blocks:
             x, context = block(x, context, mods_img, mods_txt, img_freqs,
                                txt_freqs)

@@ -194,6 +194,9 @@ class HYWorldTransformer3DModel(HunyuanVideo15Transformer3DModel):
         img = self.img_in(hidden_states)
         img, orig_seq_len = shard_seq(img)
         kv_valid = orig_seq_len if img.shape[1] != orig_seq_len else None
+        from fastvideo_tpu.parallel import pad_rope_to, pad_tokens_to
+        freqs_cis = pad_rope_to(*freqs_cis, img.shape[1])
+        temb = pad_tokens_to(temb, img.shape[1])
 
         # per-token camera matrices
         viewmats_seq = jnp.broadcast_to(
@@ -202,6 +205,15 @@ class HYWorldTransformer3DModel(HunyuanVideo15Transformer3DModel):
         Ks_seq = jnp.broadcast_to(Ks[:, :, None],
                                   (b, tt, th * tw, 3, 3)).reshape(
                                       b, tt * th * tw, 3, 3)
+        if viewmats_seq.shape[1] != img.shape[1]:
+            # identity cameras on the sp pad tokens (masked in attention)
+            pad_n = img.shape[1] - viewmats_seq.shape[1]
+            eye4 = jnp.broadcast_to(jnp.eye(4, dtype=viewmats_seq.dtype),
+                                    (b, pad_n, 4, 4))
+            eye3 = jnp.broadcast_to(jnp.eye(3, dtype=Ks_seq.dtype),
+                                    (b, pad_n, 3, 3))
+            viewmats_seq = jnp.concatenate([viewmats_seq, eye4], axis=1)
+            Ks_seq = jnp.concatenate([Ks_seq, eye3], axis=1)
 
         txt = self.txt_in(txt.astype(img.dtype), timestep_txt)
         txt = txt + self.cond_type_embed(

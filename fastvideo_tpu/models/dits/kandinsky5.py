@@ -369,6 +369,8 @@ class Kandinsky5Transformer3DModel(nnx.Module):
                                              (tt, th, tw), cfg.rope_theta)
         visual_freqs = (jnp.asarray(vcos), jnp.asarray(vsin))
         visual, orig_len = shard_seq(visual)
+        from fastvideo_tpu.parallel import pad_rope_to
+        visual_freqs = pad_rope_to(*visual_freqs, visual.shape[1])
         for block in self.visual_transformer_blocks:
             if self.gradient_checkpointing:
                 visual = jax.checkpoint(

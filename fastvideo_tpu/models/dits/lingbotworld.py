@@ -239,6 +239,8 @@ class LingBotWorldTransformer3DModel(WanTransformer3DModel):
         x, orig_seq_len = shard_seq(x)
         cam_emb, _ = shard_seq(cam_emb)
         kv_valid = orig_seq_len if x.shape[1] != orig_seq_len else None
+        from fastvideo_tpu.parallel import pad_rope_to, pad_tokens_to
+        cos, sin = pad_rope_to(cos, sin, x.shape[1])
 
         ts_seq_len = timestep.shape[1] if timestep.ndim == 2 else None
         if ts_seq_len is not None:
@@ -249,6 +251,7 @@ class LingBotWorldTransformer3DModel(WanTransformer3DModel):
         if ts_seq_len is not None:
             timestep_proj = timestep_proj.reshape(
                 *timestep_proj.shape[:2], 6, -1)
+            timestep_proj = pad_tokens_to(timestep_proj, x.shape[1])
         else:
             timestep_proj = timestep_proj.reshape(timestep_proj.shape[0], 6,
                                                   -1)

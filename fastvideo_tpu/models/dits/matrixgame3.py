@@ -651,7 +651,13 @@ class MatrixGame3WanModel(nnx.Module):
         if ts.ndim == 0:
             ts = ts[None]
         if ts.ndim == 1:
-            ts = jnp.broadcast_to(ts[:, None], (ts.shape[0], gt * gh * gw))
+            # broadcast over the CURRENT tokens only: gt already counts
+            # the memory frames, whose timesteps arrive separately via
+            # timestep_memory and are concatenated below
+            n_cur = gt * gh * gw
+            if memory_length > 0 and timestep_memory is not None:
+                n_cur -= timestep_memory.shape[1]
+            ts = jnp.broadcast_to(ts[:, None], (ts.shape[0], n_cur))
         elif ts.ndim == 2 and ts.shape[1] == f:
             ts = jnp.broadcast_to(ts[:, :, None, None],
                                   (ts.shape[0], f, gh, gw)).reshape(

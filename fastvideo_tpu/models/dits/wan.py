@@ -476,6 +476,11 @@ class WanTransformer3DModel(nnx.Module):
                 # per-token modulation follows the token permutation
                 timestep_proj = _tile(timestep_proj, (gt, gh, gw), vsa_tile)
                 temb = _tile(temb, (gt, gh, gw), vsa_tile)
+            from fastvideo_tpu.parallel import pad_tokens_to
+
+            # per-token modulation follows the sp zero-padding of x
+            timestep_proj = pad_tokens_to(timestep_proj, x.shape[1])
+            temb = pad_tokens_to(temb, x.shape[1])
         else:
             # [B, 6, C]
             timestep_proj = timestep_proj.reshape(timestep_proj.shape[0], 6,

@@ -74,13 +74,15 @@ def qat_attention(q: Array, k: Array, v: Array, *,
     b, s, h, d = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(d)
+    # smooth the UNPADDED keys: a mean over zero-pad rows would
+    # under-center k by s/(s+pad) vs the serving-time quantization
+    if smooth_k:
+        k = k - jnp.mean(k, axis=1, keepdims=True)
     pad = (-s) % block
     if pad:
         q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
-    if smooth_k:
-        k = k - jnp.mean(k, axis=1, keepdims=True)
     qq = fake_quant_blockwise(q, block)
     kq = fake_quant_blockwise(k, block)
 

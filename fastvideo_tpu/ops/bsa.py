@@ -129,8 +129,8 @@ def _masked_sparse_qtile(q: Array, k: Array, v: Array, mask: Array,
                                lambda b, h, qi, sz: (b, h, qi, 0)),
         scratch_shapes=[
             pltpu.VMEM((q_rows, d), jnp.float32),
-            pltpu.VMEM((2, tile_elems, d), q.dtype),
-            pltpu.VMEM((2, tile_elems, d), q.dtype),
+            pltpu.VMEM((2, tile_elems, d), k.dtype),
+            pltpu.VMEM((2, tile_elems, d), v.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )

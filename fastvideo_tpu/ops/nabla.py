@@ -180,8 +180,8 @@ def masked_block_sparse_attention(q: Array, k: Array, v: Array,
                                lambda b, h, qi, sz: (b, h, qi, 0)),
         scratch_shapes=[
             pltpu.VMEM((tile_elems, d), jnp.float32),
-            pltpu.VMEM((2, tile_elems, d), q.dtype),
-            pltpu.VMEM((2, tile_elems, d), q.dtype),
+            pltpu.VMEM((2, tile_elems, d), k.dtype),
+            pltpu.VMEM((2, tile_elems, d), v.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )

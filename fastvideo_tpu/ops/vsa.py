@@ -230,8 +230,12 @@ def _sparse_fast_kernel(idx_ref, q_ref, *rest, scale: float, topk: int,
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     if True:  # tail chunk masking (duplicate-index padding) — static check
-        e = q.shape[0]
-        col_chunk = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // e
+        # chunk width = KV TILE rows (kv block shape), NOT the query rows:
+        # with q_group > 1 the q block is q_group*tile_elems rows while
+        # each gathered KV chunk is tile_elems rows, and dividing by the
+        # wrong width let duplicate-padded tail chunks through unmasked.
+        e_kv = kv_refs[0].shape[2]
+        col_chunk = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // e_kv
         valid = (j * unroll + col_chunk) < topk
         s = jnp.where(valid, s, MASK_VALUE)
     m_prev = m_ref[...]

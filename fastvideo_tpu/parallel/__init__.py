@@ -42,6 +42,8 @@ from fastvideo_tpu.parallel.ulysses import (
     shard_seq,
     unshard_seq,
     pad_to_multiple,
+    pad_rope_to,
+    pad_tokens_to,
 )
 
 __all__ = [
@@ -66,4 +68,6 @@ __all__ = [
     "shard_seq",
     "unshard_seq",
     "pad_to_multiple",
+    "pad_rope_to",
+    "pad_tokens_to",
 ]

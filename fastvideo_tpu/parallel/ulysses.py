@@ -38,6 +38,31 @@ def pad_to_multiple(x: Array, multiple: int, axis: int) -> tuple[Array, int]:
     return jnp.pad(x, widths), size
 
 
+def pad_rope_to(cos: Array, sin: Array,
+                seq_len: int) -> tuple[Array, Array]:
+    """Pad [S, D] rope tables to the (sp-padded) token length: cos with
+    1.0 / sin with 0.0 so padded tokens rotate by identity. Every model
+    that shard_seq()s its tokens must apply this (the pad tokens are
+    masked out of attention via kv_valid, but the rope multiply still
+    needs matching shapes)."""
+    if cos.shape[0] != seq_len:
+        pad = seq_len - cos.shape[0]
+        cos = jnp.pad(cos, ((0, pad), (0, 0)), constant_values=1.0)
+        sin = jnp.pad(sin, ((0, pad), (0, 0)))
+    return cos, sin
+
+
+def pad_tokens_to(t: Array | None, seq_len: int,
+                  axis: int = 1) -> Array | None:
+    """Zero-pad a per-token tensor (modulation, temb, masks) on its token
+    axis to the (sp-padded) length."""
+    if t is None or t.shape[axis] == seq_len:
+        return t
+    widths = [(0, 0)] * t.ndim
+    widths[axis] = (0, seq_len - t.shape[axis])
+    return jnp.pad(t, widths)
+
+
 def shard_seq(x: Array, axis: int = 1) -> tuple[Array, int]:
     """Pad the token dim to a multiple of sp and constrain it to the sp axis.
 

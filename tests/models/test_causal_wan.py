@@ -77,6 +77,49 @@ def test_cached_attention_window_eviction():
     assert err < 1e-5, err
 
 
+def test_cached_attention_sink_counts_each_token_once():
+    """Reference semantics (causal_wanvideo.py:136-190): ONE
+    local_attn_size budget with the sink frozen at the front — after
+    rolling, the attended set is sink tokens + the most recent
+    (window - sink) tokens, each exactly once."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastvideo_tpu.models.dits.causal_wan import (cached_self_attention,
+                                                      init_layer_cache)
+
+    rng = np.random.default_rng(2)
+    B, H, D = 1, 2, 16
+    block, W, sink = 8, 24, 8  # total budget 24 = sink 8 + rolling 16
+    S = 5 * block
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), dtype=jnp.float32)
+    scale = D**-0.5
+
+    cache = init_layer_cache(B, W, sink, H, D, jnp.float32)
+    outs = []
+    for i in range(0, S, block):
+        out, cache = cached_self_attention(q[:, i:i + block],
+                                           k[:, i:i + block],
+                                           v[:, i:i + block], cache, scale)
+        outs.append(out)
+    # final block: sink tokens [0:8] + last 16 tokens, each ONCE
+    keep = jnp.concatenate([k[:, :sink], k[:, S - (W - sink):]], axis=1)
+    vals = jnp.concatenate([v[:, :sink], v[:, S - (W - sink):]], axis=1)
+    ref = jax.nn.dot_product_attention(q[:, -block:], keep, vals,
+                                       scale=scale)
+    err = float(jnp.abs(outs[-1] - ref).max())
+    assert err < 1e-5, err
+    # pre-roll block (tokens 8..15 while stream is short): every past
+    # token attended exactly once despite living in both buffers
+    ref1 = jax.nn.dot_product_attention(q[:, block:2 * block],
+                                        k[:, :2 * block], v[:, :2 * block],
+                                        scale=scale)
+    err1 = float(jnp.abs(outs[1] - ref1).max())
+    assert err1 < 1e-5, err1
+
+
 def test_causal_forward_block_smoke():
     import jax.numpy as jnp
     from flax import nnx

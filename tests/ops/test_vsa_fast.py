@@ -68,6 +68,39 @@ def test_fast_kernel_matches_reference():
     assert err < 2e-2, err
 
 
+def test_fast_kernel_grouped_with_tail_padding():
+    """Regression: with q_group > 1 (q block wider than a KV tile) AND
+    topk % unroll != 0, the duplicate-padded tail chunks must be masked
+    by KV-tile width, not query-block width."""
+    import jax.numpy as jnp
+
+    from fastvideo_tpu.ops.vsa import (_sparse_attention_reference,
+                                       block_sparse_attention_fast)
+
+    rng = np.random.default_rng(7)
+    B, H, D, E = 1, 1, 64, 16
+    nb, group = 8, 2
+    ng = nb // group
+    s = nb * E
+    q = jnp.asarray(rng.standard_normal((B, H, s, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, s, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, s, D)), jnp.float32)
+    topk = 3  # with unroll=2 -> nsteps=2, pad=1 duplicate tail chunk
+    idx_g = np.stack([
+        rng.choice(nb, size=topk, replace=False) for _ in range(B * H * ng)
+    ]).reshape(B, H, ng, topk).astype(np.int32)
+    scale = 1.0 / np.sqrt(D)
+    sizes = jnp.full((nb,), E, jnp.int32)
+    # reference works per query tile: expand group indices to tiles
+    idx_t = np.repeat(idx_g, group, axis=2)
+    ref = _sparse_attention_reference(q, k, v, jnp.asarray(idx_t), sizes,
+                                      scale, tile_elems=E)
+    out = block_sparse_attention_fast(q, k, v, jnp.asarray(idx_g),
+                                      scale=scale, tile_elems=E, unroll=2)
+    err = float(jnp.abs(ref - out).max())
+    assert err < 2e-2, err
+
+
 def test_q_grouped_selection_matches_expanded():
     """q_group>1 must equal per-tile selection with group-averaged scores
     expanded back to every tile (same math, one shared set per group)."""
