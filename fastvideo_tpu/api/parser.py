@@ -25,7 +25,12 @@ def _is_dataclass_type(tp) -> bool:
 
 def _unwrap_optional(tp):
     origin = typing.get_origin(tp)
-    if origin is typing.Union:
+    # typing.Union covers Optional[X]; types.UnionType covers PEP 604
+    # ``X | None`` (what the schema files actually use — on 3.12 its
+    # origin is NOT typing.Union)
+    import types
+
+    if origin is typing.Union or origin is types.UnionType:
         args = [a for a in typing.get_args(tp) if a is not type(None)]
         if len(args) == 1:
             return args[0]
@@ -66,6 +71,37 @@ def parse_dataclass(cls, data: dict[str, Any], path: str = "",
 
 def explicit_paths(obj) -> frozenset[str]:
     return getattr(obj, EXPLICIT_PATHS_ATTR, frozenset())
+
+
+def effective_explicit_paths(obj) -> frozenset[str]:
+    """Explicit paths for any request object.
+
+    Objects built by :func:`parse_dataclass` carry the recorded set; for
+    programmatically-constructed dataclasses (no attr), fall back to a
+    diff against a default-constructed instance — a field that differs
+    from its default counts as explicitly set, so preset defaults never
+    clobber user-set values."""
+    recorded = getattr(obj, EXPLICIT_PATHS_ATTR, None)
+    if recorded is not None:
+        return recorded
+
+    def walk(o, default, path: str, out: set[str]) -> None:
+        for f in dataclasses.fields(o):
+            v = getattr(o, f.name)
+            d = getattr(default, f.name)
+            p = f"{path}.{f.name}" if path else f.name
+            if dataclasses.is_dataclass(v) and not isinstance(v, type):
+                walk(v, d, p, out)
+            elif v != d:
+                out.add(p)
+
+    out: set[str] = set()
+    try:
+        walk(obj, type(obj)(), "", out)
+    except TypeError:  # non-default-constructible; treat all as explicit
+        return frozenset(
+            f.name for f in dataclasses.fields(obj))
+    return frozenset(out)
 
 
 def load_config_file(cls, path: str):

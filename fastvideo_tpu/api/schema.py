@@ -201,6 +201,14 @@ def generation_kwargs(request: GenerationRequest) -> dict[str, Any]:
         kwargs["cfg_cache_interval"] = r.cfg_cache_interval
     if r.VSA_sparsity is not None:
         kwargs["VSA_sparsity"] = r.VSA_sparsity
+    if r.enable_teacache:
+        kwargs["enable_teacache"] = True
+    if s.sigmas is not None:
+        kwargs["sigmas"] = s.sigmas
+    if s.max_sequence_length is not None:
+        kwargs["max_sequence_length"] = s.max_sequence_length
+    if s.use_embedded_guidance is not None:
+        kwargs["use_embedded_guidance"] = s.use_embedded_guidance
     kwargs.update(request.extensions)
     return {k: v for k, v in kwargs.items() if v is not None}
 

@@ -64,10 +64,41 @@ def _add_bench(sub: argparse._SubParsersAction) -> None:
 
 
 def _cmd_bench(args: argparse.Namespace) -> int:
-    import runpy
+    if args.model_path is None:
+        # no model given: run the canonical repo-root synthetic bench
+        # (fixed FastWan workload; its config is the driver contract and
+        # ignores the geometry flags by design)
+        import runpy
 
-    # repo-root bench.py is the canonical synthetic bench
-    runpy.run_module("bench", run_name="__main__")
+        runpy.run_module("bench", run_name="__main__")
+        return 0
+    # real checkpoint: honor every flag through the product path
+    import json
+    import time
+
+    from fastvideo_tpu.entrypoints.video_generator import VideoGenerator
+
+    gen = VideoGenerator.from_pretrained(args.model_path, num_gpus=1)
+    kwargs = dict(prompt="A curious raccoon explores a neon-lit alley",
+                  height=args.height, width=args.width,
+                  num_frames=args.num_frames,
+                  num_inference_steps=args.num_inference_steps,
+                  seed=1024, save_video=False)
+    for _ in range(max(args.warmup, 0)):
+        gen.generate_video(**kwargs)
+    runs = []
+    for _ in range(max(args.repeat, 1)):
+        t0 = time.perf_counter()
+        r = gen.generate_video(**kwargs)
+        wall = time.perf_counter() - t0
+        stages = r.get("stage_times") or {}
+        runs.append(sum(stages.values()) or wall)
+    print(json.dumps({
+        "metric": f"e2e_{args.height}x{args.width}x{args.num_frames}f_"
+                  f"{args.num_inference_steps}steps",
+        "value": round(min(runs), 3), "unit": "s",
+        "runs": [round(v, 3) for v in runs],
+    }))
     return 0
 
 

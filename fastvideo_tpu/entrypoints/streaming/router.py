@@ -151,9 +151,14 @@ class ReplicaRegistry:
                    if self.health[r.url].status is ReplicaStatus.HEALTHY]
         if not healthy:
             return None
-        return min(healthy,
+        # true round-robin tie-break: rotate the candidate order per pick
+        # (a per-candidate counter inside one min() call always favored
+        # list order, pinning ties to the first replica)
+        offset = next(self._rr) % len(healthy)
+        rotated = healthy[offset:] + healthy[:offset]
+        return min(rotated,
                    key=lambda r: (self.health[r.url].active_sessions,
-                                  not r.primary, next(self._rr)))
+                                  not r.primary))
 
     def status(self) -> dict:
         return {

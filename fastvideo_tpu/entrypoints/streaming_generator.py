@@ -36,25 +36,41 @@ class IncrementalVideoWriter:
         self._thread.start()
 
     def _run(self) -> None:
-        frames = []
+        """TRUE incremental append: each chunk is written (and freed) as
+        it arrives — a long session must not buffer hours of uint8 frames
+        in RAM. Falls back to buffered-.npy only when no mp4 writer is
+        importable."""
+        writer = None
+        fallback: list[np.ndarray] = []
         while True:
             item = self._q.get()
             if item is None:
                 break
-            frames.append(item)
-        if frames:
-            try:
-                import imageio.v2 as imageio
+            if writer is None and not fallback:
+                try:
+                    import imageio.v2 as imageio
 
-                os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-                with imageio.get_writer(self.path, fps=self.fps,
-                                        macro_block_size=None) as w:
-                    for chunk in frames:
-                        for f in chunk:
-                            w.append_data(f)
-            except Exception as e:  # pragma: no cover
-                logger.warning("mp4 write failed: %s", e)
-                np.save(self.path + ".npy", np.concatenate(frames))
+                    os.makedirs(os.path.dirname(self.path) or ".",
+                                exist_ok=True)
+                    writer = imageio.get_writer(self.path, fps=self.fps,
+                                                macro_block_size=None)
+                except Exception as e:  # pragma: no cover
+                    logger.warning("mp4 writer unavailable (%s); buffering "
+                                   "to .npy", e)
+            if writer is not None:
+                try:
+                    for f in item:
+                        writer.append_data(f)
+                    continue
+                except Exception as e:  # pragma: no cover
+                    logger.warning("mp4 append failed: %s", e)
+                    writer.close()
+                    writer = None
+            fallback.append(np.asarray(item))
+        if writer is not None:
+            writer.close()
+        elif fallback:
+            np.save(self.path + ".npy", np.concatenate(fallback))
 
     def add_frames(self, frames: np.ndarray) -> None:
         self._q.put(frames)
@@ -134,6 +150,11 @@ class StreamingVideoGenerator:
         # text K/V once per prompt — constant across blocks and steps
         fwd, precompute_ca, state = self._get_fwd()
         self.ca_caches = precompute_ca(state, self.ctx)
+        # close (flush) any writer from a previous stream before
+        # replacing it — otherwise its file is never written
+        if getattr(self, "_writer", None) is not None:
+            self._writer.close()
+            self._writer = None
         if output_path:
             self._writer = IncrementalVideoWriter(output_path)
 

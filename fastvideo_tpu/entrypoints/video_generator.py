@@ -67,6 +67,8 @@ class VideoGenerator:
             kwargs["sp_size"] = par.sp_size
         if par.tp_size and par.tp_size > 0:
             kwargs["tp_size"] = par.tp_size
+        if getattr(par, "dp_size", None) and par.dp_size > 0:
+            kwargs["dp_size"] = par.dp_size
         if config.pipeline.components.lora_path:
             kwargs["lora_path"] = config.pipeline.components.lora_path
         gen = cls.from_pretrained(config.model_path, **kwargs)
@@ -75,7 +77,7 @@ class VideoGenerator:
 
     def generate(self, request) -> dict[str, Any] | list[np.ndarray]:
         """Run a typed api.GenerationRequest (preset-aware)."""
-        from fastvideo_tpu.api.parser import explicit_paths
+        from fastvideo_tpu.api.parser import effective_explicit_paths
         from fastvideo_tpu.api.presets import (get_preset,
                                                validate_stage_overrides)
         from fastvideo_tpu.api.schema import generation_kwargs
@@ -91,11 +93,18 @@ class VideoGenerator:
             validate_stage_overrides(preset, request.stage_overrides)
             # preset defaults apply only where the request didn't set
             # the field explicitly (schema.ServeConfig precedence).
-            explicit = explicit_paths(request)
+            # Preset keys can live at the top level (negative_prompt),
+            # under sampling.*, or under runtime.* — check all; and
+            # programmatic requests (no parse_dataclass record) fall
+            # back to a diff-vs-defaults explicit set.
+            explicit = effective_explicit_paths(request)
             for key, value in {**preset.defaults,
                                **cfg.pipeline.preset_overrides}.items():
-                if f"sampling.{key}" not in explicit:
-                    kwargs[key] = value
+                if any(p in explicit for p in (
+                        key, f"sampling.{key}", f"runtime.{key}",
+                        f"inputs.{key}", f"output.{key}")):
+                    continue
+                kwargs[key] = value
             for overrides in request.stage_overrides.values():
                 kwargs.update(overrides)
         return self.generate_video(prompt=request.prompt, **kwargs)
@@ -149,6 +158,9 @@ class VideoGenerator:
             extra=dict(param.extra),
         )
         batch.extra["num_videos_per_prompt"] = param.num_videos_per_prompt
+        if param.extra.get("sigmas") is not None:
+            # custom scheduler sigmas (consumed by TimestepPreparationStage)
+            batch.sigmas = np.asarray(param.extra["sigmas"], np.float64)
 
         batch = self.executor.execute_forward(batch, self.fastvideo_args)
 

@@ -41,6 +41,8 @@ class RMSNorm(nnx.Module):
         xf = x.astype(jnp.float32)
         var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
         xf = xf * jax.lax.rsqrt(var + self.eps)
+        # downcast BEFORE the weight multiply — reference RMSNorm
+        # (layernorm.py:76-80) order; parity-relevant for bf16 qk norms
         out = xf.astype(orig_dtype)
         if self.weight is not None:
             out = out * self.weight.value.astype(orig_dtype)
@@ -96,6 +98,8 @@ class LayerNormScaleShift(nnx.Module):
         if isinstance(self.norm, FP32LayerNorm):
             normed = self.norm._norm_f32(x)
         else:
+            # reference parity: the fused RMS branch norms at activation
+            # dtype and upcasts after (layernorm.py:251-253)
             normed = self.norm(x).astype(jnp.float32)
         out = normed * (1.0 + scale.astype(jnp.float32)) + shift.astype(
             jnp.float32)

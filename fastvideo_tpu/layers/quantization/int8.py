@@ -68,8 +68,17 @@ class Int8Linear(nnx.Module):
                   bias=linear.bias is not None, weight_only=weight_only,
                   param_dtype=linear.kernel.value.dtype, rngs=nnx.Rngs(0))
         wq, scale = quantize_weight_int8(linear.kernel.value)
-        new.kernel_q.value = wq
-        new.scale.value = scale
+        # carry the source layer's TP shard metadata: the int8 kernel
+        # shards like the bf16 kernel, and the per-output-channel scale
+        # like the bias — otherwise quantizing a TP model replicates the
+        # weights and GSPMD gathers around every matmul
+        tp_axes = getattr(linear.kernel, "tp_axes", None)
+        if tp_axes is not None:
+            new.kernel_q = nnx.Param(wq, tp_axes=tp_axes)
+            new.scale = nnx.Param(scale, tp_axes=(tp_axes[1],))
+        else:
+            new.kernel_q.value = wq
+            new.scale.value = scale
         if linear.bias is not None:
             new.bias = linear.bias
         return new
@@ -107,8 +116,7 @@ def quantize_model_linears(model: nnx.Module,
             full = f"{path}.{name}" if path else name
             if isinstance(child, Int8Linear):
                 continue
-            if type(child) is Linear or (isinstance(child, Linear)
-                                         and not hasattr(child, "lora_A")):
+            if isinstance(child, Linear) and not hasattr(child, "lora_A"):
                 if any(frag in full for frag in config.exclude):
                     continue
                 setattr(mod, name,
@@ -117,12 +125,16 @@ def quantize_model_linears(model: nnx.Module,
                             weight_only=config.method ==
                             "int8_weight_only"))
                 count += 1
-            elif isinstance(child, (nnx.Module, list, nnx.List)):
-                items = child if isinstance(child,
-                                            (list, nnx.List)) else [child]
+            elif isinstance(child, (nnx.Module, list, nnx.List, dict)):
+                if isinstance(child, dict):
+                    items = list(child.values())
+                elif isinstance(child, (list, nnx.List)):
+                    items = list(child)
+                else:
+                    items = [child]
                 for i, item in enumerate(items):
                     if isinstance(item, nnx.Module):
-                        sub = full if items is not child else f"{full}.{i}"
+                        sub = full if len(items) == 1 else f"{full}.{i}"
                         walk(item, sub)
 
     walk(model)

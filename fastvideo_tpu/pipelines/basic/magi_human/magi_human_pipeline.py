@@ -178,16 +178,27 @@ class MagiHumanDenoisingStage(PipelineStage):
         self._step = None
 
     def _get_step(self):
+        """Split once; per-(coords, mm) jitted steps are built in
+        _dit_forward — the DiT consumes coords/modality as HOST values
+        (it derives static masks from them), so they are closed over as
+        constants rather than traced."""
         if self._step is None:
-            graphdef, state = nnx.split(self.transformer)
+            self._step = nnx.split(self.transformer)
+        return self._step
 
+    def _get_jitted(self, graphdef, coords, mm):
+        key = (coords.shape, mm.shape, coords.tobytes(), mm.tobytes())
+        cache = getattr(self, "_jitted", None)
+        if cache is None:
+            cache = self._jitted = {}
+        if key not in cache:
             @jax.jit
-            def step(state, x, coords, mm):
+            def step(state, x):
                 m = nnx.merge(graphdef, state)
                 return m(x, coords, mm)
 
-            self._step = (step, state)
-        return self._step
+            cache[key] = step
+        return cache[key]
 
     def _dit_forward(self, state, step, video, audio, txt, txt_len,
                      layout, batch, i):
@@ -214,10 +225,12 @@ class MagiHumanDenoisingStage(PipelineStage):
             np.full(layout["audio_feat_len"], MODALITY_AUDIO, np.int64),
             np.full(txt_len, MODALITY_TEXT, np.int64),
         ])
+        graphdef = step  # callers unpack _get_step() as (graphdef, state)
+        jitted = self._get_jitted(graphdef, coords, mm)
         with set_forward_context(current_timestep=i, forward_batch=batch):
-            # one jitted XLA program per (shape) — NOT eager per-op
-            # dispatch, which costs a host round-trip per op
-            out = step(state, x, jnp.asarray(coords), jnp.asarray(mm))
+            # one jitted XLA program per (coords, mm) layout — NOT eager
+            # per-op dispatch, which costs a host round-trip per op
+            out = jitted(state, x)
         arch = self.cfg.dit_config.arch_config
         return _unpack_tokens(out.astype(jnp.float32),
                               layout["video_token_num"],

@@ -193,15 +193,28 @@ class DenoisingStage(PipelineStage):
         timesteps = list(batch.timesteps)
         trajectory = []
         guidance_arr = None
-        if (self.pipeline_config is not None
-                and self.pipeline_config.embedded_cfg_scale is not None):
+        use_embedded = batch.extra.get("use_embedded_guidance")
+        if use_embedded is not True and use_embedded is not False:
+            use_embedded = (self.pipeline_config is not None and
+                            self.pipeline_config.embedded_cfg_scale
+                            is not None)
+        if use_embedded:
             # distilled embedded guidance (reference denoising.py guidance
-            # = embedded_cfg_scale * 1000)
+            # = embedded_cfg_scale * 1000); per-request override falls
+            # back to guidance_scale when the config has no scale
+            scale = (self.pipeline_config.embedded_cfg_scale
+                     if self.pipeline_config is not None
+                     and self.pipeline_config.embedded_cfg_scale is not None
+                     else batch.guidance_scale)
             guidance_arr = jnp.full(
-                (latents.shape[0],),
-                float(self.pipeline_config.embedded_cfg_scale) * 1000.0,
-                jnp.float32)
+                (latents.shape[0],), float(scale) * 1000.0, jnp.float32)
         attn_metadata = self._build_attn_metadata(batch, fastvideo_args)
+        if batch.extra.get("enable_teacache") and \
+                "cfg_cache_interval" not in batch.extra:
+            # TeaCache maps onto the TeaCache-style delta-CFG cache
+            # (reference stages/denoising.py:331-363): reuse the CFG
+            # delta on alternating steps
+            batch.extra["cfg_cache_interval"] = 2
         cfg_cache_interval = int(batch.extra.get("cfg_cache_interval", 1))
         cfg_delta = None
         y_cam = batch.extra.get("y_camera")

@@ -77,6 +77,12 @@ class TextEncodingStage(PipelineStage):
 
     def forward(self, batch: ForwardBatch,
                 fastvideo_args: FastVideoArgs) -> ForwardBatch:
+        msl = batch.extra.get("max_sequence_length")
+        if msl:
+            # per-request text-length override (typed API
+            # sampling.max_sequence_length); applies to every encoder
+            self.max_length = int(msl)
+            self.max_lengths = [int(msl)] * len(self.max_lengths)
         prompts = batch.prompt if isinstance(batch.prompt,
                                              list) else [batch.prompt]
         pooled_list = batch.extra.setdefault("pooled_embeds", [])
