@@ -108,11 +108,21 @@ class LatentsParquetMapStyleDataset:
     def __len__(self) -> int:
         return int(self._offsets[-1])
 
+    # keep only the most recent shards resident — samplers read
+    # near-sequentially within a shard, but an epoch touches every shard
+    # and an unbounded cache would pin the whole dataset in host RAM
+    _TABLE_CACHE_MAX = 4
+
     def _table(self, file_idx: int):
         import pyarrow.parquet as pq
 
         if file_idx not in self._tables:
+            while len(self._tables) >= self._TABLE_CACHE_MAX:
+                self._tables.pop(next(iter(self._tables)))
             self._tables[file_idx] = pq.read_table(self.files[file_idx])
+        else:
+            # refresh LRU position
+            self._tables[file_idx] = self._tables.pop(file_idx)
         return self._tables[file_idx]
 
     def __getitem__(self, idx: int) -> tuple[np.ndarray, np.ndarray]:

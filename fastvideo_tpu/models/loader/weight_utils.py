@@ -155,7 +155,6 @@ def load_weights(model: nnx.Module,
                  strict: bool = True) -> int:
     count = 0
     pending: dict[str, dict[int, np.ndarray]] = {}
-    pending_total: dict[str, int] = {}
     for name, value in weights:
         target = (apply_param_mapping(name, param_names_mapping)
                   if param_names_mapping else name)
@@ -164,7 +163,6 @@ def load_weights(model: nnx.Module,
             # the torch out-dim (dim 0).
             tname, slot, total = target
             pending.setdefault(tname, {})[slot] = value
-            pending_total[tname] = total
             if len(pending[tname]) == total:
                 merged = np.concatenate(
                     [pending[tname][i] for i in range(total)], axis=0)

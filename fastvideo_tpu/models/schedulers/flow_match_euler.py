@@ -91,9 +91,15 @@ class FlowMatchEulerDiscreteScheduler(BaseScheduler):
     def set_timesteps(self, num_inference_steps: int | None = None,
                       sigmas: np.ndarray | None = None,
                       mu: float | None = None,
-                      timesteps: np.ndarray | None = None, **kwargs) -> None:
+                      timesteps: np.ndarray | None = None,
+                      shift: float | None = None, **kwargs) -> None:
         if self.use_dynamic_shifting and mu is None:
             raise ValueError("`mu` required with use_dynamic_shifting")
+        # per-call shift override (the DMD path passes shift=1.0 to keep
+        # distilled timesteps unwarped — silently swallowing it into
+        # **kwargs re-warped them with the config shift). Local only: it
+        # must not leak into the next request's schedule.
+        eff_shift = self.shift if shift is None else float(shift)
         if num_inference_steps is None:
             num_inference_steps = (len(sigmas) if sigmas is not None else
                                    len(timesteps))
@@ -110,7 +116,7 @@ class FlowMatchEulerDiscreteScheduler(BaseScheduler):
         if self.use_dynamic_shifting:
             sigmas = self.time_shift(mu, 1.0, sigmas)
         else:
-            sigmas = self.shift * sigmas / (1 + (self.shift - 1) * sigmas)
+            sigmas = eff_shift * sigmas / (1 + (eff_shift - 1) * sigmas)
         if self.shift_terminal:
             sigmas = self.stretch_shift_to_terminal(sigmas)
         if self.use_karras_sigmas:

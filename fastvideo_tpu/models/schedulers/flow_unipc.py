@@ -254,9 +254,15 @@ class FlowUniPCMultistepScheduler(BaseScheduler):
 
     def add_noise(self, original_samples: Array, noise: Array,
                   timesteps) -> Array:
-        # sigma-weighted mix: x_t = (1 - sigma) x_0 + sigma n (flow matching)
-        sigmas = jnp.asarray(self.sigmas)[
-            jnp.searchsorted(jnp.asarray(self.timesteps), timesteps)]
+        # sigma-weighted mix: x_t = (1 - sigma) x_0 + sigma n (flow
+        # matching). self.timesteps is DESCENDING, so exact
+        # nearest-timestep lookup (reference index_for_timestep,
+        # scheduling_flow_unipc_multistep.py:796-835) — searchsorted
+        # assumes ascending order and returned garbage indices here.
+        sched_ts = jnp.asarray(self.timesteps, jnp.float32)
+        ts = jnp.atleast_1d(jnp.asarray(timesteps, jnp.float32))
+        idx = jnp.argmin(jnp.abs(sched_ts[None, :] - ts[:, None]), axis=1)
+        sigmas = jnp.asarray(self.sigmas, jnp.float32)[idx]
         while sigmas.ndim < original_samples.ndim:
             sigmas = sigmas[..., None]
         return (1.0 - sigmas) * original_samples + sigmas * noise

@@ -266,6 +266,7 @@ class DenoisingStage(PipelineStage):
                                  or i % cfg_cache_interval == 0
                                  or i == len(timesteps) - 1
                                  or cfg_delta is None)
+                    noise_text = noise_pred
                     if recompute:
                         noise_uncond = step_fn(state, model_in, neg_ctx,
                                                t_arr, image_embeds,
@@ -278,6 +279,18 @@ class DenoisingStage(PipelineStage):
                     else:
                         noise_pred = noise_pred + (guidance -
                                                    1.0) * cfg_delta
+                    if batch.guidance_rescale and batch.guidance_rescale > 0:
+                        # arXiv 2305.08891 §3.4 (reference
+                        # stages/denoising.py:584-590): rescale the
+                        # combined prediction toward the text pass's std
+                        dims = tuple(range(1, noise_pred.ndim))
+                        std_t = jnp.std(noise_text.astype(jnp.float32),
+                                        axis=dims, keepdims=True)
+                        std_c = jnp.std(noise_pred.astype(jnp.float32),
+                                        axis=dims, keepdims=True)
+                        rescaled = noise_pred * (std_t / std_c)
+                        gr = float(batch.guidance_rescale)
+                        noise_pred = gr * rescaled + (1.0 - gr) * noise_pred
             latents = self.scheduler.step(
                 noise_pred.astype(jnp.float32), t,
                 latents.astype(jnp.float32)).prev_sample

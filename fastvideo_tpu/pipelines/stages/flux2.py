@@ -10,6 +10,8 @@ stats before unpatchify + decode.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import nnx
@@ -154,19 +156,24 @@ class Flux2DecodingStage(PipelineStage):
         if self._decode is None:
             graphdef, state = nnx.split(self.vae)
 
-            @jax.jit
-            def decode(state, packed_seq):
+            # geometry is an ARGUMENT (static), never closed over: a
+            # cached closure baked in the first request's h_lat/w_lat and
+            # silently scrambled any later request whose packed length
+            # collided (e.g. 1024x1024 vs 2048x512)
+            @functools.partial(jax.jit, static_argnames=("h", "w", "cc"))
+            def decode(state, packed_seq, h, w, cc):
                 m = nnx.merge(graphdef, state)
                 # [B, S, 4c] -> [B, 4c, h/2, w/2] for the BN stats
                 b = packed_seq.shape[0]
-                x = packed_seq.reshape(b, h_lat // 2, w_lat // 2, 4 * c)
+                x = packed_seq.reshape(b, h // 2, w // 2, 4 * cc)
                 x = m.bn_denormalize(x.transpose(0, 3, 1, 2))
-                x = x.transpose(0, 2, 3, 1).reshape(b, -1, 4 * c)
-                z = unpack_latents(x, c, h_lat, w_lat)
+                x = x.transpose(0, 2, 3, 1).reshape(b, -1, 4 * cc)
+                z = unpack_latents(x, cc, h, w)
                 return m.decode(z)
 
             self._decode = (decode, state)
         decode, state = self._decode
-        image = decode(state, batch.latents.astype(jnp.float32))
+        image = decode(state, batch.latents.astype(jnp.float32),
+                       int(h_lat), int(w_lat), int(c))
         batch.output = image[:, :, None]  # [B, 3, 1, H, W]
         return batch

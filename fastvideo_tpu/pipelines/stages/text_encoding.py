@@ -47,15 +47,17 @@ class TextEncodingStage(PipelineStage):
             cache[idx] = (encode_fn, state)
         return cache[idx]
 
-    def _encode_one(self, prompts: list[str], idx: int):
+    def _encode_one(self, prompts: list[str], idx: int,
+                    max_length_override: int | None = None):
         tokenizer = self.tokenizers[idx]
         encoder = self.text_encoders[idx]
         if tokenizer is None:
             raise RuntimeError("No tokenizer available for text encoding")
         if idx < len(self.preprocess_funcs):
             prompts = [self.preprocess_funcs[idx](p) for p in prompts]
-        max_length = (self.max_lengths[idx]
-                      if idx < len(self.max_lengths) else self.max_length)
+        max_length = max_length_override or (
+            self.max_lengths[idx]
+            if idx < len(self.max_lengths) else self.max_length)
         enc = tokenizer(prompts, padding="max_length",
                         max_length=max_length, truncation=True,
                         return_tensors="np")
@@ -63,10 +65,12 @@ class TextEncodingStage(PipelineStage):
         mask = jnp.asarray(np.asarray(enc["attention_mask"]))
         kwargs = (self.encoder_kwargs[idx]
                   if idx < len(self.encoder_kwargs) else {})
-        try:
+        from flax import nnx
+
+        if isinstance(encoder, nnx.Module):
             encode_fn, state = self._jitted_encoder(idx, kwargs)
             outputs = encode_fn(state, ids, mask)
-        except Exception:  # non-nnx callable conditioners
+        else:  # non-nnx callable conditioners
             outputs = encoder(ids, mask, **kwargs)
         if idx < len(self.postprocess_funcs):
             embeds = self.postprocess_funcs[idx](outputs)
@@ -77,18 +81,18 @@ class TextEncodingStage(PipelineStage):
 
     def forward(self, batch: ForwardBatch,
                 fastvideo_args: FastVideoArgs) -> ForwardBatch:
+        # per-request text-length override (typed API
+        # sampling.max_sequence_length) — passed per call, NEVER stored on
+        # the long-lived stage (a served request must not change the next
+        # request's tokenization)
         msl = batch.extra.get("max_sequence_length")
-        if msl:
-            # per-request text-length override (typed API
-            # sampling.max_sequence_length); applies to every encoder
-            self.max_length = int(msl)
-            self.max_lengths = [int(msl)] * len(self.max_lengths)
+        msl = int(msl) if msl else None
         prompts = batch.prompt if isinstance(batch.prompt,
                                              list) else [batch.prompt]
         pooled_list = batch.extra.setdefault("pooled_embeds", [])
         for i in range(len(self.text_encoders)):
             embeds, mask, pooled, audio = self._encode_one(
-                [p or "" for p in prompts], i)
+                [p or "" for p in prompts], i, max_length_override=msl)
             batch.prompt_embeds.append(embeds)
             batch.prompt_attention_mask.append(mask)
             pooled_list.append(pooled)
@@ -101,7 +105,8 @@ class TextEncodingStage(PipelineStage):
             neg_pooled_list = batch.extra.setdefault(
                 "negative_pooled_embeds", [])
             for i in range(len(self.text_encoders)):
-                embeds, mask, pooled, audio = self._encode_one(negs, i)
+                embeds, mask, pooled, audio = self._encode_one(
+                    negs, i, max_length_override=msl)
                 batch.negative_prompt_embeds.append(embeds)
                 batch.negative_attention_mask.append(mask)
                 neg_pooled_list.append(pooled)
