@@ -81,9 +81,9 @@ def video_transform(frames: np.ndarray) -> np.ndarray:
     top = (nh - SYNC_SIZE) // 2
     left = (nw - SYNC_SIZE) // 2
     out = out[:, top:top + SYNC_SIZE, left:left + SYNC_SIZE]
-    mean = np.array([0.485, 0.456, 0.406], np.float32)
-    std = np.array([0.229, 0.224, 0.225], np.float32)
-    return (out - mean) / std
+    # Synchformer preprocessing normalizes (x - 0.5) / 0.5 per channel
+    # (reference desync transform), NOT ImageNet stats
+    return (out - 0.5) / 0.5
 
 
 def segment_video(frames: np.ndarray) -> np.ndarray:
@@ -112,7 +112,10 @@ def mel_normalize(mel: np.ndarray) -> np.ndarray:
     x = np.log(mel + 1e-6)
     t = x.shape[-1]
     if t < AUDIO_MEL_FRAMES:
-        pad = np.zeros((*x.shape[:-1], AUDIO_MEL_FRAMES - t), x.dtype)
+        # pad with the tensor's MIN (silence), not zeros — a 0.0 log-mel
+        # normalizes to a loud frame (reference _pad_or_truncate_mel)
+        pad = np.full((*x.shape[:-1], AUDIO_MEL_FRAMES - t), x.min(),
+                      x.dtype)
         x = np.concatenate([x, pad], axis=-1)
     else:
         x = x[..., :AUDIO_MEL_FRAMES]
@@ -143,9 +146,13 @@ def synchformer_mel(waveform_seg: np.ndarray) -> np.ndarray:
     # torchaudio center-pads by n_fft//2 (reflect)
     x = np.pad(x, (n_fft // 2, n_fft // 2), mode="reflect")
     n_frames = 1 + (x.shape[0] - n_fft) // hop
-    idx = np.arange(win)[None, :] + hop * np.arange(n_frames)[:, None]
+    # torch.stft CENTERS the 400-tap window inside each 1024-sample FFT
+    # frame; taking the first 400 samples shifted every frame ~19.5 ms
+    # early — fatal for a synchronization metric
+    off = (n_fft - win) // 2
+    idx = off + np.arange(win)[None, :] + hop * np.arange(n_frames)[:, None]
     frames = x[idx] * np.hanning(win)[None, :]
-    frames = np.pad(frames, ((0, 0), (0, n_fft - win)))
+    frames = np.pad(frames, ((0, 0), (off, n_fft - win - off)))
     power = np.abs(np.fft.rfft(frames, axis=-1)) ** 2
     fb = mel_filterbank(AUDIO_SR, n_fft, 128)
     return (power @ fb.T).T.astype(np.float32)  # [128, T]
@@ -179,11 +186,16 @@ class DeSyncMetric(BaseMetric):
         return synchformer_mel(waveform_seg)
 
     def compute(self, sample: dict) -> MetricResult:
+        from fastvideo_tpu.eval.suite.audio import _sample_audio
+
         video = sample.get("video")
-        audio = sample.get("audio_waveform")
+        # standard worker convention first (video_audio/_sr via
+        # _sample_audio); legacy explicit key as fallback
+        audio, _sr = _sample_audio(sample, "video")
+        if audio is None:
+            audio = sample.get("audio_waveform")
         if video is None or audio is None:
-            missing = [k for k, v in (("video", video),
-                                      ("audio_waveform", audio))
+            missing = [k for k, v in (("video", video), ("audio", audio))
                        if v is None]
             return self._skip(f"missing {', '.join(missing)}")
         fps = sample.get("fps") or self._src_fps

@@ -133,8 +133,11 @@ class MotionSmoothnessMetric(BaseMetric):
             if mid_idx >= t:
                 break
             src = jnp.asarray(np.moveaxis(evens[i], -1, 0))  # [C, H, W]
-            # backward warp: predicted(x) = even_i(x + 0.5 * flow)
-            half = jnp.asarray(0.5 * flows[i])
+            # backward warp toward the midpoint: with the LK convention
+            # even_{i+1}(x + f) = even_i(x), the frame halfway along the
+            # motion is predicted(x) = even_i(x - 0.5 f) — warping by
+            # +0.5 f moves content AGAINST the motion
+            half = jnp.asarray(-0.5 * flows[i])
             pred = np.moveaxis(
                 np.asarray(warp(src, jnp.broadcast_to(
                     half, (src.shape[0], *half.shape)))), 0, -1)

@@ -55,10 +55,16 @@ class _DualTowerMixin:
     _tower = None
 
     def setup(self) -> None:
-        if self._tower is None:
+        # injected towers (instance or subclass attribute, e.g. test
+        # fakes) win; otherwise load ONCE onto the MIXIN so every
+        # semantic dim shares a single tower (storing on type(self) gave
+        # each subclass its own copy)
+        if self._tower is not None:
+            return
+        if _DualTowerMixin._tower is None:
             from fastvideo_tpu.models.clip_scoring import ClipDualTower
 
-            type(self)._tower = ClipDualTower.from_env(_DUAL_ENV)
+            _DualTowerMixin._tower = ClipDualTower.from_env(_DUAL_ENV)
 
     def _frames(self, video: np.ndarray, max_frames: int = 16) -> np.ndarray:
         video = np.asarray(video, np.float32)

@@ -45,7 +45,10 @@ LTX2_UPSAMPLER_PARAM_NAMES_MAPPING = {
     r"^(.*norm\d*)\.weight$": r"\1.scale",
     # torch Sequential upsampler: index 0 is the conv
     r"^upsampler\.0\.(weight|bias)$": r"upsampler_conv.\1",
-    r"^upsampler\.conv\.(weight|bias)$": r"upsampler_conv.\1",
+    # 'upsampler.conv' only exists in rational_resampler checkpoints
+    # (reference builds self.upsampler = SpatialRationalResampler whose
+    # conv is .conv) — route it to the flax rational resampler
+    r"^upsampler\.conv\.(weight|bias)$": r"rational.conv.\1",
     # tiny-fixture exports wrap ZeroPadConv3d as `.conv.` (HF-style for
     # LTXCausalConv3d); the real upsampler uses bare nn.Conv3d names
     r"^((?:initial_|final_|upsampler_)conv)\.conv\.(weight|bias)$":

@@ -14,7 +14,7 @@ from __future__ import annotations
 import statistics
 import threading
 from collections import defaultdict
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from typing import Any
 
 from fastvideo_tpu.performance.metric_policy import (regression_delta,
@@ -217,8 +217,25 @@ class PerformanceDataStore:
         with self._lock:
             if self._cache is None:
                 self.sync()
-        return load_records(self.tracking_root, days=days,
-                            successful_only=successful_only)
+            records = list(self._cache or [])
+        # filter the CACHE (refreshed via /sync) instead of re-globbing
+        # the whole record tree on every request
+        if successful_only:
+            records = [r for r in records if r.get("success", True)]
+        if days:
+            cutoff = datetime.now(timezone.utc) - timedelta(days=days)
+            kept = []
+            for r in records:
+                try:
+                    ts = datetime.fromisoformat(str(r.get("timestamp")))
+                except (TypeError, ValueError):
+                    ts = None
+                if ts is not None and ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=timezone.utc)
+                if ts is None or ts >= cutoff:
+                    kept.append(r)
+            records = kept
+        return records
 
     def health(self) -> dict[str, Any]:
         return {

@@ -236,10 +236,37 @@ class ValidationCallback(Callback):
                 if isinstance(cb, EMACallback):
                     ctx = cb.ema_context(method)
                     break
+        # only pass kwargs the implementation accepts; skip (don't crash
+        # training) when it needs positional data the callback can't
+        # supply (e.g. TrainingPipeline.validation_sample(embeds, shape))
+        import inspect
+
+        try:
+            sig = inspect.signature(sample_fn)
+        except (TypeError, ValueError):
+            sig = None
+        kwargs = {"prompt": self.prompt or None,
+                  "num_inference_steps": self.num_inference_steps}
+        if sig is not None:
+            accepted = set(sig.parameters)
+            kwargs = {k: v for k, v in kwargs.items() if k in accepted}
+            missing = [
+                n for n, p in sig.parameters.items()
+                if p.default is inspect.Parameter.empty
+                and p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY)
+                and n not in kwargs
+            ]
+            if missing:
+                if not getattr(self, "_warned_signature", False):
+                    self._warned_signature = True
+                    logger.warning(
+                        "validation callback: %s.validation_sample needs "
+                        "%s which the callback cannot supply; skipping "
+                        "validation sampling", type(method).__name__,
+                        missing)
+                return
         with ctx:
-            metrics = sample_fn(
-                prompt=self.prompt or None,
-                num_inference_steps=self.num_inference_steps)
+            metrics = sample_fn(**kwargs)
         tracker = getattr(method, "tracker", None)
         if tracker is not None and isinstance(metrics, dict):
             tracker.log({f"validation/{k}": v

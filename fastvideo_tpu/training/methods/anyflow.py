@@ -36,6 +36,9 @@ class AnyFlowDistillationPipeline(DMD2DistillationPipeline):
 
     def __init__(self, *args, student_sample_steps: int = 4,
                  t_list_override: list[float] | None = None, **kwargs):
+        generator = args[0] if args else kwargs.get("generator")
+        self._has_r = bool(generator is not None and getattr(
+            generator.config, "r_embedder", False))
         self.student_sample_steps = int(student_sample_steps)
         if self.student_sample_steps <= 0:
             raise ValueError("student_sample_steps must be positive")
@@ -69,13 +72,21 @@ class AnyFlowDistillationPipeline(DMD2DistillationPipeline):
         grad_step = jax.random.randint(grad_key, (), 0, num_steps)
 
         x = noise.astype(jnp.float32)
+        # dual-timestep flow-map trunk: the mean-velocity field is
+        # u(x_t, t, r=t_next) (reference training_rollout with
+        # use_mean_velocity=True) — r must reach the r_embedder
+        has_r = self._has_r
         for i in range(num_steps):
             t = float(t_list[i])
             t_next = float(t_list[i + 1])
             t_arr = jnp.full((noise.shape[0],), t, jnp.float32)
+            kw = {}
+            if has_r:
+                kw["r_timestep"] = jnp.full((noise.shape[0],), t_next,
+                                            jnp.float32)
             v = self._model(gen_params)(
                 x.astype(jnp.bfloat16), embeds.astype(jnp.bfloat16),
-                t_arr).astype(jnp.float32)
+                t_arr, **kw).astype(jnp.float32)
             # gradient flows only through the chosen step: elsewhere the
             # velocity is treated as a constant
             v = jnp.where(grad_step == i, v, jax.lax.stop_gradient(v))
@@ -93,10 +104,49 @@ class AnyFlowMethod(PipelineMethod):
     @classmethod
     def from_config(cls, cfg: TrainRunConfig) -> "AnyFlowMethod":
         targs = build_training_args(cfg)
-        generator = build_transformer(cfg.model)
-        real_score = build_transformer(cfg.model)
-        fake_score = build_transformer(cfg.model)
         mcfg = cfg.method_config
+        # the AnyFlow student is the dual-timestep flow-map trunk
+        # u(x_t, t, r): grow the r_embedder on ALL roles (one shared
+        # graphdef; the scores simply never receive r_timestep) unless
+        # the config opts out of mean-velocity sampling
+        overrides = None
+        if bool(mcfg.get("use_mean_velocity", True)):
+            overrides = {
+                "r_embedder": True,
+                "r_embedder_fusion": mcfg.get("r_embedder_fusion",
+                                              "additive"),
+                "r_embedder_gate_value": float(
+                    mcfg.get("r_embedder_gate_value", 0.25)),
+                "r_embedder_deltatime_type": mcfg.get(
+                    "r_embedder_deltatime_type", "r"),
+            }
+        generator = build_transformer(cfg.model, arch_overrides=overrides)
+        real_score = build_transformer(cfg.model, arch_overrides=overrides)
+        fake_score = build_transformer(cfg.model, arch_overrides=overrides)
+        if overrides is not None:
+            # checkpoints without delta weights: init delta_embedder as a
+            # copy of time_embedder (reference wanvideo.py:102-104)
+            import os
+
+            from fastvideo_tpu.models.loader.component_loader import (
+                find_safetensors_files)
+            from fastvideo_tpu.training.methods.anyflow_pretrain import (
+                _safetensors_keys)
+
+            tdir = os.path.join(cfg.model.pretrained_model_path,
+                                "transformer")
+            has_delta = any(
+                "delta_embedder" in k
+                for p in find_safetensors_files(tdir)
+                for k in _safetensors_keys(p))
+            if not has_delta:
+                from flax import nnx as _nnx
+
+                for m in (generator, real_score, fake_score):
+                    ce = m.condition_embedder
+                    src = _nnx.state(ce.time_embedder)
+                    _nnx.update(ce.delta_embedder,
+                                jax.tree.map(jnp.copy, src))
         return cls(AnyFlowDistillationPipeline(
             generator, real_score, fake_score, targs, _dmd_config(cfg),
             student_sample_steps=int(mcfg.get("student_sample_steps", 4)),

@@ -118,8 +118,13 @@ def build_multi_reward_scorer(
         raise ValueError("reward_weights must contain at least one reward")
     available: dict[str, RewardScorer] = dict(scorers or {})
     if not available:
-        available = {
-            "pickscore": PickScoreScorer(),
-            "clipscore": ClipScoreScorer(),
-        }
+        # construct ONLY the scorers the weights name: each eagerly loads
+        # model weights (and errors when its weights env is unset)
+        factories = {"pickscore": PickScoreScorer,
+                     "clipscore": ClipScoreScorer}
+        for name in reward_weights:
+            if name not in factories:
+                raise ValueError(f"unknown reward {name!r}; "
+                                 f"available: {sorted(factories)}")
+            available[name] = factories[name]()
     return MultiRewardScorer(reward_weights, scorers=available)

@@ -395,13 +395,20 @@ class StreamingLongTuningPipeline(SelfForcingDistillationPipeline):
                            first: bool) -> int:
         """Sampled new-frame count, block-rounded (reference :1202-1255)."""
         nfpb = self.generator_model.config.num_frames_per_block
+
+        def aligned(n: int) -> int:
+            # ALWAYS block-aligned: a ragged tail would be silently
+            # dropped by num_blocks = nf // nfpb while current_length
+            # still advanced by nf
+            return int(max(nfpb, (n // nfpb) * nfpb))
+
         chunk = self._stage_chunk(stage)
         if first:
-            return min(chunk, remaining)
+            return aligned(min(chunk, remaining))
         lo = stage.streaming_min_new_frame or nfpb
         if stage.streaming_fixed_overlap_latents is not None:
-            return min(chunk - stage.streaming_fixed_overlap_latents,
-                       remaining)
+            return aligned(min(chunk - stage.streaming_fixed_overlap_latents,
+                               remaining))
         hi = min(chunk, remaining)
         lo = min(lo, hi)
         rng = np.random.default_rng(self.args.seed * 100003 + self.step)

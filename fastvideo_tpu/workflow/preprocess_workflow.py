@@ -115,6 +115,11 @@ class PreprocessWorkflow(WorkflowBase):
     def run(self, samples: Iterable[dict] | None = None,
             output_dir: str | None = None) -> int:
         validator = self.get_component("validator")
+        if "preprocess_pipeline" not in self._components:
+            raise RuntimeError(
+                "PreprocessWorkflow was constructed without a VAE — "
+                "pass vae= (and text_encoder/tokenizer) to encode "
+                "samples, or use the validator standalone")
         pipeline = self.get_component("preprocess_pipeline")
         output_dir = output_dir or getattr(self.fastvideo_args, "output_dir",
                                            "preprocessed")
