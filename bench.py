@@ -162,7 +162,33 @@ def ensure_checkpoint() -> str:
     return CKPT
 
 
+def _probe_backend(timeout_s: float = 600.0) -> None:
+    """Fail FAST (and loudly) when the TPU tunnel is unreachable.
+
+    ``jax.devices()`` blocks indefinitely against a dead axon tunnel
+    (observed repeatedly during round 3); a bench that hangs forever is
+    worse than one that exits non-zero with a diagnosis."""
+    import threading
+
+    devices: list = []
+
+    def _init():
+        import jax
+
+        devices.extend(jax.devices())
+
+    t = threading.Thread(target=_init, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    if t.is_alive():
+        print(f"# FATAL: jax backend init did not complete in "
+              f"{timeout_s:.0f}s — TPU tunnel unreachable", file=sys.stderr)
+        os._exit(2)
+    print(f"# devices: {devices}", file=sys.stderr)
+
+
 def main() -> None:
+    _probe_backend()
     from fastvideo_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
