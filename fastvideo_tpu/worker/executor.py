@@ -68,10 +68,17 @@ def iteration_watchdog(what: str = "engine iteration"):
         watchdog.cancel()
         with contextlib.suppress(RuntimeError, OSError):
             faulthandler.cancel_dump_traceback_later()
+        elapsed = time.monotonic() - start
+        if not fired.is_set() and elapsed > timeout:
+            # the Timer expired but cancel() raced its callback (starved
+            # scheduler): report the breach deterministically from here
+            logger.critical(
+                "%s exceeded FASTVIDEO_ENGINE_ITERATION_TIMEOUT_S=%ds "
+                "(thread stacks dumped to stderr)", what, timeout)
+            fired.set()
         if fired.is_set():
             logger.warning("%s eventually completed after %.1fs "
-                           "(budget %ds)", what,
-                           time.monotonic() - start, timeout)
+                           "(budget %ds)", what, elapsed, timeout)
 
 
 class Executor:
