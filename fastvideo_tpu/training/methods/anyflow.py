@@ -128,7 +128,7 @@ class AnyFlowMethod(PipelineMethod):
             # copy of time_embedder (reference wanvideo.py:102-104)
             import os
 
-            from fastvideo_tpu.models.loader.component_loader import (
+            from fastvideo_tpu.models.loader.safetensors_io import (
                 find_safetensors_files)
             from fastvideo_tpu.training.methods.anyflow_pretrain import (
                 _safetensors_keys)

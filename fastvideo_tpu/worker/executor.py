@@ -26,7 +26,9 @@ logger = init_logger(__name__)
 
 
 @contextlib.contextmanager
-def iteration_watchdog(what: str = "engine iteration"):
+def iteration_watchdog(what: str = "engine iteration", *,
+                       _clock=time.monotonic,
+                       _timer_cls=threading.Timer):
     """Wall-clock guard around one engine iteration.
 
     Enforces ``FASTVIDEO_ENGINE_ITERATION_TIMEOUT_S`` (reference declares it
@@ -37,13 +39,17 @@ def iteration_watchdog(what: str = "engine iteration"):
     instead of a silent stall. <=0 disables the guard. The iteration is not
     killed — on TPU the usual cause is a long first compile, and the
     operator decides; the dump makes the hang diagnosable.
+
+    ``_clock`` / ``_timer_cls`` exist so tests can drive the deadline with a
+    fake clock and an inert timer instead of real sleeps (deterministic
+    under CPU contention).
     """
     timeout = envs.FASTVIDEO_ENGINE_ITERATION_TIMEOUT_S
     if timeout <= 0:
         yield
         return
     fired = threading.Event()
-    start = time.monotonic()
+    start = _clock()
 
     def _alarm() -> None:
         # log BEFORE setting the event: the main thread emits its
@@ -54,7 +60,7 @@ def iteration_watchdog(what: str = "engine iteration"):
             "(thread stacks dumped to stderr)", what, timeout)
         fired.set()
 
-    watchdog = threading.Timer(timeout, _alarm)
+    watchdog = _timer_cls(timeout, _alarm)
     watchdog.daemon = True
     watchdog.start()
     try:
@@ -68,7 +74,7 @@ def iteration_watchdog(what: str = "engine iteration"):
         watchdog.cancel()
         with contextlib.suppress(RuntimeError, OSError):
             faulthandler.cancel_dump_traceback_later()
-        elapsed = time.monotonic() - start
+        elapsed = _clock() - start
         if not fired.is_set() and elapsed > timeout:
             # the Timer expired but cancel() raced its callback (starved
             # scheduler): report the breach deterministically from here

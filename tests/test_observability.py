@@ -15,11 +15,48 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(__file__))
 
 
+class _InertTimer:
+    """Timer stand-in that never fires on its own: the watchdog's
+    finally-block fallback (fake-clock elapsed > budget) must report the
+    breach deterministically, with no real threads or sleeps involved."""
+
+    def __init__(self, interval, fn):
+        pass
+
+    def start(self):
+        pass
+
+    def cancel(self):
+        pass
+
+    daemon = True
+
+
 def test_iteration_watchdog_fires(monkeypatch, capfd):
     monkeypatch.setenv("FASTVIDEO_ENGINE_ITERATION_TIMEOUT_S", "1")
     from fastvideo_tpu.worker.executor import iteration_watchdog
-    with iteration_watchdog("test iteration"):
-        time.sleep(1.4)
+    fake_now = [0.0]
+    with iteration_watchdog("test iteration", _clock=lambda: fake_now[0],
+                            _timer_cls=_InertTimer):
+        fake_now[0] += 1.4  # simulated 1.4s iteration vs a 1s budget
+    err = capfd.readouterr().err
+    assert "exceeded" in err and "eventually completed" in err
+
+
+def test_iteration_watchdog_timer_path_fires(monkeypatch, capfd):
+    """The live Timer path, driven by invoking the alarm callback directly
+    (captured from the injected timer class) instead of racing a sleep."""
+    monkeypatch.setenv("FASTVIDEO_ENGINE_ITERATION_TIMEOUT_S", "1")
+    from fastvideo_tpu.worker.executor import iteration_watchdog
+    alarms = []
+
+    class _CapturingTimer(_InertTimer):
+        def __init__(self, interval, fn):
+            alarms.append(fn)
+
+    with iteration_watchdog("timer iteration", _clock=lambda: 0.0,
+                            _timer_cls=_CapturingTimer):
+        alarms[0]()  # deterministic "deadline passed"
     err = capfd.readouterr().err
     assert "exceeded" in err and "eventually completed" in err
 
