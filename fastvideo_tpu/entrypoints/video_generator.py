@@ -58,6 +58,58 @@ class VideoGenerator:
         return cls(fastvideo_args, executor_cls(fastvideo_args))
 
     @classmethod
+    def from_config(cls, config) -> "VideoGenerator":
+        """Construct from a typed ``api.GeneratorConfig`` or a plain mapping
+        (drop-in for reference entrypoints/video_generator.py:240)."""
+        from fastvideo_tpu.api.parser import parse_dataclass
+        from fastvideo_tpu.api.schema import GeneratorConfig
+
+        if not isinstance(config, GeneratorConfig):
+            config = parse_dataclass(GeneratorConfig, dict(config))
+        return cls.from_generator_config(config)
+
+    @classmethod
+    def from_file(cls, path: str,
+                  overrides: dict[str, Any] | list[str] | None = None
+                  ) -> "VideoGenerator":
+        """Construct from a JSON/YAML generator-config file (drop-in for
+        reference entrypoints/video_generator.py:255). ``overrides`` are
+        dotted-key assignments (dict or ``["a.b=c", ...]`` list) applied on
+        top of the file before parsing."""
+        from fastvideo_tpu.api.parser import load_config_file
+        from fastvideo_tpu.api.schema import GeneratorConfig
+
+        if not overrides:
+            return cls.from_generator_config(
+                load_config_file(GeneratorConfig, path))
+        import dataclasses as _dc
+
+        cfg = load_config_file(GeneratorConfig, path)
+        if isinstance(overrides, list):
+            parsed: dict[str, Any] = {}
+            for item in overrides:
+                key, _, val = item.partition("=")
+                parsed[key.strip()] = val.strip()
+            overrides = parsed
+        for dotted, value in overrides.items():
+            key = dotted[len("generator."):] if dotted.startswith(
+                "generator.") else dotted
+            parts = key.split(".")
+            obj = cfg
+            for p in parts[:-1]:
+                obj = getattr(obj, p)
+            leaf = parts[-1]
+            field_types = {f.name: f.type for f in _dc.fields(obj)}
+            if leaf not in field_types:
+                raise KeyError(f"unknown config override: {dotted}")
+            if isinstance(value, str):
+                from fastvideo_tpu.api.parser import _coerce_scalar
+
+                value = _coerce_scalar(value)
+            setattr(obj, leaf, value)
+        return cls.from_generator_config(cfg)
+
+    @classmethod
     def from_generator_config(cls, config) -> "VideoGenerator":
         """Construct from a typed api.GeneratorConfig tree."""
         eng = config.engine

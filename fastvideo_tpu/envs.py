@@ -71,6 +71,12 @@ environment_flags: dict[str, Callable[[], Any]] = {
     "FASTVIDEO_COMPILE_CACHE":
     lambda: os.getenv("FASTVIDEO_COMPILE_CACHE",
                       os.path.expanduser("~/.cache/fastvideo_tpu/jax_cache")),
+    # Draw initial latents with on-device jax.random (threefry) instead of
+    # the host torch CPU generator. Faster (no host->device transfer of the
+    # noise tensor) but NOT bitwise-equal to diffusers randn_tensor — leave
+    # off when torch-seed parity matters (PSNR gates).
+    "FASTVIDEO_DEVICE_RNG":
+    lambda: os.getenv("FASTVIDEO_DEVICE_RNG", "0") in ("1", "true", "True"),
 }
 
 

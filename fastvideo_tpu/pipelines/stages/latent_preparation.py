@@ -9,6 +9,9 @@ Torch is used host-side only; the tensor immediately becomes a jax array.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -63,7 +66,26 @@ class LatentPreparationStage(PipelineStage):
         if batch.latents is not None:
             return batch
         shape = self.latent_shape(batch)
-        noise = randn_like_reference(shape, batch.seeds or [batch.seed or 0])
-        batch.latents = jnp.asarray(noise)
+        seeds = batch.seeds or [batch.seed or 0]
+        from fastvideo_tpu import envs
+
+        if envs.FASTVIDEO_DEVICE_RNG:
+            batch.latents = _device_randn(shape, tuple(int(s) for s in seeds))
+        else:
+            noise = randn_like_reference(shape, seeds)
+            batch.latents = jnp.asarray(noise)
         batch.raw_latent_shape = shape
         return batch
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "seeds"))
+def _device_randn(shape: tuple[int, ...], seeds: tuple[int, ...]) -> jax.Array:
+    """Initial noise drawn ON DEVICE (FASTVIDEO_DEVICE_RNG=1): same
+    one-generator-per-seed batching as the torch path, but via threefry —
+    no 8 MB host->device latent transfer per generation. Seed-deterministic,
+    not torch-bitwise."""
+    outs = [
+        jax.random.normal(jax.random.PRNGKey(seed), (1, *shape[1:]),
+                          jnp.float32) for seed in seeds
+    ]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
