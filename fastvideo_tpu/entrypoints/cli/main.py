@@ -327,6 +327,66 @@ def _add_eval(sub: argparse._SubParsersAction) -> None:
     lst = esub.add_parser("list", help="List available metrics")
     lst.set_defaults(func=_cmd_eval_list)
 
+    refs = esub.add_parser(
+        "refs", help="Manage SSIM reference videos (reference analog: "
+        "tests/ssim/reference_videos_cli.py)")
+    rsub = refs.add_subparsers(dest="refs_command", required=True)
+    for name, fn in (("fetch", _cmd_refs_fetch), ("verify", _cmd_refs_verify),
+                     ("copy-local", _cmd_refs_copy), ("list",
+                                                      _cmd_refs_list)):
+        rp = rsub.add_parser(name)
+        rp.add_argument("--tier", default="fast")
+        rp.add_argument("--device-key", default=None)
+        if name == "fetch":
+            rp.add_argument("--repo-id",
+                            default="FastVideo/ssim-reference-videos")
+        if name == "copy-local":
+            rp.add_argument("--src", required=True,
+                            help=".npy frames file to install")
+            rp.add_argument("--case", required=True,
+                            help="case name (test id) to register")
+        rp.set_defaults(func=fn)
+
+
+def _cmd_refs_fetch(args: argparse.Namespace) -> int:
+    from fastvideo_tpu.eval import reference_videos as rv
+
+    path = rv.fetch(args.repo_id, args.tier, args.device_key)
+    print(f"fetched reference videos into {path}")
+    return 0
+
+
+def _cmd_refs_verify(args: argparse.Namespace) -> int:
+    from fastvideo_tpu.eval import reference_videos as rv
+
+    res = rv.verify(args.tier, args.device_key)
+    print(f"reference dir: {rv.reference_dir(args.tier, args.device_key)}")
+    print(f"  ok: {len(res.ok)}  corrupt: {res.corrupt}  "
+          f"missing: {res.missing}  untracked: {res.untracked}")
+    return 0 if not (res.corrupt or res.missing) else 1
+
+
+def _cmd_refs_copy(args: argparse.Namespace) -> int:
+    from fastvideo_tpu.eval import reference_videos as rv
+
+    dst = rv.copy_local(args.src, args.case, args.tier, args.device_key)
+    print(f"installed {args.case} -> {dst}")
+    return 0
+
+
+def _cmd_refs_list(args: argparse.Namespace) -> int:
+    from fastvideo_tpu.eval import reference_videos as rv
+
+    ref_dir = rv.reference_dir(args.tier, args.device_key)
+    manifest = rv.load_manifest(ref_dir)
+    print(f"reference dir: {ref_dir}")
+    for case, meta in sorted(manifest.items()):
+        print(f"  {case}: shape={meta.get('shape')} "
+              f"sha256={meta.get('sha256', '')[:12]}…")
+    if not manifest:
+        print("  (empty — `fastvideo eval refs fetch` or copy-local)")
+    return 0
+
 
 def _cmd_eval_list(args: argparse.Namespace) -> int:
     """List suite metrics with availability (missing deps/weights)."""
