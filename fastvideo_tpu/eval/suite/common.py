@@ -55,9 +55,52 @@ class PSNRMetric(_PairMetric):
     fn_name = "psnr"
 
 
+def _gaussian_kernel1d(size: int, sigma: float) -> "np.ndarray":
+    import numpy as np
+
+    coords = np.arange(size, dtype=np.float64) - size // 2
+    g = np.exp(-coords**2 / (2 * sigma**2))
+    return g / g.sum()
+
+
+def _ssim_reference(gen: "np.ndarray", ref: "np.ndarray",
+                    window_size: int = 11) -> float:
+    """SSIM with the REFERENCE implementation's exact math
+    (fastvideo/eval/metrics/common/ssim/metric.py:10-37): separable
+    gaussian window (sigma 1.5), biased covariance, zero-padded borders
+    INCLUDED in the mean. Inputs [T, H, W, C] float in [0, 1]."""
+    import numpy as np
+    from scipy.ndimage import correlate1d
+
+    k = _gaussian_kernel1d(window_size, 1.5)
+    c1, c2 = 0.01**2, 0.03**2
+
+    def blur(x):  # zero-padded separable gaussian over (H, W)
+        out = correlate1d(x, k, axis=1, mode="constant", cval=0.0)
+        return correlate1d(out, k, axis=2, mode="constant", cval=0.0)
+
+    x = gen.astype(np.float64)
+    y = ref.astype(np.float64)
+    mu_x, mu_y = blur(x), blur(y)
+    sigma_x2 = blur(x * x) - mu_x**2
+    sigma_y2 = blur(y * y) - mu_y**2
+    sigma_xy = blur(x * y) - mu_x * mu_y
+    num = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    den = (mu_x**2 + mu_y**2 + c1) * (sigma_x2 + sigma_y2 + c2)
+    return float(np.mean(num / den))
+
+
 @register("common.ssim")
 class SSIMMetric(_PairMetric):
     fn_name = "ssim"
+
+    def compute(self, sample: dict) -> MetricResult:
+        video, ref, err = _videos(sample)
+        if err:
+            return self._skip(err)
+        n = min(len(video), len(ref))
+        score = _ssim_reference(video[:n], ref[:n])
+        return MetricResult(name=self.name, score=score)
 
 
 @register("common.temporal_consistency")

@@ -32,7 +32,9 @@ def generate_motion_masks(frames: np.ndarray, *, threshold: int = 10,
     via a running-average background model."""
     import cv2
 
-    u8 = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
+    # rint, not truncation: matches tensor_to_uint8_frames (utils.py:38-40)
+    u8 = np.clip(np.rint(np.clip(frames, 0, 1) * 255.0), 0,
+                 255).astype(np.uint8)
     first = cv2.GaussianBlur(
         cv2.cvtColor(u8[0], cv2.COLOR_RGB2GRAY)
         if u8.shape[-1] == 3 else u8[0, ..., 0], (5, 5), 0)
@@ -82,17 +84,62 @@ def weighted_spatial_iou(masks1: np.ndarray, masks2: np.ndarray) -> float:
     return float(np.minimum(w1, w2)[valid].sum() / union[valid].sum())
 
 
+def roundtrip_mask_frames(masks: np.ndarray, *, fps: int) -> np.ndarray:
+    """mp4 encode/decode of generated masks — the reference applies this
+    lossy round-trip to GENERATED masks by default (utils.py:151-171,
+    ``roundtrip_generated_masks=True``) to mimic the original Physics-IQ
+    release's on-disk artefacts; it measurably shifts the IoU scores, so
+    parity requires it. Falls back to identity when cv2 lacks an mp4
+    encoder."""
+    import os
+    import tempfile
+
+    import cv2
+
+    if masks.size == 0:
+        return masks
+    fd, tmp = tempfile.mkstemp(suffix=".mp4")
+    os.close(fd)
+    os.unlink(tmp)
+    try:
+        writer = cv2.VideoWriter(tmp, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                                 (masks.shape[2], masks.shape[1]),
+                                 isColor=False)
+        if not writer.isOpened():  # pragma: no cover - codec-less cv2
+            return masks
+        for m in masks:
+            writer.write(m)
+        writer.release()
+        cap = cv2.VideoCapture(tmp)
+        frames = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            frames.append(f[..., 0] if f.ndim == 3 else f)
+        cap.release()
+        return np.stack(frames) if frames else masks
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
 def _prepare_pair(sample: dict, *, target_fps: int, duration: int,
-                  threshold: int, alpha: float):
+                  threshold: int, alpha: float,
+                  cache_key: str = "_physics_iq_pair",
+                  gen_key: str = "video", ref_key: str = "reference"):
     """Window + quarter-res resize + motion masks, cached on the sample
-    so sibling physics_iq metrics reuse the decode."""
-    cached = sample.get("_physics_iq_pair")
+    so sibling physics_iq metrics reuse the decode. Mask order matches the
+    reference (utils.py:300-365): masks from FULL-res uint8 frames, the
+    generated masks round-tripped through mp4, then resized to quarter and
+    re-binarized at >127."""
+    cached = sample.get(cache_key)
     if cached is not None:
         return cached
     import cv2
 
-    gen = np.asarray(sample["video"], np.float32)
-    ref = np.asarray(sample["reference"], np.float32)
+    gen = np.asarray(sample[gen_key], np.float32)
+    ref = np.asarray(sample[ref_key], np.float32)
     n = target_fps * duration
     gen, ref = gen[:n], ref[:n]
     if not len(gen) or not len(ref):
@@ -100,22 +147,30 @@ def _prepare_pair(sample: dict, *, target_fps: int, duration: int,
     th, tw = max(ref.shape[1] // 4, 1), max(ref.shape[2] // 4, 1)
 
     def quarter(v):
-        return np.stack([cv2.resize(f, (tw, th)) for f in v])
+        # resize the uint8 frames, then /255 (reference utils.py:326-327)
+        u8 = np.clip(np.rint(np.clip(v, 0, 1) * 255.0), 0,
+                     255).astype(np.uint8)
+        return np.stack([cv2.resize(f, (tw, th))
+                         for f in u8]).astype(np.float32) / 255.0
 
     prepared = {
         "gen_q": quarter(gen),
         "ref_q": quarter(ref),
-        "gen_masks": quarter_masks(gen, (tw, th), threshold, alpha),
+        "gen_masks": quarter_masks(gen, (tw, th), threshold, alpha,
+                                   roundtrip_fps=target_fps),
         "ref_masks": quarter_masks(ref, (tw, th), threshold, alpha),
     }
-    sample["_physics_iq_pair"] = prepared
+    sample[cache_key] = prepared
     return prepared
 
 
-def quarter_masks(frames, size, threshold, alpha):
+def quarter_masks(frames, size, threshold, alpha,
+                  roundtrip_fps: int | None = None):
     import cv2
 
     masks = generate_motion_masks(frames, threshold=threshold, alpha=alpha)
+    if roundtrip_fps is not None:
+        masks = roundtrip_mask_frames(masks, fps=roundtrip_fps)
     return np.stack([
         (cv2.resize(m, size) > 127).astype(np.uint8) for m in masks
     ])
@@ -190,26 +245,57 @@ class WeightedSpatialIoUMetric(_PhysicsIQBase):
 
 @register("physics_iq.combined")
 class PhysicsIQMetric(_PhysicsIQBase):
-    """All four Physics-IQ scores in one result (headline = mean of the
-    three IoU variants, details carry everything)."""
+    """Combined Physics-IQ score.
+
+    With ``sample['reference_take2']`` (a second real take), computes the
+    REFERENCE'S normalized 0-100 score (physics_iq/metric.py:120-140):
+    each IoU of (gen, ref) is divided by the physical-variance IoU of
+    (ref, take2), the MSE gap is subtracted, x100, clipped to [0, 100],
+    rounded to 2. Without a second take, falls back to the plain mean of
+    the three IoU variants (documented deviation: no variance normalizer
+    available)."""
 
     def compute(self, sample: dict) -> MetricResult:
         p = self._prepared(sample)
         if p is None:
             return self._skip("needs video and reference")
-        n = min(len(p["gen_q"]), len(p["ref_q"]))
-        details = {
-            "mse": float(np.mean((p["gen_q"][:n] - p["ref_q"][:n])**2)),
-            "spatial_iou": spatial_iou(p["ref_masks"], p["gen_masks"]),
-            "spatiotemporal_iou": spatiotemporal_iou(p["ref_masks"],
-                                                     p["gen_masks"]),
-            "weighted_spatial_iou": weighted_spatial_iou(p["ref_masks"],
-                                                         p["gen_masks"]),
-        }
-        score = float(np.mean([details["spatial_iou"],
-                               details["spatiotemporal_iou"],
-                               details["weighted_spatial_iou"]]))
-        return MetricResult(name=self.name, score=score, details=details)
+
+        def pair_stats(pp):
+            n = min(len(pp["gen_q"]), len(pp["ref_q"]))
+            return {
+                "mse": float(np.mean((pp["gen_q"][:n] - pp["ref_q"][:n])**2)),
+                "spatial_iou": spatial_iou(pp["ref_masks"], pp["gen_masks"]),
+                "spatiotemporal_iou": spatiotemporal_iou(
+                    pp["ref_masks"], pp["gen_masks"]),
+                "weighted_spatial_iou": weighted_spatial_iou(
+                    pp["ref_masks"], pp["gen_masks"]),
+            }
+
+        a = pair_stats(p)
+        if sample.get("reference_take2") is None:
+            score = float(np.mean([a["spatial_iou"],
+                                   a["spatiotemporal_iou"],
+                                   a["weighted_spatial_iou"]]))
+            return MetricResult(name=self.name, score=score, details=a)
+        # variance pair: (reference, reference_take2) — note the variance
+        # pair's "generated" side is the first reference, so its masks do
+        # get the mp4 round-trip, matching prepare_pair_inputs semantics
+        vp = _prepare_pair(sample, **self._kw,
+                           cache_key="_physics_iq_variance_pair",
+                           gen_key="reference", ref_key="reference_take2")
+        v = pair_stats(vp)
+        ratio = np.mean([
+            a["spatiotemporal_iou"] / max(v["spatiotemporal_iou"], 1e-12),
+            a["spatial_iou"] / max(v["spatial_iou"], 1e-12),
+            a["weighted_spatial_iou"] / max(v["weighted_spatial_iou"],
+                                            1e-12),
+        ])
+        score = 100.0 * (ratio - (a["mse"] - v["mse"]))
+        score = round(float(np.clip(score, 0.0, 100.0)), 2)
+        return MetricResult(name=self.name, score=score,
+                            details={**a,
+                                     **{f"pv_{k}": val
+                                        for k, val in v.items()}})
 
 
 @register("physics_iq")

@@ -211,13 +211,23 @@ def test_physics_iq():
     ref = _video(0, t=12, h=64, w=64)
     same = ev.evaluate(video=ref.copy(), reference=ref)
     c = same["physics_iq.combined"]
-    assert c.score == pytest.approx(1.0, abs=1e-6)
+    # identical videos: near-perfect, but NOT exactly 1.0 — matching the
+    # reference, generated masks take a lossy mp4 round-trip
+    # (utils.py:151-171) that the reference-side masks do not
+    assert 0.8 < c.score <= 1.0
     assert c.details["mse"] == pytest.approx(0.0, abs=1e-9)
-    assert same["physics_iq.spatial_iou"].score == pytest.approx(1.0)
+    assert same["physics_iq.spatial_iou"].score > 0.8
 
     static = np.repeat(ref[:1], 12, axis=0)
     diff = ev.evaluate(video=static, reference=ref)
     assert diff["physics_iq.combined"].score < 0.5
+    # with a second real take, the combined score uses the reference's
+    # normalized 0-100 scale (physics_iq/metric.py:120-140)
+    take2 = _video(0, t=12, h=64, w=64)
+    norm = ev.evaluate(samples=[{
+        "video": ref.copy(), "reference": ref, "reference_take2": take2,
+    }])[0]["physics_iq.combined"]
+    assert 0.0 <= norm.score <= 100.0 and norm.score > 50.0
 
 
 def test_gated_metrics_skip_in_groups(monkeypatch):
