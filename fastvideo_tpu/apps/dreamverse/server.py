@@ -182,11 +182,38 @@ class DreamverseServer:
             if session is not None:
                 await asyncio.to_thread(session.close)
 
+    @staticmethod
+    def _process_request(connection, request):
+        """Serve the single-file web client on plain HTTP GETs (reference
+        analog: the Dreamverse web app, apps/dreamverse/) while WebSocket
+        upgrades fall through to the session handler."""
+        try:
+            upgrade = request.headers.get("Upgrade", "")
+        except Exception:  # pragma: no cover - header API drift
+            return None
+        if upgrade.lower() == "websocket":
+            return None
+        from http import HTTPStatus
+
+        from fastvideo_tpu.apps.dreamverse.ui import CLIENT_HTML
+
+        if request.path in ("/", "/index.html"):
+            resp = connection.respond(HTTPStatus.OK, CLIENT_HTML)
+            # websockets Headers is a multidict: delete before set, or the
+            # text/plain default from respond() stays first
+            del resp.headers["Content-Type"]
+            resp.headers["Content-Type"] = "text/html; charset=utf-8"
+            return resp
+        if request.path == "/health":
+            return connection.respond(HTTPStatus.OK, "ok\n")
+        return connection.respond(HTTPStatus.NOT_FOUND, "not found\n")
+
     async def start(self):
         import websockets
 
-        self._server = await websockets.serve(self._handler, self.host,
-                                              self.port)
+        self._server = await websockets.serve(
+            self._handler, self.host, self.port,
+            process_request=self._process_request)
         if self.port == 0:
             self.port = next(iter(self._server.sockets)).getsockname()[1]
         return self._server

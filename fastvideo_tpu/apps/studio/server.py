@@ -62,6 +62,10 @@ class StudioServer:
                body: dict[str, Any] | None = None
                ) -> tuple[int, dict[str, Any]]:
         body = body or {}
+        if path in ("/", "/index.html") and method == "GET":
+            from fastvideo_tpu.apps.studio.ui import INDEX_HTML
+
+            return 200, {"_inline": INDEX_HTML, "_media_type": "text/html"}
         if path == "/health":
             running = sum(1 for j in self.runner.list_jobs()
                           if j.status == JobStatus.RUNNING)
@@ -273,6 +277,15 @@ class StudioServer:
                                                    query, body)
                 except Exception as exc:
                     status, payload = 500, {"error": str(exc)}
+                if isinstance(payload, dict) and "_inline" in payload:
+                    data = payload["_inline"].encode()
+                    self.send_response(status)
+                    self.send_header("Content-Type",
+                                     payload.get("_media_type", "text/html"))
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
                 if isinstance(payload, dict) and "_file" in payload:
                     with open(payload["_file"], "rb") as f:
                         data = f.read()

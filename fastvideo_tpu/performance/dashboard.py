@@ -274,6 +274,10 @@ class DashboardServer:
         days = int(q("days", 90) or 90)
         model_id, gpu_type = q("model_id"), q("gpu_type")
         run_source = q("run_source")
+        if method == "GET" and path in ("/", "/index.html"):
+            from fastvideo_tpu.performance.dashboard_ui import INDEX_HTML
+
+            return 200, {"_inline": INDEX_HTML, "_media_type": "text/html"}
         if method == "POST" and path == "/api/performance/refresh":
             return 200, self.store.sync()
         if method != "GET":
@@ -335,6 +339,16 @@ class DashboardServer:
                                                    query)
                 except Exception as exc:  # surface as 500 JSON
                     status, payload = 500, {"error": str(exc)}
+                if isinstance(payload, dict) and "_inline" in payload:
+                    data = payload["_inline"].encode()
+                    self.send_response(status)
+                    self.send_header(
+                        "Content-Type",
+                        payload.get("_media_type", "text/html"))
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
                 body = _json.dumps(payload).encode()
                 self.send_response(status)
                 self.send_header("Content-Type", "application/json")

@@ -65,3 +65,43 @@ def test_ws_session_protocol():
             await server.stop()
 
     asyncio.run(run())
+
+
+def test_http_serves_web_client():
+    """Plain HTTP GET / on the WS port returns the single-file web client
+    (reference analog: the Dreamverse browser app)."""
+    pytest.importorskip("websockets")
+    import urllib.request
+
+    from fastvideo_tpu.apps.dreamverse import DreamverseConfig
+    from fastvideo_tpu.apps.dreamverse.server import DreamverseServer
+
+    cfg = DreamverseConfig(generation_segment_cap=1,
+                           prompt_auto_timeout_ms=50)
+
+    async def run():
+        server = DreamverseServer(cfg, host="127.0.0.1", port=0,
+                                  worker="mock")
+        await server.start()
+        try:
+            url = f"http://127.0.0.1:{server.port}/"
+
+            def fetch():
+                with urllib.request.urlopen(url, timeout=5) as r:
+                    return r.headers["Content-Type"], r.read().decode()
+
+            ctype, page = await asyncio.to_thread(fetch)
+            assert ctype.startswith("text/html")
+            assert "Dreamverse" in page and "media_chunk" in page
+
+            def health():
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{server.port}/health",
+                        timeout=5) as r:
+                    return r.read().decode()
+
+            assert "ok" in await asyncio.to_thread(health)
+        finally:
+            await server.stop()
+
+    asyncio.run(run())

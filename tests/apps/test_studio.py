@@ -250,3 +250,27 @@ def test_server_http_transport(tmp_path):
             assert len(json.loads(r.read())["jobs"]) == 1
     finally:
         srv.shutdown()
+
+
+def test_server_serves_web_ui(tmp_path):
+    """GET / returns the single-file Studio web UI (reference analog:
+    apps/fastvideo_studio Next.js frontend)."""
+    import urllib.request
+
+    from fastvideo_tpu.apps.studio import Database, JobRunner
+    from fastvideo_tpu.apps.studio.server import StudioServer
+
+    db = Database(tmp_path / "studio.db")
+    runner = JobRunner(db, outputs_dir=str(tmp_path / "out"),
+                       run_training=lambda job, buf: 0)
+    srv = StudioServer(str(tmp_path), db=db, runner=runner, port=0)
+    srv.serve_background()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/", timeout=5) as r:
+            assert r.headers["Content-Type"].startswith("text/html")
+            page = r.read().decode()
+        assert "FastVideo Studio" in page
+        assert "/api/jobs" in page  # the UI drives the real API
+    finally:
+        srv.shutdown()

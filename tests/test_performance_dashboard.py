@@ -157,3 +157,23 @@ def test_bench_record_normalization():
                                   "vs_baseline": 0.55}, commit_sha="deadbee")
     assert rec["e2e_s"] == 9.12
     assert rec["model_id"] and rec["gpu_type"]
+
+
+def test_dashboard_serves_web_ui(tmp_path):
+    """GET / returns the single-file dashboard page (reference analog:
+    apps/performance_dashboard frontend)."""
+    import urllib.request
+
+    from fastvideo_tpu.performance.dashboard import DashboardServer
+
+    dash = DashboardServer(str(tmp_path), host="127.0.0.1", port=0)
+    dash.serve_background()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{dash.port}/", timeout=5) as r:
+            assert r.headers["Content-Type"].startswith("text/html")
+            page = r.read().decode()
+        assert "FastVideo performance" in page
+        assert "/api/performance/trends" in page
+    finally:
+        dash.shutdown()
