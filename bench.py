@@ -211,7 +211,13 @@ def main() -> None:
     t0 = time.perf_counter()
     gen.generate_video(**{**kwargs, "save_video": True,
                           "output_path": "outputs/bench"})
-    print(f"# compile+first-run: {time.perf_counter() - t0:.1f}s",
+    first_run = time.perf_counter() - t0
+    from fastvideo_tpu import envs
+
+    print(f"# compile+first-run: {first_run:.1f}s "
+          f"(cold if the persistent compile cache at "
+          f"{envs.FASTVIDEO_COMPILE_CACHE} was empty; a warm-session "
+          f"first-run is measured in a fresh process below)",
           file=sys.stderr)
 
     runs = []
@@ -249,6 +255,38 @@ def main() -> None:
         })
     except Exception as exc:  # tracking must never fail the bench
         print(f"# perf record append skipped: {exc}", file=sys.stderr)
+
+    # Optional warm-session probe (FASTVIDEO_BENCH_WARM_PROBE=1): a FRESH
+    # process against the now-warm persistent compile cache — the
+    # fresh-pod UX once any pod of the fleet has compiled these programs.
+    # Off by default: it re-loads the checkpoint (~2 min of tunnel time)
+    # and the headline "compile+first-run" above IS the warm-session
+    # number whenever the cache was already populated.
+    if os.getenv("FASTVIDEO_BENCH_WARM_PROBE") == "1":
+        try:
+            import subprocess
+
+            child = ("import time, sys; t0=time.perf_counter(); "
+                     "from fastvideo_tpu import VideoGenerator; "
+                     f"g=VideoGenerator.from_pretrained({ckpt!r}, "
+                     f"num_gpus=1, VSA_sparsity={VSA_SPARSITY}); "
+                     "g.generate_video(prompt='warm probe', height=480, "
+                     "width=832, num_frames=81, seed=7, save_video=False); "
+                     "print(f'# warm-session first-run (fresh process, "
+                     "warm cache): {time.perf_counter()-t0:.1f}s', "
+                     "file=sys.stderr)")
+            r = subprocess.run([sys.executable, "-c", child], timeout=420,
+                               capture_output=True, text=True,
+                               env=os.environ.copy())
+            for line in r.stderr.splitlines():
+                if "warm-session" in line:
+                    print(line, file=sys.stderr)
+                    break
+            else:
+                print(f"# warm-session probe rc={r.returncode} (skipped)",
+                      file=sys.stderr)
+        except Exception as exc:  # never fail the bench on the probe
+            print(f"# warm-session probe skipped: {exc}", file=sys.stderr)
 
     baseline = 5.0  # seconds, v6e-8 target from BASELINE.json
     print(json.dumps({

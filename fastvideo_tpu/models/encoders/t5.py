@@ -192,6 +192,34 @@ class T5EncoderModel(nnx.Module):
         self.final_layer_norm = RMSNorm(config.d_model,
                                         config.layer_norm_epsilon,
                                         param_dtype=param_dtype, rngs=rngs)
+        # lax.scan over stacked block params (UMT5 only: every layer owns
+        # its own relative-attention bias, so blocks are structurally
+        # uniform). One compiled block instead of num_layers inlined
+        # copies — the same treatment as the Wan DiT (models/dits/wan.py).
+        # Default: scan only DEEP encoders (the real UMT5-XXL is 24
+        # layers, where unrolled compile scales with depth). Measured on
+        # the axon rig (round 4): a scanned executable is NOT served from
+        # the persistent compile cache (~120 s first-exec EVERY process)
+        # while the unrolled 4-layer program warm-starts in 2.1 s — so
+        # shallow encoders stay unrolled. FASTVIDEO_T5_SCAN=0/1 forces.
+        import os
+
+        env = os.getenv("FASTVIDEO_T5_SCAN")
+        self.scan_layers = (env == "1" if env in ("0", "1")
+                            else config.num_layers >= 8)
+
+    def _scan_blocks(self, x: Array, mask_bias: Array | None) -> Array:
+        graphdef, _ = nnx.split(self.blocks[0])
+        states = [nnx.split(blk)[1] for blk in self.blocks]
+        stacked = jax.tree.map(lambda *leaves: jnp.stack(leaves), *states)
+
+        def body(carry, layer_state):
+            blk = nnx.merge(graphdef, layer_state)
+            out, _ = blk(carry, None, mask_bias)
+            return out, None
+
+        x, _ = jax.lax.scan(body, x, stacked)
+        return x
 
     def __call__(self, input_ids: Array,
                  attention_mask: Array | None = None) -> BaseEncoderOutput:
@@ -200,11 +228,15 @@ class T5EncoderModel(nnx.Module):
         if attention_mask is not None:
             mask_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0,
                                   jnp.finfo(jnp.float32).min)
-        position_bias = None
-        for block in self.blocks:
-            x, pb = block(x, position_bias, mask_bias)
-            if not self.config.is_umt5:
-                position_bias = pb  # T5 shares layer-0 bias downstream
+        if (self.scan_layers and self.config.is_umt5
+                and len(self.blocks) > 1):
+            x = self._scan_blocks(x, mask_bias)
+        else:
+            position_bias = None
+            for block in self.blocks:
+                x, pb = block(x, position_bias, mask_bias)
+                if not self.config.is_umt5:
+                    position_bias = pb  # T5 shares layer-0 bias downstream
         x = self.final_layer_norm(x)
         return BaseEncoderOutput(last_hidden_state=x,
                                  attention_mask=attention_mask)

@@ -35,6 +35,25 @@ from fastvideo_tpu.configs.models.vaes.wan import WanVAEArchConfig
 
 Array = jax.Array
 
+_VAE_CONV3D_DEFAULT: str | None = None
+
+
+def _vae_conv3d_mode() -> str:
+    """Conv formulation for the VAE hot path: ``FASTVIDEO_VAE_CONV3D``
+    overrides; the measured default on TPU is the Pallas "tap" kernel
+    (round-4 on-chip: full decode 4.02s vs 4.69s AND cold compile 19-26s
+    vs 495s for the XLA path at the 81f/480p workload; chunk=4 fits next
+    to a resident 1.3B DiT). Elsewhere (CPU tests) Pallas would run in
+    interpreter mode, so XLA convs stay the default."""
+    global _VAE_CONV3D_DEFAULT
+    env = os.getenv("FASTVIDEO_VAE_CONV3D")
+    if env is not None:
+        return env
+    if _VAE_CONV3D_DEFAULT is None:
+        _VAE_CONV3D_DEFAULT = ("tap"
+                               if jax.default_backend() == "tpu" else "")
+    return _VAE_CONV3D_DEFAULT
+
 
 class StreamCache:
     """Functional conv-cache bookkeeping for chunked/streaming decode.
@@ -91,12 +110,16 @@ class CausalConv3d(nnx.Module):
         self.bias = nnx.Param(jnp.zeros((out_channels,), param_dtype))
 
     def __call__(self, x: Array, *, time_pad: int | None = None,
-                 ctx: StreamCache | None = None) -> Array:
+                 ctx: StreamCache | None = None,
+                 gamma: Array | None = None) -> Array:
         """x: [B, T, H, W, C]. ``time_pad`` overrides the causal left pad.
 
         With a StreamCache, the causal left context comes from the previous
         chunk's cached frames instead of zero padding, and the updated cache
-        (last ``2*pt`` input frames) is recorded.
+        (last ``2*pt`` input frames) is recorded. ``gamma`` fuses a
+        preceding RMSNorm+SiLU into the Pallas conv kernel (the cached
+        frames are raw pre-norm activations either way, so streaming
+        chunked decode stays bit-identical).
         """
         pt, ph, pw = self.pad
         tp = 2 * pt if time_pad is None else time_pad
@@ -124,7 +147,7 @@ class CausalConv3d(nnx.Module):
         w = self.weight.value.astype(x.dtype)
         kt, kh, kw = self.kernel_size
         st, sh, sw = self.stride
-        conv_mode = os.getenv("FASTVIDEO_VAE_CONV3D", "")
+        conv_mode = _vae_conv3d_mode()
         if conv_mode:
             from fastvideo_tpu.ops import conv3d as conv3d_ops
 
@@ -133,10 +156,19 @@ class CausalConv3d(nnx.Module):
                                    w.shape[-1]):
                 # Pallas conv3d path (ops/conv3d.py): the kernel does its
                 # own causal/spatial padding; mode picks the tap layout
-                # ("tap" | "dma" | "nb" | "dw" | "dhw").
+                # ("tap" | "shift3" | "nb" | "dma" | "dw" | "dhw").
+                g = gamma.astype(x.dtype) if gamma is not None else None
                 return conv3d_ops.conv3d_ndhwc(
                     x, w, self.bias.value.astype(x.dtype), time_pad=tp,
-                    mode=conv_mode)
+                    mode=conv_mode, gamma=g)
+        if gamma is not None:
+            # Pallas path unavailable for this shape: apply the norm+silu
+            # prologue explicitly (same math, unfused)
+            sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                         keepdims=True)
+            inv = ((x.shape[-1]**0.5) *
+                   jax.lax.rsqrt(jnp.maximum(sq, 1e-24))).astype(x.dtype)
+            x = jax.nn.silu(x * inv * gamma.astype(x.dtype))
         if (kh, kw) != (1, 1) and st == 1:
             # Temporal-tap decomposition into TRUE 2D NHWC convs with the
             # time dim folded into the conv batch. Measured 87.6 TF/s on
@@ -222,10 +254,28 @@ class WanResidualBlock(nnx.Module):
                                            param_dtype=param_dtype, rngs=rngs)
                               if in_dim != out_dim else None)
 
+    def _norm_silu_conv(self, conv: CausalConv3d, norm: WanRMSNorm,
+                        x: Array, ctx: "StreamCache | None") -> Array:
+        # Optional: fuse rmsnorm+silu into the Pallas conv kernel
+        # (ops/conv3d.py gamma arg). Saves two full-size HBM round-trips
+        # per conv but re-normalizes each block's halo rows and puts the
+        # VPU norm in series with the MXU dots — measured round 4 it LOSES
+        # (4.89s vs 4.15s resident decode at chunk=3), so it is opt-in via
+        # FASTVIDEO_VAE_FUSE_NORM=1. Exact either way:
+        # silu(rmsnorm(0)) == 0 on zero-padded borders.
+        if (os.getenv("FASTVIDEO_VAE_FUSE_NORM", "0") == "1"
+                and _vae_conv3d_mode() and norm.bias is None):
+            from fastvideo_tpu.ops import conv3d as conv3d_ops
+
+            if conv3d_ops.supports(conv.kernel_size, conv.stride, conv.pad,
+                                   x.shape[-1], conv.weight.value.shape[-1]):
+                return conv(x, ctx=ctx, gamma=norm.gamma.value)
+        return conv(jax.nn.silu(norm(x)), ctx=ctx)
+
     def __call__(self, x: Array, ctx: "StreamCache | None" = None) -> Array:
         h = self.conv_shortcut(x) if self.conv_shortcut is not None else x
-        x = self.conv1(jax.nn.silu(self.norm1(x)), ctx=ctx)
-        x = self.conv2(jax.nn.silu(self.norm2(x)), ctx=ctx)
+        x = self._norm_silu_conv(self.conv1, self.norm1, x, ctx)
+        x = self._norm_silu_conv(self.conv2, self.norm2, x, ctx)
         return x + h
 
 
@@ -785,12 +835,19 @@ class AutoencoderKLWan(nnx.Module):
         """
         assert self.decoder is not None
         if chunk_frames is None:
-            # 3.5e8-elem full-res budget (~2 latent frames at 480p): the
-            # per-chunk working set must leave room for a co-resident DiT
-            # (2.6 GB at 1.3B bf16) — measured: chunk=4 OOMs 16 GB HBM
-            # next to that DiT, chunk=2 leaves ~3 GB headroom.
+            # Full-res working-set budget per chunk, leaving room for a
+            # co-resident DiT (2.6 GB at 1.3B bf16). The Pallas conv path
+            # keeps only its in/out buffers live, so it fits chunk=4 next
+            # to that DiT (measured round 4: 4.18s warm, no OOM); the XLA
+            # tap decomposition materializes per-tap partials and OOMs
+            # past chunk=2 (measured round 3).
             b, _, t, h, w = z.shape
             full_elems = b * t * 4 * h * 8 * w * 8 * 96
+            # 3.5e8 -> chunk=2 at 480p. Wider chunks measured round 4:
+            # chunk=4 fits next to a bare 2.6 GB DiT ballast (4.18s) but
+            # OOMs in the real session; chunk=3 survives one generation
+            # then OOMs on the second (DiT + text encoder + prior outputs
+            # resident). chunk=2 is the stable point on 16 GB.
             chunk_frames = (max(1, int(3.5e8 / (full_elems / t)))
                             if full_elems > 3.5e8 and t > 2 else t)
         if not hasattr(self, "_disp"):

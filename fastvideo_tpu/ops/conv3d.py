@@ -1,10 +1,16 @@
 """Pallas TPU kernel: 3D convolution for the causal-VAE hot path.
 
-XLA:TPU lowers the Wan decoder's NDHWC 3x3x3 convolutions at ~20% of MXU
-peak (measured 38-42 TF/s on v5e across every conv formulation —
-scripts/bench_vae_conv.py). The bottleneck is HBM traffic: XLA re-reads the
-input window per tap. This kernel loads each [KT, BH+2, W+2, C] window into
-VMEM once and accumulates all KT*9 taps as MXU matmuls from VMEM.
+Round-4 on-chip status (v5e, scripts/exp_conv_strategies.py with in-jit
+anti-CSE repeats): "tap" is the production mode — 61 TF/s at the decoder's
+96-ch full-res stage, 70 TF/s at 192 ch, 110 TF/s at 384 ch; on the full
+81f/480p decode it beats the XLA conv path slightly warm (4.0 vs 4.7 s)
+and massively on cold compile (19-26 s vs 495 s). "nb" compiles but loses
+to tap. "dma", "dw", "dhw", and "shift3" all fail Mosaic on-chip — any
+BlockSpec Element offset that is nonzero on the sublane (width) dim is
+rejected by this libtpu (bisected in round 4); they remain for interpret
+mode and for when Mosaic lifts the restriction, since shift3's
+DMA-resolved width shifts are the designed path past tap's ~55%-of-ceiling
+relayout tax.
 
 Reference behavior analog: the causal Conv3d modules of
 /root/reference/fastvideo/models/vaes/wanvae.py:157-206 (math only; the
@@ -175,6 +181,41 @@ def _conv_kernel_dma(x_ref, w_ref, b_ref, o_ref, acc_ref, *, kt: int,
             bh, w_out, co).astype(o_ref.dtype)
 
 
+def _conv_kernel_shift3(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, *,
+                        kt: int, bh: int, w_out: int, fuse_rms_silu: bool,
+                        gamma_ref=None):
+    """All kt*9 taps as clean [rows, C] @ [C, Co] dots — zero relayouts.
+
+    The three dw (width) shifts of the 3x3 window arrive as three input
+    refs whose BlockSpecs index the SAME array at Element offsets 0/1/2:
+    the misaligned sublane slice happens in the HBM->VMEM DMA, not as an
+    in-kernel VPU relayout (the relayouts cost ~half of "tap" mode's
+    runtime at the decoder's 96/192-channel full-res stages). Each block's
+    window is [kt, bh+2, w_out, C]; dh rides the untiled dim (free), dw
+    picks the ref.
+    """
+    c = x0_ref.shape[-1]
+    co = o_ref.shape[-1]
+    rows = bh * w_out
+    acc = jnp.zeros((rows, co), jnp.float32)
+    for dw, x_ref in enumerate((x0_ref, x1_ref, x2_ref)):
+        x = x_ref[...]
+        if fuse_rms_silu:
+            xf = x.astype(jnp.float32)
+            sq = jnp.sum(jnp.square(xf), axis=-1, keepdims=True)
+            inv = (c**0.5) * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+            xn = (xf * inv *
+                  gamma_ref[...].astype(jnp.float32)).astype(x.dtype)
+            x = xn * jax.nn.sigmoid(xn.astype(jnp.float32)).astype(x.dtype)
+        for dt in range(kt):
+            for dh in range(3):
+                xs = x[dt, dh:dh + bh].reshape(rows, c)
+                acc = acc + jnp.dot(xs, w_ref[dt, dh, dw],
+                                    preferred_element_type=jnp.float32)
+    acc = acc + b_ref[0].astype(jnp.float32)
+    o_ref[0] = acc.reshape(bh, w_out, co).astype(o_ref.dtype)
+
+
 def _pick_bh(h: int, w: int, c: int, kt: int, mode: str = "tap",
              co: int = 0, itemsize: int = 2) -> int:
     """Largest h-tile whose double-buffered window fits a VMEM budget."""
@@ -185,7 +226,13 @@ def _pick_bh(h: int, w: int, c: int, kt: int, mode: str = "tap",
             continue
         # input window at the actual activation dtype, double-buffered
         win = kt * (bh + 2) * (w + 2) * c * itemsize * 2
-        if mode == "dma":
+        if mode == "shift3":
+            # three dw-shifted copies of the window, double-buffered; the
+            # fp32 accumulator is SSA (Mosaic stack)
+            win = 3 * kt * (bh + 2) * w * c * itemsize * 2
+            budget = 11 * 1024 * 1024
+            acc = bh * w * co * 4 * 2
+        elif mode == "dma":
             # explicit fp32 scratch accumulator + per-dot SSA partials
             budget = 10 * 1024 * 1024
             acc = bh * w * co * 4 * 2
@@ -257,6 +304,45 @@ def _conv3d_pallas(x: Array, w: Array, b: Array, gamma: Array | None, *,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((t_out, h, w_out, co), out_dtype),
             scratch_shapes=scratch_shapes,
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=x.size * x.dtype.itemsize * 4,
+                transcendentals=0),
+            interpret=_use_interpret(),
+        )(*args)
+    if mode == "shift3":
+        grid = (t_out, h // bh)
+        x_spec = lambda dw: pl.BlockSpec(  # noqa: E731
+            (Element(kt), Element(bh + 2), Element(w_out), Element(c)),
+            lambda t, i, dw=dw: (t, i * bh, dw, 0),
+            memory_space=pltpu.VMEM)
+        in_specs = [x_spec(0), x_spec(1), x_spec(2),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM)]
+        args = [x, x, x, w, b.reshape(1, co)]
+        if fuse_rms_silu:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            args.append(gamma.reshape(1, c))
+
+        def kernel(*refs):
+            x0, x1, x2, w_ref, b_ref = refs[:5]
+            rest = list(refs[5:])
+            g_ref = rest.pop(0) if fuse_rms_silu else None
+            o_ref = rest.pop(0)
+            _conv_kernel_shift3(x0, x1, x2, w_ref, b_ref, o_ref, kt=kt,
+                                bh=bh, w_out=w_out,
+                                fuse_rms_silu=fuse_rms_silu,
+                                gamma_ref=g_ref)
+
+        flops = 2 * t_out * h * w_out * c * co * kt * 9
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, bh, w_out, co),
+                                   lambda t, i: (t, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((t_out, h, w_out, co), out_dtype),
             cost_estimate=pl.CostEstimate(
                 flops=flops,
                 bytes_accessed=x.size * x.dtype.itemsize * 4,

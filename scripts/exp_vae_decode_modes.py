@@ -20,6 +20,10 @@ def sync(x):
 
 
 def main():
+    from fastvideo_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    print(f"devices: {jax.devices()}", flush=True)
     resident = "resident" in sys.argv
     modes = ["", "dma"]
     chunks = [2, 3, 4, 6]

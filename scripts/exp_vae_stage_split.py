@@ -45,11 +45,15 @@ def timed(name, module, x_shape, flops=None, **kw):
         m = nnx.merge(graphdef, st)
 
         def body(i, acc):
-            return acc + m(x, **kw)[0, 0, 0, :1] * 0
+            xb = x + jax.lax.optimization_barrier(acc).astype(x.dtype)
+            o = m(xb, **kw)
+            return jnp.max(o[..., :1].astype(jnp.float32)) * 1e-30
 
         out = m(x, **kw)
-        # 4 extra reps riding one dispatch
-        return out, jax.lax.fori_loop(0, 4, body, jnp.zeros((1,), x.dtype))
+        # 4 extra reps riding one dispatch (carry feeds back into the input
+        # so XLA cannot CSE the repeats away)
+        return out, jax.lax.fori_loop(0, 4, body,
+                                      jnp.zeros((), jnp.float32))
 
     x = jax.random.normal(jax.random.PRNGKey(0), x_shape, jnp.bfloat16)
     out, _ = run(st, x)
