@@ -10,7 +10,9 @@ BlockSpec Element offset that is nonzero on the sublane (width) dim is
 rejected by this libtpu (bisected in round 4); they remain for interpret
 mode and for when Mosaic lifts the restriction, since shift3's
 DMA-resolved width shifts are the designed path past tap's ~55%-of-ceiling
-relayout tax.
+relayout tax. "tfold" (temporal K-fold to kt*C contraction rows via an
+XLA-side concat) also loses on-chip — 38.9 vs 59.5 TF/s at 96 ch — the
+3x input materialization costs more than the fuller MXU rows recover.
 
 Reference behavior analog: the causal Conv3d modules of
 /root/reference/fastvideo/models/vaes/wanvae.py:157-206 (math only; the
@@ -216,6 +218,32 @@ def _conv_kernel_shift3(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, *,
     o_ref[0] = acc.reshape(bh, w_out, co).astype(o_ref.dtype)
 
 
+def _conv_kernel_tfold(x_ref, w_ref, b_ref, o_ref, *, bh: int, w_out: int,
+                       fuse_rms_silu: bool, gamma_ref=None):
+    """3x3 spatial taps over a TEMPORALLY K-FOLDED input.
+
+    The caller concatenates the kt time-shifted views on channels
+    (x: [T_out, H+2, W+2, kt*C]), so every dot is [rows, kt*C] @ [kt*C, Co]
+    — K = 288 at the decoder's 96-channel stage fills the MXU's 128
+    contraction rows (vs 96 = 75% in "tap" mode). dh/dw shifts stay
+    in-kernel. fuse_rms_silu is NOT supported here (the fold mixes frames
+    in the channel dim, so a per-token norm can't run inside).
+    """
+    del fuse_rms_silu, gamma_ref
+    kc = x_ref.shape[-1]
+    co = o_ref.shape[-1]
+    rows = bh * w_out
+    x = x_ref[...]
+    acc = jnp.zeros((rows, co), jnp.float32)
+    for dh in range(3):
+        for dw in range(3):
+            xs = x[0, dh:dh + bh, dw:dw + w_out, :].reshape(rows, kc)
+            acc = acc + jnp.dot(xs, w_ref[dh, dw],
+                                preferred_element_type=jnp.float32)
+    acc = acc + b_ref[0].astype(jnp.float32)
+    o_ref[0] = acc.reshape(bh, w_out, co).astype(o_ref.dtype)
+
+
 def _pick_bh(h: int, w: int, c: int, kt: int, mode: str = "tap",
              co: int = 0, itemsize: int = 2) -> int:
     """Largest h-tile whose double-buffered window fits a VMEM budget."""
@@ -226,7 +254,12 @@ def _pick_bh(h: int, w: int, c: int, kt: int, mode: str = "tap",
             continue
         # input window at the actual activation dtype, double-buffered
         win = kt * (bh + 2) * (w + 2) * c * itemsize * 2
-        if mode == "shift3":
+        if mode == "tfold":
+            # single time-row window, channels already kt-folded
+            win = (bh + 2) * (w + 2) * kt * c * itemsize * 2
+            budget = 8 * 1024 * 1024
+            acc = bh * w * co * 4 * 2
+        elif mode == "shift3":
             # three dw-shifted copies of the window, double-buffered; the
             # fp32 accumulator is SSA (Mosaic stack)
             win = 3 * kt * (bh + 2) * w * c * itemsize * 2
@@ -310,6 +343,41 @@ def _conv3d_pallas(x: Array, w: Array, b: Array, gamma: Array | None, *,
                 transcendentals=0),
             interpret=_use_interpret(),
         )(*args)
+    if mode == "tfold":
+        # temporal K-fold: [T_out, H+2, W+2, kt*C] built by the caller
+        # (x here is still [tp, hp, wp, c]; fold now)
+        xf = jnp.concatenate([x[dt:dt + t_out] for dt in range(kt)],
+                             axis=-1)
+        wf = w.transpose(1, 2, 0, 3, 4).reshape(3, 3, kt * c, co)
+        grid = (t_out, h // bh)
+        in_specs = [
+            pl.BlockSpec(
+                (Element(1), Element(bh + 2), Element(wp), Element(kt * c)),
+                lambda t, i: (t, i * bh, 0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+
+        def kernel(x_ref, w_ref, b_ref, o_ref):
+            _conv_kernel_tfold(x_ref, w_ref, b_ref, o_ref, bh=bh,
+                               w_out=w_out, fuse_rms_silu=False)
+
+        flops = 2 * t_out * h * w_out * c * co * kt * 9
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, bh, w_out, co),
+                                   lambda t, i: (t, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((t_out, h, w_out, co), out_dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=x.size * x.dtype.itemsize * 4,
+                transcendentals=0),
+            interpret=_use_interpret(),
+        )(xf, wf, b.reshape(1, co))
     if mode == "shift3":
         grid = (t_out, h // bh)
         x_spec = lambda dw: pl.BlockSpec(  # noqa: E731
@@ -417,6 +485,15 @@ def conv3d_ndhwc(x: Array, w: Array, b: Array, *, time_pad: int,
     """
     kt = w.shape[0]
     bsz = x.shape[0]
+    if mode == "tfold" and gamma is not None:
+        # the temporal K-fold mixes frames on the channel dim, so the
+        # norm+silu prologue must run before folding (unfused)
+        sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                     keepdims=True)
+        inv = ((x.shape[-1]**0.5) *
+               jax.lax.rsqrt(jnp.maximum(sq, 1e-24))).astype(x.dtype)
+        x = jax.nn.silu(x * inv * gamma.astype(x.dtype))
+        gamma = None
     pads = ((0, 0), (time_pad, 0), (1, 1), (1, 1), (0, 0))
     x = jnp.pad(x, pads)
     outs = []
