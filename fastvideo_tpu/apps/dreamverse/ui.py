@@ -86,8 +86,8 @@ function connect() {
   ws.onclose = () => { status('disconnected'); };
   ws.onmessage = (ev) => {
     if (ev.data instanceof ArrayBuffer) {
-      chunks.push(new Uint8Array(ev.data));
       if (sb || mediaSource) { queue.push(ev.data); pump(); }
+      else chunks.push(new Uint8Array(ev.data));  // blob-fallback only
       return;
     }
     const msg = JSON.parse(ev.data);

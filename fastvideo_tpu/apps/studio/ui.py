@@ -110,13 +110,14 @@ let currentLogJob = null;
 
 async function refresh() {
   try {
-    const [jobs, datasets, gpus] = await Promise.all([
+    const [jobsR, dsR, gpus] = await Promise.all([
       api('/api/jobs'), api('/api/datasets'), api('/api/gpus')]);
+    const jobs = jobsR.jobs || [], datasets = dsR.datasets || [];
     $('#meta').textContent =
       (gpus.devices || []).map(d => d.kind).join(', ') || 'no devices';
     $('#jobs').innerHTML = jobs.map(j => `
-      <tr><td>${j.name}</td><td>${j.model || ''}</td>
-      <td>${j.workload || ''}</td>
+      <tr><td>${j.name}</td><td>${j.model_id || ''}</td>
+      <td>${j.workload_type || ''}</td>
       <td class="status-${j.status}">${j.status}</td>
       <td>${j.step ?? ''}</td>
       <td class="row">
@@ -134,12 +135,12 @@ async function refresh() {
 }
 
 async function loadStatic() {
-  const [models, workloads] = await Promise.all([
+  const [modelsR, workloadsR] = await Promise.all([
     api('/api/models'), api('/api/workloads')]);
-  $('#models').innerHTML = models.map(m =>
+  $('#models').innerHTML = (modelsR.models || []).map(m =>
     `<option value="${m.id}">${m.name || m.id}</option>`).join('');
-  $('#workloads').innerHTML = workloads.map(w =>
-    `<option value="${w.id || w}">${w.name || w.id || w}</option>`).join('');
+  $('#workloads').innerHTML = (workloadsR.workloads || []).map(w =>
+    `<option value="${w}">${w}</option>`).join('');
 }
 
 window.act = async (id, action) => {
@@ -158,7 +159,13 @@ window.tail = async (id, name, quiet) => {
 };
 $('#newjob').addEventListener('submit', async (ev) => {
   ev.preventDefault();
-  const body = Object.fromEntries(new FormData(ev.target));
+  const f = Object.fromEntries(new FormData(ev.target));
+  // server contract (studio/server.py _create_job): flat {name, job_type}
+  // + nested config {workload_type, model_id, dataset_id, max_steps}
+  const body = {name: f.name, job_type: 'training', config: {
+    workload_type: f.workload, model_id: f.model,
+    dataset_id: f.dataset_id || undefined,
+    max_steps: f.max_steps ? +f.max_steps : undefined}};
   try { await api('/api/jobs', {method: 'POST',
     headers: {'Content-Type': 'application/json'},
     body: JSON.stringify(body)}); ev.target.reset(); }

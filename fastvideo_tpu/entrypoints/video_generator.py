@@ -98,11 +98,18 @@ class VideoGenerator:
             obj = cfg
             for p in parts[:-1]:
                 obj = getattr(obj, p)
+                if not _dc.is_dataclass(obj):
+                    raise KeyError(
+                        f"config override path {dotted!r} crosses "
+                        f"non-config field {p!r}")
             leaf = parts[-1]
             field_types = {f.name: f.type for f in _dc.fields(obj)}
             if leaf not in field_types:
                 raise KeyError(f"unknown config override: {dotted}")
-            if isinstance(value, str):
+            # coerce by the DECLARED type: "42" stays a string for str
+            # fields (model revisions, prompts), becomes 42 for int ones
+            declared = str(field_types[leaf])
+            if isinstance(value, str) and "str" not in declared:
                 from fastvideo_tpu.api.parser import _coerce_scalar
 
                 value = _coerce_scalar(value)

@@ -124,23 +124,36 @@ class VerifyResult:
     untracked: list[str]
 
 
+_REF_EXTS = (".npy", ".mp4")  # copy-local writes .npy; fetch pulls .mp4
+
+
+def _case_path(ref_dir: str, case: str) -> str | None:
+    for ext in _REF_EXTS:
+        p = os.path.join(ref_dir, f"{case}{ext}")
+        if os.path.exists(p):
+            return p
+    return None
+
+
 def verify(tier: str = DEFAULT_TIER, key: str | None = None) -> VerifyResult:
-    """Check every manifest entry's hash and report drift."""
+    """Check every manifest entry's hash and report drift. Fetched sets
+    (mp4, no local manifest yet) verify by existence; hashed entries by
+    sha256."""
     ref_dir = reference_dir(tier, key)
     manifest = load_manifest(ref_dir)
     ok, corrupt, missing = [], [], []
     for case, meta in manifest.items():
-        path = os.path.join(ref_dir, f"{case}.npy")
-        if not os.path.exists(path):
+        path = _case_path(ref_dir, case)
+        if path is None:
             missing.append(case)
-        elif _sha256(path) != meta.get("sha256"):
+        elif meta.get("sha256") and _sha256(path) != meta["sha256"]:
             corrupt.append(case)
         else:
             ok.append(case)
-    tracked = {f"{c}.npy" for c in manifest}
+    tracked = {f"{c}{ext}" for c in manifest for ext in _REF_EXTS}
     untracked = [
         f for f in (os.listdir(ref_dir) if os.path.isdir(ref_dir) else [])
-        if f.endswith(".npy") and f not in tracked
+        if f.endswith(_REF_EXTS) and f not in tracked
     ]
     return VerifyResult(ok, corrupt, missing, untracked)
 

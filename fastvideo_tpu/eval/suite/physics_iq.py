@@ -8,10 +8,11 @@ quarter-res pixels and (b) IoU variants over binary MOTION MASKS built
 from a running-average background model (grayscale blur → accumulated
 average → absdiff → threshold → morphological open/close).
 
-This implementation is cv2-based like the original benchmark; the mask
-video round-trip (mp4 re-encode of generated masks) is skipped — it
-exists to mimic the original release's on-disk artefacts, not the
-metric's definition.
+This implementation is cv2-based like the original benchmark, INCLUDING
+the generated-mask mp4 round-trip (the reference's default,
+roundtrip_generated_masks=True): it exists to mimic the original
+release's on-disk artefacts and measurably shifts the IoU scores, so
+score parity requires it (gated by tests/eval/test_reference_scores.py).
 """
 
 from __future__ import annotations

@@ -66,7 +66,19 @@ def _configure_root() -> None:
 
     root = logging.getLogger("fastvideo_tpu")
     if not root.handlers:
-        handler = logging.StreamHandler(sys.stderr)
+        # resolve sys.stderr at EMIT time, not handler-creation time: a
+        # plain StreamHandler(sys.stderr) binds whatever stream happened to
+        # be installed when the first module logged — under pytest's
+        # capture that was a prior test's redirected stream, making any
+        # later stderr assertion order-dependent (round-4 watchdog flake)
+        class _StderrProxy:
+            def write(self, data):
+                sys.stderr.write(data)
+
+            def flush(self):
+                sys.stderr.flush()
+
+        handler = logging.StreamHandler(_StderrProxy())
         handler.setFormatter(logging.Formatter(_FORMAT, _DATEFMT))
         root.addHandler(handler)
     root.setLevel(getattr(logging, envs.FASTVIDEO_LOGGING_LEVEL.upper(),

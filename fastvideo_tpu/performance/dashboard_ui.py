@@ -119,8 +119,8 @@ function lineChart(group, metric) {
     (k ? 'L' : 'M') + x(k).toFixed(1) + ' ' + y(p.v).toFixed(1)).join(' ');
   const last = pts[pts.length - 1];
   const ticks = [vmin, (vmin + vmax) / 2, vmax];
-  const data = encodeURIComponent(JSON.stringify(pts.map(p =>
-    ({t: p.t, v: p.v}))));
+  const data = encodeURIComponent(JSON.stringify(pts.map((p, k) =>
+    ({t: p.t, v: p.v, x: +x(k).toFixed(1), y: +y(p.v).toFixed(1)}))));
   return `<section><h2>${group.model_id} · ${group.gpu_type} — ${metric}
     </h2>
     <svg viewBox="0 0 ${W} ${H}" data-pts="${data}" data-l="${L}"
@@ -147,7 +147,6 @@ function wireTooltips() {
   document.querySelectorAll('svg.trend').forEach(svg => {
     const pts = JSON.parse(decodeURIComponent(svg.dataset.pts));
     const hit = svg.querySelector('.hit'), dot = svg.querySelector('.hoverdot');
-    const line = svg.querySelector('path');
     hit.addEventListener('mousemove', (ev) => {
       const box = svg.getBoundingClientRect();
       const W = svg.viewBox.baseVal.width, L = +svg.dataset.l,
@@ -156,10 +155,7 @@ function wireTooltips() {
       const k = Math.round((px - L) / (W - L - R) * (pts.length - 1));
       const p = pts[Math.max(0, Math.min(pts.length - 1, k))];
       if (!p) return;
-      const seg = line.getPointAtLength(
-        line.getTotalLength() * (Math.max(0, Math.min(pts.length - 1, k)) /
-        (pts.length - 1)));
-      dot.setAttribute('cx', seg.x); dot.setAttribute('cy', seg.y);
+      dot.setAttribute('cx', p.x); dot.setAttribute('cy', p.y);
       dot.setAttribute('opacity', 1);
       tip.style.display = 'block';
       tip.style.left = (ev.clientX + 12) + 'px';

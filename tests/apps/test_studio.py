@@ -266,11 +266,29 @@ def test_server_serves_web_ui(tmp_path):
     srv = StudioServer(str(tmp_path), db=db, runner=runner, port=0)
     srv.serve_background()
     try:
-        with urllib.request.urlopen(
-                f"http://127.0.0.1:{srv.port}/", timeout=5) as r:
+        base = f"http://127.0.0.1:{srv.port}"
+        with urllib.request.urlopen(f"{base}/", timeout=5) as r:
             assert r.headers["Content-Type"].startswith("text/html")
             page = r.read().decode()
         assert "FastVideo Studio" in page
         assert "/api/jobs" in page  # the UI drives the real API
+        # the page consumes the wrapped response shapes + job field names
+        for token in ("jobsR.jobs", "dsR.datasets", "modelsR.models",
+                      "workloadsR.workloads", "j.workload_type",
+                      "j.model_id"):
+            assert token in page, token
+        # and posts the server's exact job-create contract
+        import json as _json
+
+        body = {"name": "ui-job", "job_type": "training",
+                "config": {"workload_type": "lora_t2v",
+                           "model_id": "/models/x", "max_steps": 10}}
+        req = urllib.request.Request(
+            f"{base}/api/jobs", data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=5) as r:
+            created = _json.loads(r.read())
+        assert created["workload_type"] == "lora_t2v"
+        assert created["model_id"] == "/models/x"
     finally:
         srv.shutdown()
