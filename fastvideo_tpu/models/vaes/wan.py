@@ -40,17 +40,19 @@ _VAE_CONV3D_DEFAULT: str | None = None
 
 def _vae_conv3d_mode() -> str:
     """Conv formulation for the VAE hot path: ``FASTVIDEO_VAE_CONV3D``
-    overrides; the measured default on TPU is the Pallas "tap" kernel
-    (round-4 on-chip: full decode 4.02s vs 4.69s AND cold compile 19-26s
-    vs 495s for the XLA path at the 81f/480p workload; chunk=4 fits next
-    to a resident 1.3B DiT). Elsewhere (CPU tests) Pallas would run in
-    interpreter mode, so XLA convs stay the default."""
+    overrides; the measured default on TPU is the Pallas "auto" policy —
+    per-shape choice between the transposed-orientation "thcw" kernel
+    (wide low-channel stages: 82-88 TF/s vs tap's 67-72 at the 96/192-ch
+    decoder stages) and the "tap" kernel (narrow frames / tiny K, where
+    tap's long M rows win). Cold compile stays 19-29s vs 495s for the XLA
+    conv path at the 81f/480p workload. Elsewhere (CPU tests) Pallas
+    would run in interpreter mode, so XLA convs stay the default."""
     global _VAE_CONV3D_DEFAULT
     env = os.getenv("FASTVIDEO_VAE_CONV3D")
     if env is not None:
         return env
     if _VAE_CONV3D_DEFAULT is None:
-        _VAE_CONV3D_DEFAULT = ("tap"
+        _VAE_CONV3D_DEFAULT = ("auto"
                                if jax.default_backend() == "tpu" else "")
     return _VAE_CONV3D_DEFAULT
 
@@ -153,7 +155,8 @@ class CausalConv3d(nnx.Module):
 
             if conv3d_ops.supports(self.kernel_size, self.stride,
                                    (tp, ph, pw), x.shape[-1],
-                                   w.shape[-1]):
+                                   w.shape[-1], w_dim=x.shape[3],
+                                   mode=conv_mode):
                 # Pallas conv3d path (ops/conv3d.py): the kernel does its
                 # own causal/spatial padding; mode picks the tap layout
                 # ("tap" | "shift3" | "nb" | "dma" | "dw" | "dhw").

@@ -136,6 +136,116 @@ def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, kt: int, bh: int, w_out: int,
     o_ref[0] = acc.reshape(bh, w_out, co).astype(o_ref.dtype)
 
 
+def _conv_kernel_hoist(x_ref, w_ref, b_ref, o_ref, *, kt: int, bh: int,
+                       w_out: int, fuse_rms_silu: bool, gamma_ref=None):
+    """tap's math with the width shifts HOISTED out of the tap loop.
+
+    tap pays a misaligned-sublane relayout on every (dt, dh, dw!=aligned)
+    slice — 18 of 27 slabs per block. Here each dw produces ONE shifted
+    copy of the whole [kt, bh+2, w_out, C] window (2 misaligned copies per
+    block instead of 18 slab relayouts); the dt/dh tap slices on the copy
+    ride major dims, which are free. dw is the OUTER loop so only one
+    shifted copy is live at a time (Mosaic stack stays small).
+    """
+    c = x_ref.shape[-1]
+    co = o_ref.shape[-1]
+    x = x_ref[...]
+    if fuse_rms_silu:
+        xf = x.astype(jnp.float32)
+        sq = jnp.sum(jnp.square(xf), axis=-1, keepdims=True)
+        inv = (c**0.5) * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+        xn = (xf * inv * gamma_ref[...].astype(jnp.float32)).astype(x.dtype)
+        x = xn * jax.nn.sigmoid(xn.astype(jnp.float32)).astype(x.dtype)
+    rows = bh * w_out
+    acc = jnp.zeros((rows, co), jnp.float32)
+    for dw in range(3):
+        xd = x[:, :, dw:dw + w_out, :]  # one sublane shift per dw
+        for dt in range(kt):
+            for dh in range(3):
+                xs = xd[dt, dh:dh + bh].reshape(rows, c)  # major-dim slice
+                acc = acc + jnp.dot(xs, w_ref[dt, dh, dw],
+                                    preferred_element_type=jnp.float32)
+    acc = acc + b_ref[0].astype(jnp.float32)
+    o_ref[0] = acc.reshape(bh, w_out, co).astype(o_ref.dtype)
+
+
+def _conv_kernel_thcw(x_ref, w_ref, b_ref, o_ref, *, kt: int, bh: int,
+                      w_out: int):
+    """Transposed-orientation taps: out^T[Co, W] = W[Co, C] @ x^T[C, W].
+
+    Round-4 probe result (scripts/exp_conv_probe2.py): the tap form's wall
+    is NOT relayouts or K fill — it is the OUTPUT N dim. With Co=96 on
+    lanes every dot pads N 96->128 and streams only 96 lanes; flipping the
+    orientation puts the W axis (832 at the decoder's full-res stage) on N
+    and the small Co on the streamed M dim, which the MXU doesn't pad.
+    Measured at the decoder stages: 94 TF/s @96 ch (tap: 66), 92 @192
+    (tap: 70); tap stays ahead at 384 ch / W=208 (110 vs 100 — short N
+    streams can't amortize MXU weight reloads there).
+
+    Layout: x_ref [kt, bh+2, C, wp] — C on sublanes, W on lanes, so the
+    dt/dh tap shifts ride major dims (free views) and only the three dw
+    shifts are lane slices (measured free). w_ref: [kt, 3, 3, Co, C];
+    b_ref: [Co, 1]; o_ref: [1, bh, Co, w_out].
+    """
+    co = o_ref.shape[2]
+    x = x_ref[...]
+    for h in range(bh):
+        acc = jnp.zeros((co, w_out), jnp.float32)
+        for dt in range(kt):
+            for dh in range(3):
+                for dw in range(3):
+                    xs = x[dt, h + dh, :, dw:dw + w_out]
+                    acc = acc + jnp.dot(w_ref[dt, dh, dw], xs,
+                                        preferred_element_type=jnp.float32)
+        acc = acc + b_ref[...].astype(jnp.float32)
+        o_ref[0, h] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kt", "out_dtype",
+                                             "bh_override"))
+def _conv3d_pallas_thcw(x: Array, w: Array, b: Array, *, kt: int, out_dtype,
+                        bh_override: int | None = None) -> Array:
+    """x: [T_out+kt-1, H+2, C, W_out+2] pre-padded. w: [kt,3,3,Co,C]."""
+    tp, hp, c, wp = x.shape
+    t_out, h, w_out = tp - kt + 1, hp - 2, wp - 2
+    co = w.shape[-2]
+    bh = bh_override or _pick_bh(h, w_out, c, kt, "thcw", co,
+                                 itemsize=x.dtype.itemsize)
+    grid = (t_out, h // bh)
+
+    def kernel(x_ref, w_ref, b_ref, o_ref):
+        _conv_kernel_thcw(x_ref, w_ref, b_ref, o_ref, kt=kt, bh=bh,
+                          w_out=w_out)
+
+    flops = 2 * t_out * h * w_out * c * co * kt * 9
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (Element(kt), Element(bh + 2), Element(c), Element(wp)),
+                lambda t, i: (t, i * bh, 0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bh, co, w_out),
+                               lambda t, i: (t, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_out, h, co, w_out), out_dtype),
+        # the default 16 MB scoped-vmem limit rejects the 192-ch decoder
+        # stage even though the working set is ~8 MB (Mosaic pipelining
+        # headroom); measured fine at 96 MB on v5e
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * x.dtype.itemsize * 2,
+            transcendentals=0),
+        interpret=_use_interpret(),
+    )(x, w, b.reshape(co, 1))
+
+
 def _conv_kernel_dma(x_ref, w_ref, b_ref, o_ref, acc_ref, *, kt: int,
                      bh: int, w_out: int, fuse_rms_silu: bool,
                      gamma_ref=None):
@@ -249,7 +359,11 @@ def _pick_bh(h: int, w: int, c: int, kt: int, mode: str = "tap",
     """Largest h-tile whose double-buffered window fits a VMEM budget."""
     co = co or c
     co_pad = -(-co // 128) * 128
-    for bh in (16, 12, 8, 6, 4, 2, 1):
+    # thcw: throughput is flat in bh at 96 ch but drops past bh=4 at 192 ch
+    # (measured 91.7 vs 81.4 TF/s) — the N stream, not the h tile, is what
+    # amortizes; keep windows small.
+    cands = (4, 2, 1) if mode == "thcw" else (16, 12, 8, 6, 4, 2, 1)
+    for bh in cands:
         if h % bh:
             continue
         # input window at the actual activation dtype, double-buffered
@@ -273,6 +387,15 @@ def _pick_bh(h: int, w: int, c: int, kt: int, mode: str = "tap",
             # explicit VMEM scratch accumulator -> full scoped-vmem budget
             budget = 11 * 1024 * 1024
             acc = bh * (w + 2) * 3 * co_pad * 4
+        elif mode == "hoist":
+            # one live shifted window copy + fp32 accumulator on the stack
+            budget = 11 * 1024 * 1024
+            acc = bh * w * co * 4 * 2 + kt * (bh + 2) * w * c * itemsize
+        elif mode == "thcw":
+            # transposed window [kt, bh+2, C, wp]; per-row fp32 accumulator
+            win = kt * (bh + 2) * (w + 2) * c * itemsize * 2
+            budget = 11 * 1024 * 1024
+            acc = co * w * 4 * 2
         else:
             # SSA fp32 accumulator lands on Mosaic's stack, which shares the
             # 16 MB scoped limit with spills — stay conservative or the
@@ -452,9 +575,14 @@ def _conv3d_pallas(x: Array, w: Array, b: Array, gamma: Array | None, *,
         g_ref = rest.pop(0) if fuse_rms_silu else None
         o_ref = rest.pop(0)
         accw_ref = rest.pop(0) if mode == "nb" else None
-        _conv_kernel(x_ref, w_ref, b_ref, o_ref, kt=kt, bh=bh, w_out=w_out,
-                     fuse_rms_silu=fuse_rms_silu, gamma_ref=g_ref,
-                     mode=mode, accw_ref=accw_ref)
+        if mode == "hoist":
+            _conv_kernel_hoist(x_ref, w_ref, b_ref, o_ref, kt=kt, bh=bh,
+                               w_out=w_out, fuse_rms_silu=fuse_rms_silu,
+                               gamma_ref=g_ref)
+        else:
+            _conv_kernel(x_ref, w_ref, b_ref, o_ref, kt=kt, bh=bh,
+                         w_out=w_out, fuse_rms_silu=fuse_rms_silu,
+                         gamma_ref=g_ref, mode=mode, accw_ref=accw_ref)
 
     flops = 2 * t_out * h * w_out * c * co * kt * 9
     return pl.pallas_call(
@@ -485,6 +613,34 @@ def conv3d_ndhwc(x: Array, w: Array, b: Array, *, time_pad: int,
     """
     kt = w.shape[0]
     bsz = x.shape[0]
+    if mode == "auto":
+        # Per-shape choice, measured on v5e (scripts/exp_conv_probe2.py):
+        # the transposed orientation (thcw) wins at every heavy decoder
+        # stage — 94 vs 66 TF/s @96 ch, 92 vs 70 @192, 100 vs 74 @384
+        # (kernel-only) — because it puts the wide W axis on the MXU's N
+        # lanes instead of the 96/192-sized Co. tap only stays ahead on
+        # tiny-K heads (conv_in's 16 input channels) and narrow frames.
+        cin = x.shape[-1]
+        mode = "thcw" if cin >= 64 and x.shape[3] >= 256 else "tap"
+    if mode == "thcw":
+        if gamma is not None:
+            # norm+silu prologue runs unfused here (C sits on sublanes in
+            # the thcw kernel; a cross-sublane norm inside isn't worth it —
+            # the fused path is opt-in and measured slower even on tap)
+            sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                         keepdims=True)
+            inv = ((x.shape[-1]**0.5) *
+                   jax.lax.rsqrt(jnp.maximum(sq, 1e-24))).astype(x.dtype)
+            x = jax.nn.silu(x * inv * gamma.astype(x.dtype))
+        xt = jnp.pad(x.transpose(0, 1, 2, 4, 3),
+                     ((0, 0), (time_pad, 0), (1, 1), (0, 0), (1, 1)))
+        wt = w.astype(x.dtype).transpose(0, 1, 2, 4, 3)  # [kt,3,3,Co,C]
+        outs = [
+            _conv3d_pallas_thcw(xt[i], wt, b.astype(x.dtype), kt=kt,
+                                out_dtype=x.dtype, bh_override=bh_override)
+            for i in range(bsz)
+        ]
+        return jnp.stack(outs, axis=0).transpose(0, 1, 2, 4, 3)
     if mode == "tfold" and gamma is not None:
         # the temporal K-fold mixes frames on the channel dim, so the
         # norm+silu prologue must run before folding (unfused)
@@ -506,9 +662,21 @@ def conv3d_ndhwc(x: Array, w: Array, b: Array, *, time_pad: int,
 
 
 def supports(kernel_size: tuple[int, int, int], stride: tuple[int, int, int],
-             padding: tuple[int, int, int], cin: int, cout: int) -> bool:
-    """Shapes this kernel accelerates; everything else falls back to XLA."""
+             padding: tuple[int, int, int], cin: int, cout: int,
+             w_dim: int | None = None, mode: str | None = None) -> bool:
+    """Shapes this kernel accelerates; everything else falls back to XLA.
+
+    The thcw orientation streams Co on the MXU's M dim (not lanes), so it
+    additionally covers ragged output channels like the decoder's
+    conv_out 96->3 (measured 2.3x over the XLA 2D-tap path) — allowed
+    when the caller passes its width and a thcw-capable mode.
+    """
     kt, kh, kw = kernel_size
-    return (kh == 3 and kw == 3 and kt in (1, 3) and stride == (1, 1, 1)
-            and padding[1] == 1 and padding[2] == 1 and cin % 8 == 0
-            and cout % 8 == 0)
+    base = (kh == 3 and kw == 3 and kt in (1, 3) and stride == (1, 1, 1)
+            and padding[1] == 1 and padding[2] == 1 and cin % 8 == 0)
+    if not base:
+        return False
+    if cout % 8 == 0:
+        return True
+    return (mode in ("thcw", "auto") and w_dim is not None and w_dim >= 256
+            and cin >= 64)

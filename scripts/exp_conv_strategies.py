@@ -114,6 +114,13 @@ for name, (t, h, w_, cin, cout) in CASES.items():
             flops=fl)
     bench("nb", lambda xx, ww, bb: ops.conv3d_ndhwc(
         xx, ww, bb, time_pad=2, mode="nb"), x, wg, b, flops=fl)
+    bench("hoist", lambda xx, ww, bb: ops.conv3d_ndhwc(
+        xx, ww, bb, time_pad=2, mode="hoist"), x, wg, b, flops=fl)
+    if ops.supports((3, 3, 3), (1, 1, 1), (2, 1, 1), cin, cout):
+        bench("thcw", lambda xx, ww, bb: ops.conv3d_ndhwc(
+            xx, ww, bb, time_pad=2, mode="thcw"), x, wg, b, flops=fl)
+    bench("auto", lambda xx, ww, bb: ops.conv3d_ndhwc(
+        xx, ww, bb, time_pad=2, mode="auto"), x, wg, b, flops=fl)
     bench("shift3", lambda xx, ww, bb: ops.conv3d_ndhwc(
         xx, ww, bb, time_pad=2, mode="shift3"), x, wg, b, flops=fl)
     for bh in (2, 4):

@@ -31,7 +31,7 @@ def _ref_conv3d(x, w, b, time_pad, gamma=None):
     return o + b.astype(jnp.float32)
 
 
-@pytest.mark.parametrize("mode", ["tap", "dma"])
+@pytest.mark.parametrize("mode", ["tap", "dma", "hoist", "thcw", "auto"])
 @pytest.mark.parametrize("kt,fuse", [(3, False), (3, True), (1, False)])
 def test_conv3d_matches_xla(mode, kt, fuse):
     key = jax.random.PRNGKey(0)
@@ -69,3 +69,23 @@ def test_supports_gate():
     assert not supports((3, 3, 3), (2, 2, 2), (2, 1, 1), 96, 96)
     assert not supports((3, 1, 1), (1, 1, 1), (2, 0, 0), 96, 96)
     assert not supports((3, 3, 3), (1, 1, 1), (2, 1, 1), 12, 96)
+    # ragged cout (conv_out 96->3): only via a thcw-capable mode + wide W
+    assert not supports((3, 3, 3), (1, 1, 1), (2, 1, 1), 96, 3)
+    assert supports((3, 3, 3), (1, 1, 1), (2, 1, 1), 96, 3, w_dim=832,
+                    mode="auto")
+    assert not supports((3, 3, 3), (1, 1, 1), (2, 1, 1), 96, 3, w_dim=104,
+                        mode="auto")
+    assert not supports((3, 3, 3), (1, 1, 1), (2, 1, 1), 96, 3, w_dim=832,
+                        mode="tap")
+
+
+def test_conv3d_thcw_ragged_cout():
+    """conv_out analog: Co=3 through the transposed-orientation kernel."""
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, (1, 3, 8, 16, 16), jnp.float32)
+    w = jax.random.normal(key, (3, 3, 3, 16, 3), jnp.float32) * 0.1
+    b = jnp.ones((3,), jnp.float32) * 0.5
+    ref = _ref_conv3d(x, w, b, 2)
+    out = conv3d_ndhwc(x, w, b, time_pad=2, mode="thcw")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
