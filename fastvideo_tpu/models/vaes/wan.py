@@ -156,7 +156,7 @@ class CausalConv3d(nnx.Module):
             if conv3d_ops.supports(self.kernel_size, self.stride,
                                    (tp, ph, pw), x.shape[-1],
                                    w.shape[-1], w_dim=x.shape[3],
-                                   mode=conv_mode):
+                                   mode=conv_mode, h_dim=x.shape[2]):
                 # Pallas conv3d path (ops/conv3d.py): the kernel does its
                 # own causal/spatial padding; mode picks the tap layout
                 # ("tap" | "shift3" | "nb" | "dma" | "dw" | "dhw").

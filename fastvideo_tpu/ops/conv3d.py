@@ -1,18 +1,26 @@
 """Pallas TPU kernel: 3D convolution for the causal-VAE hot path.
 
-Round-4 on-chip status (v5e, scripts/exp_conv_strategies.py with in-jit
-anti-CSE repeats): "tap" is the production mode — 61 TF/s at the decoder's
-96-ch full-res stage, 70 TF/s at 192 ch, 110 TF/s at 384 ch; on the full
-81f/480p decode it beats the XLA conv path slightly warm (4.0 vs 4.7 s)
-and massively on cold compile (19-26 s vs 495 s). "nb" compiles but loses
-to tap. "dma", "dw", "dhw", and "shift3" all fail Mosaic on-chip — any
-BlockSpec Element offset that is nonzero on the sublane (width) dim is
-rejected by this libtpu (bisected in round 4); they remain for interpret
-mode and for when Mosaic lifts the restriction, since shift3's
-DMA-resolved width shifts are the designed path past tap's ~55%-of-ceiling
-relayout tax. "tfold" (temporal K-fold to kt*C contraction rows via an
-XLA-side concat) also loses on-chip — 38.9 vs 59.5 TF/s at 96 ch — the
-3x input materialization costs more than the fuller MXU rows recover.
+Round-4 on-chip status (v5e, scripts/exp_conv_strategies.py +
+exp_conv_probe2.py + exp_conv_kfold.py, in-jit anti-CSE repeats): "kf"
+(transposed orientation with the (dt, dh) taps K-folded into the
+contraction dim via a free reshape view) is the production mode — 105-112
+TF/s at the decoder's 96-ch full-res stage, 107-108 at 192 ch, ~103 at
+384 ch; full 81f/480p decode 3.69 s resident (tap: 4.4, thcw: 4.1, XLA
+conv: 4.7 with a 495 s cold compile vs Pallas ~25 s). The ladder that got
+here: "tap" (27 K=C dots, 61-70 TF/s — relayout-taxed), "thcw" (transposed
+so the wide W axis rides the MXU's N lanes, 87-94), "kf" (+96.4% K fill,
+9x fewer accumulator adds). A wrong-math aligned-rows ceiling probe
+matches kf, i.e. the remaining ~45% gap to peak is the dot geometry
+itself (M=Co stream length at these channel counts), not data movement.
+"nb" compiles but loses to tap. "dma", "dw", "dhw", and "shift3" all fail
+Mosaic on-chip — any BlockSpec Element offset that is nonzero on the
+sublane (width) dim is rejected by this libtpu (bisected in round 4);
+they remain for interpret mode and for when Mosaic lifts the restriction.
+"tfold" (temporal K-fold via an XLA-side concat) loses on-chip — 38.9 vs
+59.5 TF/s at 96 ch — the 3x input materialization costs more than the
+fuller MXU rows recover; "kf" gets the same fill for free in-kernel.
+Winograd F(2x2,3x3) at the XLA level is also measured-rejected (17-39
+TF/s effective; ops/winograd.py).
 
 Reference behavior analog: the causal Conv3d modules of
 /root/reference/fastvideo/models/vaes/wanvae.py:157-206 (math only; the
@@ -169,6 +177,40 @@ def _conv_kernel_hoist(x_ref, w_ref, b_ref, o_ref, *, kt: int, bh: int,
     o_ref[0] = acc.reshape(bh, w_out, co).astype(o_ref.dtype)
 
 
+def _conv_kernel_thcw_kf(x_ref, w_ref, b_ref, o_ref, *, kt: int, bh: int,
+                         w_out: int):
+    """thcw with the (dt, dh) taps K-FOLDED into the contraction dim.
+
+    In the thcw layout [kt, bh+2, C, wp] the (dt, dh, C) row stack that one
+    output row needs is the contiguous RESHAPE VIEW x[:, h:h+3] -> [kt*3*C,
+    wp]: C is sublane-tile aligned (C % 16 == 0 in bf16) so the merge costs
+    nothing, turning the row into 3 dots (dw only) of [Co, kt*3*C] @
+    [kt*3*C, W]. K = 864 at the 96-ch stage pads to 896 (96.4% MXU
+    contraction fill vs thcw's 96->128 = 75%) and there are 9x fewer fp32
+    accumulator adds. Measured (scripts/exp_conv_kfold.py, v5e): 105-112
+    TF/s @96 ch (thcw: 89-92), 107-108 @192 (thcw: 82-87), 95-103 @384
+    (thcw: 95-100). A wrong-math aligned-rows ceiling probe lands at the
+    same 105-110, i.e. the view/fold is free and the dot geometry itself is
+    what remains. Stacking the dw blocks on M (one [3Co, K] dot) measured
+    the same; M is not the wall.
+
+    w_ref: [3(dw), Co, kt*3*C] with rows ordered (dt, dh, C);
+    b_ref: [Co, 1]; o_ref: [1, bh, Co, w_out].
+    """
+    c = x_ref.shape[2]
+    co = o_ref.shape[2]
+    wp = x_ref.shape[-1]
+    x = x_ref[...]
+    for h in range(bh):
+        xc = x[:, h:h + 3].reshape(kt * 3 * c, wp)
+        acc = jnp.zeros((co, w_out), jnp.float32)
+        for dw in range(3):
+            acc = acc + jnp.dot(w_ref[dw], xc[:, dw:dw + w_out],
+                                preferred_element_type=jnp.float32)
+        acc = acc + b_ref[...].astype(jnp.float32)
+        o_ref[0, h] = acc.astype(o_ref.dtype)
+
+
 def _conv_kernel_thcw(x_ref, w_ref, b_ref, o_ref, *, kt: int, bh: int,
                       w_out: int):
     """Transposed-orientation taps: out^T[Co, W] = W[Co, C] @ x^T[C, W].
@@ -202,20 +244,28 @@ def _conv_kernel_thcw(x_ref, w_ref, b_ref, o_ref, *, kt: int, bh: int,
 
 
 @functools.partial(jax.jit, static_argnames=("kt", "out_dtype",
-                                             "bh_override"))
+                                             "bh_override", "fold"))
 def _conv3d_pallas_thcw(x: Array, w: Array, b: Array, *, kt: int, out_dtype,
-                        bh_override: int | None = None) -> Array:
-    """x: [T_out+kt-1, H+2, C, W_out+2] pre-padded. w: [kt,3,3,Co,C]."""
+                        bh_override: int | None = None,
+                        fold: bool = False) -> Array:
+    """x: [T_out+kt-1, H+2, C, W_out+2] pre-padded.
+
+    w: [kt,3,3,Co,C] (fold=False) or [3, Co, kt*3*C] (fold=True).
+    """
     tp, hp, c, wp = x.shape
     t_out, h, w_out = tp - kt + 1, hp - 2, wp - 2
-    co = w.shape[-2]
-    bh = bh_override or _pick_bh(h, w_out, c, kt, "thcw", co,
-                                 itemsize=x.dtype.itemsize)
+    co = w.shape[-2] if not fold else w.shape[1]
+    bh = bh_override or _pick_bh(h, w_out, c, kt, "kf" if fold else "thcw",
+                                 co, itemsize=x.dtype.itemsize)
     grid = (t_out, h // bh)
 
     def kernel(x_ref, w_ref, b_ref, o_ref):
-        _conv_kernel_thcw(x_ref, w_ref, b_ref, o_ref, kt=kt, bh=bh,
-                          w_out=w_out)
+        if fold:
+            _conv_kernel_thcw_kf(x_ref, w_ref, b_ref, o_ref, kt=kt, bh=bh,
+                                 w_out=w_out)
+        else:
+            _conv_kernel_thcw(x_ref, w_ref, b_ref, o_ref, kt=kt, bh=bh,
+                              w_out=w_out)
 
     flops = 2 * t_out * h * w_out * c * co * kt * 9
     return pl.pallas_call(
@@ -361,8 +411,14 @@ def _pick_bh(h: int, w: int, c: int, kt: int, mode: str = "tap",
     co_pad = -(-co // 128) * 128
     # thcw: throughput is flat in bh at 96 ch but drops past bh=4 at 192 ch
     # (measured 91.7 vs 81.4 TF/s) — the N stream, not the h tile, is what
-    # amortizes; keep windows small.
-    cands = (4, 2, 1) if mode == "thcw" else (16, 12, 8, 6, 4, 2, 1)
+    # amortizes; keep windows small. kf: measured best at bh=8 @96 ch and
+    # bh=4 @192/384 (drops at bh=8 for 384).
+    if mode == "thcw":
+        cands = (4, 2, 1)
+    elif mode == "kf":
+        cands = (8, 4, 2, 1) if c <= 128 else (4, 2, 1)
+    else:
+        cands = (16, 12, 8, 6, 4, 2, 1)
     for bh in cands:
         if h % bh:
             continue
@@ -391,11 +447,19 @@ def _pick_bh(h: int, w: int, c: int, kt: int, mode: str = "tap",
             # one live shifted window copy + fp32 accumulator on the stack
             budget = 11 * 1024 * 1024
             acc = bh * w * co * 4 * 2 + kt * (bh + 2) * w * c * itemsize
-        elif mode == "thcw":
+        elif mode in ("thcw", "kf"):
             # transposed window [kt, bh+2, C, wp]; per-row fp32 accumulator
+            # (kf additionally holds the [3, Co, kt*3*C] weights in VMEM,
+            # which matter at 384 ch: ~8 MB bf16)
             win = kt * (bh + 2) * (w + 2) * c * itemsize * 2
             budget = 11 * 1024 * 1024
             acc = co * w * 4 * 2
+            if mode == "kf":
+                # weights aren't double-buffered (grid-constant) but do sit
+                # in VMEM; the kernel runs at vmem_limit=96M so the budget
+                # here is pipelining headroom, not the hard cap
+                budget = 24 * 1024 * 1024
+                acc += 3 * co * kt * 3 * c * itemsize
         else:
             # SSA fp32 accumulator lands on Mosaic's stack, which shares the
             # 16 MB scoped limit with spills — stay conservative or the
@@ -613,16 +677,22 @@ def conv3d_ndhwc(x: Array, w: Array, b: Array, *, time_pad: int,
     """
     kt = w.shape[0]
     bsz = x.shape[0]
+    if mode == "wino":
+        from fastvideo_tpu.ops.winograd import conv3d_winograd_ndhwc
+
+        return conv3d_winograd_ndhwc(x, w, b, time_pad=time_pad, gamma=gamma)
     if mode == "auto":
-        # Per-shape choice, measured on v5e (scripts/exp_conv_probe2.py):
-        # the transposed orientation (thcw) wins at every heavy decoder
-        # stage — 94 vs 66 TF/s @96 ch, 92 vs 70 @192, 100 vs 74 @384
-        # (kernel-only) — because it puts the wide W axis on the MXU's N
-        # lanes instead of the 96/192-sized Co. tap only stays ahead on
-        # tiny-K heads (conv_in's 16 input channels) and narrow frames.
+        # Per-shape choice, measured on v5e (scripts/exp_conv_probe2.py +
+        # exp_conv_kfold.py): the transposed orientation wins at every
+        # heavy decoder stage because it puts the wide W axis on the MXU's
+        # N lanes instead of the 96/192-sized Co, and the K-folded variant
+        # (kf) adds 96.4% contraction fill on top — 108 vs 66 (tap) vs 92
+        # (thcw) TF/s @96 ch, 108 vs 70 vs 87 @192, 103 vs 74 vs 100 @384.
+        # tap only stays ahead on tiny-K heads (conv_in's 16 input
+        # channels) and narrow frames.
         cin = x.shape[-1]
-        mode = "thcw" if cin >= 64 and x.shape[3] >= 256 else "tap"
-    if mode == "thcw":
+        mode = "kf" if cin >= 64 and x.shape[3] >= 256 else "tap"
+    if mode in ("thcw", "kf"):
         if gamma is not None:
             # norm+silu prologue runs unfused here (C sits on sublanes in
             # the thcw kernel; a cross-sublane norm inside isn't worth it —
@@ -634,10 +704,18 @@ def conv3d_ndhwc(x: Array, w: Array, b: Array, *, time_pad: int,
             x = jax.nn.silu(x * inv * gamma.astype(x.dtype))
         xt = jnp.pad(x.transpose(0, 1, 2, 4, 3),
                      ((0, 0), (time_pad, 0), (1, 1), (0, 0), (1, 1)))
-        wt = w.astype(x.dtype).transpose(0, 1, 2, 4, 3)  # [kt,3,3,Co,C]
+        if mode == "kf":
+            # rows ordered (dt, dh, C) to match the kernel's reshape view
+            co = w.shape[-1]
+            c = w.shape[-2]
+            wt = w.astype(x.dtype).transpose(2, 4, 0, 1, 3).reshape(
+                3, co, kt * 3 * c)
+        else:
+            wt = w.astype(x.dtype).transpose(0, 1, 2, 4, 3)  # [kt,3,3,Co,C]
         outs = [
             _conv3d_pallas_thcw(xt[i], wt, b.astype(x.dtype), kt=kt,
-                                out_dtype=x.dtype, bh_override=bh_override)
+                                out_dtype=x.dtype, bh_override=bh_override,
+                                fold=mode == "kf")
             for i in range(bsz)
         ]
         return jnp.stack(outs, axis=0).transpose(0, 1, 2, 4, 3)
@@ -663,7 +741,8 @@ def conv3d_ndhwc(x: Array, w: Array, b: Array, *, time_pad: int,
 
 def supports(kernel_size: tuple[int, int, int], stride: tuple[int, int, int],
              padding: tuple[int, int, int], cin: int, cout: int,
-             w_dim: int | None = None, mode: str | None = None) -> bool:
+             w_dim: int | None = None, mode: str | None = None,
+             h_dim: int | None = None) -> bool:
     """Shapes this kernel accelerates; everything else falls back to XLA.
 
     The thcw orientation streams Co on the MXU's M dim (not lanes), so it
@@ -672,11 +751,16 @@ def supports(kernel_size: tuple[int, int, int], stride: tuple[int, int, int],
     when the caller passes its width and a thcw-capable mode.
     """
     kt, kh, kw = kernel_size
+    if mode == "wino":
+        from fastvideo_tpu.ops import winograd
+
+        return winograd.supports(kernel_size, stride, padding, cin, cout,
+                                 h_dim=h_dim, w_dim=w_dim)
     base = (kh == 3 and kw == 3 and kt in (1, 3) and stride == (1, 1, 1)
             and padding[1] == 1 and padding[2] == 1 and cin % 8 == 0)
     if not base:
         return False
     if cout % 8 == 0:
         return True
-    return (mode in ("thcw", "auto") and w_dim is not None and w_dim >= 256
-            and cin >= 64)
+    return (mode in ("thcw", "kf", "auto") and w_dim is not None
+            and w_dim >= 256 and cin >= 64)

@@ -31,7 +31,8 @@ def _ref_conv3d(x, w, b, time_pad, gamma=None):
     return o + b.astype(jnp.float32)
 
 
-@pytest.mark.parametrize("mode", ["tap", "dma", "hoist", "thcw", "auto"])
+@pytest.mark.parametrize("mode", ["tap", "dma", "hoist", "thcw", "kf",
+                                  "auto"])
 @pytest.mark.parametrize("kt,fuse", [(3, False), (3, True), (1, False)])
 def test_conv3d_matches_xla(mode, kt, fuse):
     key = jax.random.PRNGKey(0)
