@@ -40,6 +40,11 @@ import time
 
 os.environ.setdefault("FASTVIDEO_ATTENTION_BACKEND", "VIDEO_SPARSE_ATTN")
 os.environ.setdefault("FASTVIDEO_STAGE_SYNC", "1")
+# On-device latent noise (threefry) — the reference also draws its initial
+# noise on-accelerator (torch.randn on CUDA); the numpy host path exists
+# only for torch-bitwise seed parity in tests and costs an 8 MB H2D
+# transfer per generation through this rig's tunnel (~0.2 s).
+os.environ.setdefault("FASTVIDEO_DEVICE_RNG", "1")
 
 VSA_SPARSITY = 0.8
 CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "outputs",

@@ -350,10 +350,20 @@ class DmdDenoisingStage(DenoisingStage):
                 jnp.float32)
             if i < len(timesteps) - 1:
                 next_sigma = sigmas[i + 1]
-                noise = jnp.asarray(
-                    randn_like_reference(
-                        tuple(latents.shape),
-                        [s + i + 1 for s in (batch.seeds or [0])]))
+                renoise_seeds = [s + i + 1 for s in (batch.seeds or [0])]
+                from fastvideo_tpu import envs
+                if envs.FASTVIDEO_DEVICE_RNG:
+                    # same seed-batching contract as latent prep: threefry
+                    # on device instead of a host numpy gen + 8 MB H2D
+                    # per DMD step (seed-deterministic, not torch-bitwise)
+                    from fastvideo_tpu.pipelines.stages.latent_preparation \
+                        import _device_randn
+                    noise = _device_randn(tuple(latents.shape),
+                                          tuple(renoise_seeds))
+                else:
+                    noise = jnp.asarray(
+                        randn_like_reference(tuple(latents.shape),
+                                             renoise_seeds))
                 latents = (1.0 - next_sigma) * x0 + next_sigma * noise
             else:
                 latents = x0

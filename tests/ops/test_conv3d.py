@@ -90,3 +90,6 @@ def test_conv3d_thcw_ragged_cout():
     out = conv3d_ndhwc(x, w, b, time_pad=2, mode="thcw")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-3, rtol=2e-3)
+    out_kf = conv3d_ndhwc(x, w, b, time_pad=2, mode="kf")
+    np.testing.assert_allclose(np.asarray(out_kf), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)

@@ -46,3 +46,22 @@ def test_fastwan_dmd_vsa_e2e(ckpt, tmp_path, monkeypatch):
                             num_frames=5, seed=11, save_video=False)
     np.testing.assert_array_equal(frames, r2["frames"][0])
     par.destroy_mesh()
+
+
+def test_fastwan_dmd_device_rng(ckpt, monkeypatch):
+    """FASTVIDEO_DEVICE_RNG=1 also covers the DMD inter-step renoise
+    (pipelines/stages/denoising.py): generation completes and is
+    seed-deterministic with on-device threefry noise."""
+    monkeypatch.setenv("FASTVIDEO_ATTENTION_BACKEND", "VIDEO_SPARSE_ATTN")
+    monkeypatch.setenv("FASTVIDEO_DEVICE_RNG", "1")
+    import fastvideo_tpu.parallel as par
+    from fastvideo_tpu import VideoGenerator
+
+    par.destroy_mesh()
+    gen = VideoGenerator.from_pretrained(ckpt, num_gpus=1, VSA_sparsity=0.5)
+    kw = dict(prompt="w1 w2", height=32, width=32, num_frames=5, seed=3,
+              save_video=False)
+    a = gen.generate_video(**kw)["frames"][0]
+    b = gen.generate_video(**kw)["frames"][0]
+    np.testing.assert_array_equal(a, b)
+    par.destroy_mesh()
