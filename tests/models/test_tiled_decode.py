@@ -56,3 +56,19 @@ def test_parallel_tiled_decode_matches_serial():
             z, tile_latent_min=(16, 16), tile_latent_stride=(8, 8)))
     par.destroy_mesh()
     np.testing.assert_allclose(serial, parallel, atol=1e-5)
+
+
+def test_decode_dispatched_matches_decode():
+    """The python-dispatched chunk loop (lag-1 settling, donated conv
+    caches) is bit-identical to the fused decode()."""
+    import jax.numpy as jnp
+
+    vae = _tiny_vae()
+    import jax
+
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 5, 8, 8),
+                          jnp.float32)
+    full = np.asarray(vae.decode(z))
+    disp = np.asarray(vae.decode_dispatched(z, chunk_frames=2,
+                                            decode_dtype=jnp.float32))
+    np.testing.assert_allclose(disp, full, atol=1e-5, rtol=1e-5)
