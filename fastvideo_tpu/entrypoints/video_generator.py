@@ -130,6 +130,8 @@ class VideoGenerator:
             kwargs["dp_size"] = par.dp_size
         if config.pipeline.components.lora_path:
             kwargs["lora_path"] = config.pipeline.components.lora_path
+        if eng.quantization and eng.quantization.transformer_quant:
+            kwargs["transformer_quant"] = eng.quantization.transformer_quant
         gen = cls.from_pretrained(config.model_path, **kwargs)
         gen.generator_config = config
         return gen

@@ -56,6 +56,11 @@ environment_flags: dict[str, Callable[[], Any]] = {
     # Number of virtual host devices for CPU-mesh testing.
     "FASTVIDEO_HOST_DEVICE_COUNT":
     lambda: int(os.getenv("FASTVIDEO_HOST_DEVICE_COUNT", "0")),
+    # Transformer quantization override ("int8" | "int8-weight-only"; ""
+    # disables). Same effect as FastVideoArgs.transformer_quant /
+    # api EngineConfig.quantization.transformer_quant.
+    "FASTVIDEO_TRANSFORMER_QUANT":
+    lambda: os.getenv("FASTVIDEO_TRANSFORMER_QUANT", "") or None,
     # Watchdog timeout (seconds) for one engine iteration.
     "FASTVIDEO_ENGINE_ITERATION_TIMEOUT_S":
     lambda: int(os.getenv("FASTVIDEO_ENGINE_ITERATION_TIMEOUT_S", "600")),

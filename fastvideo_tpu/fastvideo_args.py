@@ -38,6 +38,12 @@ class FastVideoArgs:
     # attention
     attention_backend: str | None = None
 
+    # transformer quantization ("int8" | "int8_w8a8" | "int8-weight-only");
+    # TPU analog of the reference's FastWan-QAD FP8 serving path (its 1.8 s
+    # headline, README.md:12) — the MXU runs int8 at 2x bf16 throughput.
+    # None = bf16. Also settable via FASTVIDEO_TRANSFORMER_QUANT.
+    transformer_quant: str | None = None
+
     # pipeline selection
     pipeline_type: str | None = None
 

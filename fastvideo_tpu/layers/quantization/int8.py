@@ -101,6 +101,22 @@ class Int8Linear(nnx.Module):
         return y
 
 
+def resolve_quant_method(spec: str) -> str:
+    """Normalize a user-facing quant spec to a QuantizationConfig.method.
+
+    Accepted: "int8" / "int8_w8a8" / "w8a8" -> dynamic-activation W8A8;
+    "int8-weight-only" / "int8_weight_only" / "w8" -> weight-only.
+    """
+    s = spec.strip().lower().replace("-", "_")
+    if s in ("int8", "int8_w8a8", "w8a8"):
+        return "int8_w8a8"
+    if s in ("int8_weight_only", "w8", "weight_only"):
+        return "int8_weight_only"
+    raise ValueError(
+        f"Unknown transformer_quant {spec!r}; expected 'int8' or "
+        f"'int8-weight-only'")
+
+
 def quantize_model_linears(model: nnx.Module,
                            config: QuantizationConfig | None = None) -> int:
     """Swap eligible Linear submodules for Int8Linear in place."""

@@ -36,6 +36,31 @@ PRECISION_TO_DTYPE = {
 }
 
 
+def _maybe_quantize_transformer(dit, fastvideo_args):
+    """Swap the DiT's linears for int8 when requested.
+
+    TPU analog of the reference's FastWan-QAD quantized serving path
+    (fastvideo_args.py:242 ``transformer_quant`` + TurboDiffusion int8
+    GEMMs): quantization happens once at load, after weights land, so the
+    scan-stacked block params carry int8 kernels + fp32 scales.
+    """
+    from fastvideo_tpu import envs
+
+    spec = envs.FASTVIDEO_TRANSFORMER_QUANT or (
+        getattr(fastvideo_args, "transformer_quant", None)
+        if fastvideo_args is not None else None)
+    if not spec:
+        return dit
+    from fastvideo_tpu.layers.quantization import (QuantizationConfig,
+                                                   quantize_model_linears)
+    from fastvideo_tpu.layers.quantization.int8 import resolve_quant_method
+
+    method = resolve_quant_method(spec)
+    count = quantize_model_linears(dit, QuantizationConfig(method=method))
+    logger.info("Quantized %d transformer linears (%s)", count, method)
+    return dit
+
+
 def _build_arch_config(arch_cls, hf_config: dict[str, Any]):
     arch = arch_cls()
     arch.update_from_hf(hf_config)
@@ -136,9 +161,10 @@ class PipelineComponentLoader:
                 # (e.g. hy1.5 SR in_channels): don't clobber the primary
                 # dit_config's arch with it.
                 cfg = copy.copy(cfg)
-            return load_model_component(
+            dit = load_model_component(
                 component_dir, precision=pipeline_config.precision,
                 model_config=cfg)
+            return _maybe_quantize_transformer(dit, fastvideo_args)
         if module_name == "vae":
             cfg = pipeline_config.vae_config
             return load_model_component(
