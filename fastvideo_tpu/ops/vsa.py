@@ -207,7 +207,7 @@ def block_mean(x: Array, block_sizes: Array,
 
 
 def _sparse_fast_kernel(idx_ref, q_ref, *rest, scale: float, topk: int,
-                        unroll: int):
+                        unroll: int, pad: int):
     """rest = k_0, v_0, ..., k_{u-1}, v_{u-1}, o_ref, m, l, acc."""
     kv_refs = rest[:2 * unroll]
     o_ref, m_ref, l_ref, acc_ref = rest[2 * unroll:]
@@ -229,15 +229,18 @@ def _sparse_fast_kernel(idx_ref, q_ref, *rest, scale: float, topk: int,
                         axis=0)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    if True:  # tail chunk masking (duplicate-index padding) — static check
-        # chunk width = KV TILE rows (kv block shape), NOT the query rows:
+    if pad:  # tail chunk masking (duplicate-index padding) — static check
+        # Valid chunks are a PREFIX of each row: chunk c of grid step j is
+        # valid iff j*unroll + c < topk, i.e. col < (topk - j*unroll)*E_kv
+        # — one iota + compare, no per-element integer divide (measured: the
+        # // by a non-power-of-2 chunk width cost ~VPU-milliseconds/layer).
+        # Chunk width = KV TILE rows (kv block shape), NOT the query rows:
         # with q_group > 1 the q block is q_group*tile_elems rows while
-        # each gathered KV chunk is tile_elems rows, and dividing by the
+        # each gathered KV chunk is tile_elems rows, and masking by the
         # wrong width let duplicate-padded tail chunks through unmasked.
         e_kv = kv_refs[0].shape[2]
-        col_chunk = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // e_kv
-        valid = (j * unroll + col_chunk) < topk
-        s = jnp.where(valid, s, MASK_VALUE)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < (topk - j * unroll) * e_kv, s, MASK_VALUE)
     m_prev = m_ref[...]
     l_prev = l_ref[...]
     m_curr = jnp.max(s, axis=1, keepdims=True)
@@ -280,8 +283,13 @@ def block_sparse_attention_fast(q: Array, k: Array, v: Array, indices: Array,
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     if unroll is None:
-        # target ~2048 kv rows per grid step
-        unroll = max(1, min(topk, 2048 // tile_elems))
+        # target ~2048 kv rows per grid step, preferring an exact divisor
+        # of topk: pad=0 drops the per-step tail masking entirely (the
+        # production 0.8-sparsity shapes all hit a divisor).
+        budget = max(1, min(topk, 2048 // tile_elems))
+        divisor = max((u for u in range(1, budget + 1) if topk % u == 0),
+                      default=1)
+        unroll = divisor if divisor * 2 > budget else budget
     nsteps = -(-topk // unroll)
     pad = nsteps * unroll - topk
     if pad:
@@ -290,17 +298,16 @@ def block_sparse_attention_fast(q: Array, k: Array, v: Array, indices: Array,
             [indices, jnp.repeat(indices[..., -1:], pad, axis=-1)], axis=-1)
 
     kernel = functools.partial(_sparse_fast_kernel, scale=scale, topk=topk,
-                               unroll=unroll)
+                               unroll=unroll, pad=pad)
 
     def kv_spec(c):
         return pl.BlockSpec(
             (1, 1, tile_elems, d),
-            lambda b_, h_, qi, j, idx, c=c: (b_, h_, idx[b_, qi,
+            lambda b_, h_, qi, j, idx, c=c: (b_, h_, idx[b_, h_, qi,
                                                          j * unroll + c], 0))
 
-    def run_one_head(qh, kh, vh, idxh):
-        # per-head pallas_call keeps the scalar-prefetch index array small
-        # (b*ng*topk int32) — SMEM-friendly at production tile counts.
+    def run(qh, kh, vh, idxh):
+        hh = qh.shape[1]
         in_specs = [
             pl.BlockSpec((1, 1, q_rows, d),
                          lambda b_, h_, qi, j, idx: (b_, h_, qi, 0)),
@@ -310,7 +317,7 @@ def block_sparse_attention_fast(q: Array, k: Array, v: Array, indices: Array,
             in_specs.append(kv_spec(c))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, 1, ng, nsteps),
+            grid=(b, hh, ng, nsteps),
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 1, q_rows, d),
                                    lambda b_, h_, qi, j, idx: (b_, h_, qi, 0)),
@@ -333,17 +340,23 @@ def block_sparse_attention_fast(q: Array, k: Array, v: Array, indices: Array,
                 dimension_semantics=("parallel", "parallel", "parallel",
                                      "arbitrary")),
             cost_estimate=pl.CostEstimate(
-                flops=4 * s * topk * tile_elems * d,
-                bytes_accessed=2 * s * d * 4,
-                transcendentals=s * topk * tile_elems,
+                flops=4 * hh * s * topk * tile_elems * d,
+                bytes_accessed=2 * hh * s * d * 4,
+                transcendentals=hh * s * topk * tile_elems,
             ),
         )(*operands)
 
+    # One pallas_call over ALL heads (grid (b, h, ng, nsteps), full [b,h,..]
+    # index array prefetched): Mosaic pipelines gather DMAs across head
+    # boundaries and the dispatch cost is paid once, not h times. Fall back
+    # to per-head calls only when the index array would crowd SMEM.
+    idx_all = indices.astype(jnp.int32)
+    if idx_all.size * 4 <= 256 * 1024:
+        return run(q, k, v, idx_all)
     outs = []
     for hi in range(h):
         sl = slice(hi, hi + 1)
-        outs.append(run_one_head(q[:, sl], k[:, sl], v[:, sl],
-                                 indices[:, hi].astype(jnp.int32)))
+        outs.append(run(q[:, sl], k[:, sl], v[:, sl], idx_all[:, sl]))
     return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
 
