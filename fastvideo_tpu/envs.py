@@ -56,8 +56,10 @@ environment_flags: dict[str, Callable[[], Any]] = {
     # Number of virtual host devices for CPU-mesh testing.
     "FASTVIDEO_HOST_DEVICE_COUNT":
     lambda: int(os.getenv("FASTVIDEO_HOST_DEVICE_COUNT", "0")),
-    # Transformer quantization override ("int8" | "int8-weight-only"; ""
-    # disables). Same effect as FastVideoArgs.transformer_quant /
+    # Transformer quantization override; "" disables. Accepted values are
+    # the aliases in layers/quantization/int8.py (W8A8_ALIASES +
+    # WEIGHT_ONLY_ALIASES: "int8"/"w8a8"/... and "int8-weight-only"/"w8").
+    # Same effect as FastVideoArgs.transformer_quant /
     # api EngineConfig.quantization.transformer_quant.
     "FASTVIDEO_TRANSFORMER_QUANT":
     lambda: os.getenv("FASTVIDEO_TRANSFORMER_QUANT", "") or None,

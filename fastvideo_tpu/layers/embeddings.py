@@ -91,7 +91,10 @@ class TimestepEmbedder(nnx.Module):
                  timestep_seq_len: int | None = None) -> Array:
         t_freq = timestep_embedding(t, self.frequency_embedding_size,
                                     self.max_period)
-        t_freq = t_freq.astype(self.mlp.fc_in.kernel.value.dtype)
+        fc_in = self.mlp.fc_in
+        dtype = (fc_in.kernel.value.dtype if hasattr(fc_in, "kernel")
+                 else fc_in.out_dtype)  # Int8Linear (quantized serving)
+        t_freq = t_freq.astype(dtype)
         if timestep_seq_len is not None:
             t_freq = t_freq.reshape(-1, timestep_seq_len, t_freq.shape[-1])
         return self.mlp(t_freq)

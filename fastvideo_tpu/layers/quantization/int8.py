@@ -101,30 +101,57 @@ class Int8Linear(nnx.Module):
         return y
 
 
+W8A8_ALIASES = ("int8", "int8_w8a8", "w8a8")
+WEIGHT_ONLY_ALIASES = ("int8_weight_only", "w8", "weight_only")
+
+
 def resolve_quant_method(spec: str) -> str:
     """Normalize a user-facing quant spec to a QuantizationConfig.method.
 
-    Accepted: "int8" / "int8_w8a8" / "w8a8" -> dynamic-activation W8A8;
-    "int8-weight-only" / "int8_weight_only" / "w8" -> weight-only.
+    Accepted (after lowercasing and ``-``→``_``): any of ``W8A8_ALIASES``
+    -> dynamic-activation W8A8; any of ``WEIGHT_ONLY_ALIASES`` -> weight-only.
     """
     s = spec.strip().lower().replace("-", "_")
-    if s in ("int8", "int8_w8a8", "w8a8"):
+    if s in W8A8_ALIASES:
         return "int8_w8a8"
-    if s in ("int8_weight_only", "w8", "weight_only"):
+    if s in WEIGHT_ONLY_ALIASES:
         return "int8_weight_only"
     raise ValueError(
-        f"Unknown transformer_quant {spec!r}; expected 'int8' or "
-        f"'int8-weight-only'")
+        f"Unknown transformer_quant {spec!r}; accepted: "
+        f"{W8A8_ALIASES + WEIGHT_ONLY_ALIASES}")
 
 
 def quantize_model_linears(model: nnx.Module,
                            config: QuantizationConfig | None = None) -> int:
     """Swap eligible Linear submodules for Int8Linear in place."""
+    from fastvideo_tpu.logger import init_logger
     config = config or QuantizationConfig()
+    log = init_logger(__name__)
     count = 0
 
-    def walk(mod, path=""):
+    def excluded(full: str) -> bool:
+        # match each exclude fragment against whole underscore-delimited
+        # words of the dotted-path components ("embedder" excludes
+        # "time_embedder", "norm" excludes "norm_out") — not raw
+        # substrings, so e.g. a future "denorm" attribute is not
+        # silently skipped by "norm"
+        for comp in full.split("."):
+            words = comp.split("_")
+            for frag in config.exclude:
+                if frag == comp or frag in words:
+                    return True
+        return False
+
+    def convert(child: Linear, full: str) -> Int8Linear | None:
         nonlocal count
+        if excluded(full):
+            log.debug("int8 quantize: skipping excluded %s", full)
+            return None
+        count += 1
+        return Int8Linear.from_linear(
+            child, weight_only=config.method == "int8_weight_only")
+
+    def walk(mod, path=""):
         for name, child in list(vars(mod).items()):
             name = str(name)
             if name.startswith("_"):
@@ -133,24 +160,28 @@ def quantize_model_linears(model: nnx.Module,
             if isinstance(child, Int8Linear):
                 continue
             if isinstance(child, Linear) and not hasattr(child, "lora_A"):
-                if any(frag in full for frag in config.exclude):
-                    continue
-                setattr(mod, name,
-                        Int8Linear.from_linear(
-                            child,
-                            weight_only=config.method ==
-                            "int8_weight_only"))
-                count += 1
+                new = convert(child, full)
+                if new is not None:
+                    setattr(mod, name, new)
             elif isinstance(child, (nnx.Module, list, nnx.List, dict)):
                 if isinstance(child, dict):
-                    items = list(child.values())
+                    items = list(child.items())
                 elif isinstance(child, (list, nnx.List)):
-                    items = list(child)
+                    items = list(enumerate(child))
                 else:
-                    items = [child]
-                for i, item in enumerate(items):
-                    if isinstance(item, nnx.Module):
-                        sub = full if len(items) == 1 else f"{full}.{i}"
+                    items = [(None, child)]
+                for key, item in items:
+                    sub = full if key is None else f"{full}.{key}"
+                    if (isinstance(item, Linear)
+                            and not isinstance(item, Int8Linear)
+                            and not hasattr(item, "lora_A")):
+                        # a bare Linear held in a container: replace the
+                        # container slot directly (setattr on the parent
+                        # would miss it)
+                        new = convert(item, sub)
+                        if new is not None:
+                            child[key] = new
+                    elif isinstance(item, nnx.Module):
                         walk(item, sub)
 
     walk(model)

@@ -680,7 +680,14 @@ def conv3d_ndhwc(x: Array, w: Array, b: Array, *, time_pad: int,
     if mode == "wino":
         from fastvideo_tpu.ops.winograd import conv3d_winograd_ndhwc
 
-        return conv3d_winograd_ndhwc(x, w, b, time_pad=time_pad, gamma=gamma)
+        try:
+            return conv3d_winograd_ndhwc(x, w, b, time_pad=time_pad,
+                                         gamma=gamma)
+        except Exception:
+            # the 96-ch full-res decoder stage is known to fail compile on
+            # this libtpu (round-4 ladder); fall through to the direct path
+            # rather than crash mid-decode
+            mode = "auto"
     if mode == "auto":
         # Per-shape choice, measured on v5e (scripts/exp_conv_probe2.py +
         # exp_conv_kfold.py): the transposed orientation wins at every

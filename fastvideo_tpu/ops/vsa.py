@@ -351,8 +351,11 @@ def block_sparse_attention_fast(q: Array, k: Array, v: Array, indices: Array,
     # boundaries and the dispatch cost is paid once, not h times. Fall back
     # to per-head calls only when the index array would crowd SMEM.
     idx_all = indices.astype(jnp.int32)
-    if idx_all.size * 4 <= 256 * 1024:
-        return run(q, k, v, idx_all)
+    if idx_all.size * 4 <= SCALAR_PREFETCH_SMEM_BUDGET_BYTES:
+        try:
+            return run(q, k, v, idx_all)
+        except Exception:  # SMEM overflow on a smaller part: per-head path
+            pass
     outs = []
     for hi in range(h):
         sl = slice(hi, hi + 1)
@@ -364,6 +367,12 @@ def block_sparse_attention_fast(q: Array, k: Array, v: Array, indices: Array,
 
 
 SPARSE_PIPELINE_SLOTS = 4
+
+# Scalar-prefetch arrays live in SMEM alongside Mosaic's own bookkeeping.
+# 256 KB is an empirical safe bound for the ~1 MB SMEM of the v5e this was
+# tuned on; if it overestimates another part's SMEM the all-heads call
+# fails to compile and the caller retries per-head (see the fast path).
+SCALAR_PREFETCH_SMEM_BUDGET_BYTES = 256 * 1024
 
 
 def _sparse_kernel(sizes_ref, idx_ref, q_ref, k_hbm, v_hbm, o_ref, acc_ref,

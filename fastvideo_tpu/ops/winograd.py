@@ -170,7 +170,13 @@ def supports(kernel_size: tuple[int, int, int],
              padding: tuple[int, int, int], cin: int, cout: int,
              h_dim: int | None = None, w_dim: int | None = None) -> bool:
     kt, kh, kw = kernel_size
-    return (kh == 3 and kw == 3 and kt in (1, 3) and stride == (1, 1, 1)
-            and padding[1] == 1 and padding[2] == 1
-            and h_dim is not None and w_dim is not None
-            and h_dim % 2 == 0 and w_dim % 2 == 0)
+    if (kh != 3 or kw != 3 or kt not in (1, 3) or stride != (1, 1, 1)
+            or padding[1] != 1 or padding[2] != 1 or h_dim is None
+            or w_dim is None or h_dim % 2 or w_dim % 2):
+        return False
+    # the 96-ch full-resolution decoder stage (480p and up) fails XLA
+    # compile on this libtpu (round-4 ladder: remote_compile 500); reject
+    # it here so FASTVIDEO_VAE_CONV3D=wino falls back instead of crashing
+    if cin <= 96 and h_dim * w_dim >= 480 * 832:
+        return False
+    return True

@@ -35,6 +35,9 @@ def timeit(fn, *args, n=3):
 
 
 def main():
+    from fastvideo_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     key = jax.random.PRNGKey(0)
 
     # production-shape sparse composition at the adaptive q_group
