@@ -26,7 +26,9 @@ DEFAULT_TARGET_MODULES = ("to_q", "to_k", "to_v", "to_out", "add_k_proj",
 
 
 def convert_to_lora_layers(model: nnx.Module,
-                           target_modules=DEFAULT_TARGET_MODULES) -> int:
+                           target_modules=DEFAULT_TARGET_MODULES,
+                           rank: int = 16,
+                           alpha: float | None = None) -> int:
     """Replace matching Linear submodules with LoRALinear in place."""
     count = 0
 
@@ -39,7 +41,8 @@ def convert_to_lora_layers(model: nnx.Module,
             if isinstance(child, LoRALinear):
                 continue
             if isinstance(child, Linear) and name in target_modules:
-                setattr(mod, name, LoRALinear.from_linear(child))
+                setattr(mod, name,
+                        LoRALinear.from_linear(child, rank=rank, alpha=alpha))
                 count += 1
             elif isinstance(child, (nnx.Module, list, nnx.List)):
                 items = child if isinstance(child,

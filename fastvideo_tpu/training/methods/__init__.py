@@ -18,6 +18,7 @@ from fastvideo_tpu.training.methods import knowledge_distillation  # noqa: F401
 from fastvideo_tpu.training.methods import anyflow  # noqa: F401
 from fastvideo_tpu.training.methods import anyflow_pretrain  # noqa: F401
 from fastvideo_tpu.training.methods import causal_cd  # noqa: F401
+from fastvideo_tpu.training.methods import lora  # noqa: F401
 from fastvideo_tpu.training.methods import rl  # noqa: F401
 
 __all__ = [

@@ -83,10 +83,13 @@ class TrainingPipeline:
         self.scheduler = scheduler
         if training_args.selective_checkpointing in ("full", "ops"):
             transformer.gradient_checkpointing = True
-        self.graphdef, params = nnx.split(transformer)
+        self._frozen = None  # set by _split_model overrides (LoRA)
+        self.graphdef, params = self._split_model(transformer)
         self.tx = build_optimizer(training_args)
         with mesh_context(self.mesh):
             params = shard_params_fsdp(params, self.mesh)
+            if self._frozen is not None:
+                self._frozen = shard_params_fsdp(self._frozen, self.mesh)
             opt_state = self.tx.init(params)
             opt_state = shard_params_fsdp(opt_state, self.mesh)
         self.state = TrainState(params=params, opt_state=opt_state, step=0,
@@ -108,13 +111,25 @@ class TrainingPipeline:
 
     # -- the jitted step ---------------------------------------------------
 
+    def _split_model(self, transformer):
+        """graphdef + TRAINABLE params; may stash a frozen remainder on
+        ``self._frozen`` (LoRA trains adapters with the base frozen)."""
+        return nnx.split(transformer)
+
+    def _merge_model(self, params):
+        """Rebuild the model from trainable params (+ frozen remainder).
+        Pure — safe to call under jit."""
+        if self._frozen is not None:
+            return nnx.merge(self.graphdef, params, self._frozen)
+        return nnx.merge(self.graphdef, params)
+
     def _make_loss_fn(self):
         """Return ``loss_fn(params, latents, embeds, key) -> scalar``.
 
         Subclasses override this to change the training objective while
         reusing the jitted accumulate/clip/update scaffold."""
         args = self.args
-        graphdef = self.graphdef
+        merge = self._merge_model
         num_train = self.scheduler.num_train_timesteps
         sched_sigmas = jnp.asarray(np.asarray(self.scheduler.sigmas))
         sched_ts = jnp.asarray(np.asarray(self.scheduler.timesteps))
@@ -137,7 +152,7 @@ class TrainingPipeline:
             noise = jax.random.normal(noise_key, latents.shape,
                                       latents.dtype)
             noisy = (1.0 - sig) * latents + sig * noise
-            model = nnx.merge(graphdef, params)
+            model = merge(params)
             pred = model(noisy.astype(jnp.bfloat16),
                          embeds.astype(jnp.bfloat16), timesteps)
             target = noise - latents  # velocity (training_pipeline.py:413)
@@ -259,7 +274,7 @@ class TrainingPipeline:
         from fastvideo_tpu.pipelines.stages.latent_preparation import (
             randn_like_reference)
 
-        model = nnx.merge(self.graphdef, self.state.params)
+        model = self._merge_model(self.state.params)
         latents = jnp.asarray(randn_like_reference(tuple(latent_shape),
                                                    [seed]))
         num_train = 1000.0
