@@ -58,14 +58,27 @@ class VideoStore:
 
 
 class GenerationWorker(threading.Thread):
-    def __init__(self, generator, store: VideoStore):
+    # pending-job bound: one chip serves one request at a time, so an
+    # unbounded queue just converts a POST burst into unbounded memory and
+    # client timeouts; past this depth the server answers 429 instead
+    DEFAULT_MAX_QUEUE_DEPTH = 8
+
+    def __init__(self, generator, store: VideoStore,
+                 max_queue_depth: int | None = None):
         super().__init__(daemon=True)
         self.generator = generator
         self.store = store
-        self.q: queue.Queue[str] = queue.Queue()
+        depth = (self.DEFAULT_MAX_QUEUE_DEPTH
+                 if max_queue_depth is None else int(max_queue_depth))
+        self.q: queue.Queue[str] = queue.Queue(maxsize=depth)
 
-    def submit(self, job_id: str) -> None:
-        self.q.put(job_id)
+    def submit(self, job_id: str) -> bool:
+        """Enqueue; False when the server is at capacity (caller 429s)."""
+        try:
+            self.q.put_nowait(job_id)
+            return True
+        except queue.Full:
+            return False
 
     def run(self) -> None:
         while True:
@@ -224,7 +237,11 @@ def make_handler(model_id: str, store: VideoStore, worker: GenerationWorker):
                 request["_pil_image"] = PIL.Image.open(
                     io.BytesIO(base64.b64decode(b64))).convert("RGB")
             job = store.create(request, kind="image")
-            worker.submit(job["id"])
+            if not worker.submit(job["id"]):
+                store.update(job["id"], status="failed",
+                             error="server at capacity")
+                self._send(429, {"error": "server at capacity, retry later"})
+                return
             deadline = time.time() + float(request.get("timeout", 600))
             while time.time() < deadline:
                 job = store.get(job["id"])
@@ -271,7 +288,11 @@ def make_handler(model_id: str, store: VideoStore, worker: GenerationWorker):
                 self._send(400, {"error": "prompt required"})
                 return
             job = store.create(request)
-            worker.submit(job["id"])
+            if not worker.submit(job["id"]):
+                store.update(job["id"], status="failed",
+                             error="server at capacity")
+                self._send(429, {"error": "server at capacity, retry later"})
+                return
             self._send(200, store.public(job))
 
     return Handler
@@ -279,9 +300,11 @@ def make_handler(model_id: str, store: VideoStore, worker: GenerationWorker):
 
 class VideoAPIServer:
     def __init__(self, generator, model_id: str = "fastvideo-tpu",
-                 host: str = "0.0.0.0", port: int = 8000):
+                 host: str = "0.0.0.0", port: int = 8000,
+                 max_queue_depth: int | None = None):
         self.store = VideoStore()
-        self.worker = GenerationWorker(generator, self.store)
+        self.worker = GenerationWorker(generator, self.store,
+                                       max_queue_depth=max_queue_depth)
         self.worker.start()
         handler = make_handler(model_id, self.store, self.worker)
         self.httpd = ThreadingHTTPServer((host, port), handler)
@@ -298,7 +321,10 @@ class VideoAPIServer:
 
     def shutdown(self) -> None:
         self.httpd.shutdown()
-        self.worker.q.put(None)
+        try:
+            self.worker.q.put_nowait(None)
+        except queue.Full:  # worker is daemon; it dies with the process
+            pass
 
 
 def run_server(model_path: str, host: str = "0.0.0.0", port: int = 8000,

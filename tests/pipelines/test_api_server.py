@@ -88,3 +88,41 @@ def test_api_server_generate(tmp_path):
         assert raw[:8] == b"\x89PNG\r\n\x1a\n"
     finally:
         server.shutdown()
+
+
+def test_api_server_queue_bound():
+    """A POST burst past max_queue_depth gets 429, not unbounded queueing."""
+    import threading
+    import urllib.error
+
+    from fastvideo_tpu.entrypoints.openai.api_server import VideoAPIServer
+
+    release = threading.Event()
+
+    class BlockingGenerator:
+        def generate_video(self, **kwargs):
+            release.wait(timeout=30)
+            return {"video_path": "/dev/null", "generation_time": 0.0}
+
+    server = VideoAPIServer(BlockingGenerator(), host="127.0.0.1", port=0,
+                            max_queue_depth=1)
+    server.serve_background()
+    try:
+        body = {"prompt": "p", "height": 16, "width": 16, "num_frames": 1,
+                "steps": 1}
+        # worker picks up #1 and blocks; #2 sits in the queue; #3 must 429
+        _req(server.port, "/v1/videos", body)
+        time.sleep(0.3)  # let the worker dequeue #1
+        _req(server.port, "/v1/videos", body)
+        codes = []
+        for _ in range(3):
+            try:
+                _req(server.port, "/v1/videos", body)
+                codes.append(200)
+            except urllib.error.HTTPError as e:
+                codes.append(e.code)
+        assert 429 in codes, codes
+        release.set()
+    finally:
+        release.set()
+        server.shutdown()
