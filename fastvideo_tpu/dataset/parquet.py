@@ -41,6 +41,82 @@ def pyarrow_schema_t2v():
     ])
 
 
+def pyarrow_schema_i2v():
+    """T2V columns + first-frame conditioning (reference
+    dataset/dataloader/schema.py pyarrow_schema_i2v: CLIP image feature +
+    first-frame VAE latent per record)."""
+    import pyarrow as pa
+
+    return pa.schema([
+        *pyarrow_schema_t2v(),
+        ("clip_feature", pa.binary()),
+        ("clip_feature_shape", pa.list_(pa.int32())),
+        ("clip_feature_dtype", pa.string()),
+        ("first_frame_latent", pa.binary()),
+        ("first_frame_latent_shape", pa.list_(pa.int32())),
+        ("first_frame_latent_dtype", pa.string()),
+    ])
+
+
+def pyarrow_schema_ode():
+    """Teacher ODE-trajectory records for sparse distillation (reference
+    schema.py pyarrow_schema_ode_trajectory_text_only): text embedding plus
+    the full denoising trajectory (latents at every solver step and the
+    matching timesteps) — what DMD2/self-forcing students regress onto."""
+    import pyarrow as pa
+
+    return pa.schema([
+        ("id", pa.string()),
+        ("text_embedding", pa.binary()),
+        ("text_embedding_shape", pa.list_(pa.int32())),
+        ("text_embedding_dtype", pa.string()),
+        ("trajectory_latents", pa.binary()),
+        ("trajectory_latents_shape", pa.list_(pa.int32())),
+        ("trajectory_latents_dtype", pa.string()),
+        ("trajectory_timesteps", pa.binary()),
+        ("trajectory_timesteps_shape", pa.list_(pa.int32())),
+        ("trajectory_timesteps_dtype", pa.string()),
+        ("caption", pa.string()),
+    ])
+
+
+def _tensor_fields(name: str, arr: np.ndarray) -> dict:
+    return {
+        name: arr.tobytes(),
+        f"{name}_shape": list(arr.shape),
+        f"{name}_dtype": str(arr.dtype),
+    }
+
+
+def record_from_i2v_sample(sample_id: str, latents: np.ndarray,
+                           text_embedding: np.ndarray,
+                           clip_feature: np.ndarray,
+                           first_frame_latent: np.ndarray,
+                           caption: str = "", width: int = 0, height: int = 0,
+                           num_frames: int = 0, fps: float = 0.0,
+                           duration: float = 0.0) -> dict:
+    rec = record_from_sample(sample_id, latents, text_embedding,
+                             caption=caption, width=width, height=height,
+                             num_frames=num_frames, fps=fps,
+                             duration=duration)
+    rec.update(_tensor_fields("clip_feature", clip_feature))
+    rec.update(_tensor_fields("first_frame_latent", first_frame_latent))
+    return rec
+
+
+def record_from_ode_sample(sample_id: str, text_embedding: np.ndarray,
+                           trajectory_latents: np.ndarray,
+                           trajectory_timesteps: np.ndarray,
+                           caption: str = "") -> dict:
+    return {
+        "id": sample_id,
+        **_tensor_fields("text_embedding", text_embedding),
+        **_tensor_fields("trajectory_latents", trajectory_latents),
+        **_tensor_fields("trajectory_timesteps", trajectory_timesteps),
+        "caption": caption,
+    }
+
+
 def record_from_sample(sample_id: str, latents: np.ndarray,
                        text_embedding: np.ndarray, caption: str = "",
                        width: int = 0, height: int = 0, num_frames: int = 0,
@@ -63,12 +139,12 @@ def record_from_sample(sample_id: str, latents: np.ndarray,
 
 
 def write_parquet_dataset(records: list[dict], out_dir: str,
-                          rows_per_file: int = 256) -> None:
+                          rows_per_file: int = 256, schema=None) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    schema = pyarrow_schema_t2v()
+    schema = schema if schema is not None else pyarrow_schema_t2v()
     # continue numbering after existing shards so successive flushes
     # (PreprocessPipeline streams every samples_per_file) never overwrite
     start = len([f for f in os.listdir(out_dir) if f.endswith(".parquet")])
@@ -90,8 +166,14 @@ class LatentsParquetMapStyleDataset:
     """Random-access dataset over parquet shards (reference :311)."""
 
     def __init__(self, path: str, text_drop_rate: float = 0.0,
-                 seed: int = 42):
+                 seed: int = 42,
+                 extra_columns: tuple[str, ...] = ()):
+        """``extra_columns`` names additional tensor columns (e.g. the i2v
+        schema's ``clip_feature`` / ``first_frame_latent``); when set,
+        ``__getitem__`` returns (latents, text, {col: array})."""
         import pyarrow.parquet as pq
+
+        self.extra_columns = tuple(extra_columns)
 
         self.files = sorted(
             os.path.join(path, f) for f in os.listdir(path)
@@ -137,7 +219,68 @@ class LatentsParquetMapStyleDataset:
         text = _decode_field(row, "text_embedding")
         if self.text_drop_rate and self._rng.random() < self.text_drop_rate:
             text = np.zeros_like(text)  # CFG dropout (reference :380)
+        if self.extra_columns:
+            return latents, text, {c: _decode_field(row, c)
+                                   for c in self.extra_columns}
         return latents, text
+
+
+class ODETrajectoryParquetDataset:
+    """Random-access reader over ``pyarrow_schema_ode`` shards: each item is
+    (trajectory_latents [S, C, T, H, W], trajectory_timesteps [S],
+    text_embedding [L, D]). Distillation methods regress students onto
+    these teacher solver states."""
+
+    def __init__(self, path: str):
+        import pyarrow.parquet as pq
+
+        self.files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet"))
+        if not self.files:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        self._lens = [pq.ParquetFile(f).metadata.num_rows
+                      for f in self.files]
+        self._offsets = np.cumsum([0, *self._lens])
+        self._tables: dict[int, object] = {}
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def _table(self, file_idx: int):
+        import pyarrow.parquet as pq
+
+        if file_idx not in self._tables:
+            if len(self._tables) >= 4:
+                self._tables.pop(next(iter(self._tables)))
+            self._tables[file_idx] = pq.read_table(self.files[file_idx])
+        return self._tables[file_idx]
+
+    def __getitem__(self, idx: int):
+        file_idx = int(np.searchsorted(self._offsets, idx, "right") - 1)
+        row_idx = idx - int(self._offsets[file_idx])
+        row = {k: v[0] for k, v in
+               self._table(file_idx).slice(row_idx, 1).to_pydict().items()}
+        return (_decode_field(row, "trajectory_latents"),
+                _decode_field(row, "trajectory_timesteps"),
+                _decode_field(row, "text_embedding"))
+
+
+def build_ode_dataloader(path: str, batch_size: int, seed: int = 42):
+    """Yields (traj_latents [B, S, ...], traj_timesteps [B, S],
+    embeds [B, L, D]) numpy triples, shuffled per epoch."""
+    dataset = ODETrajectoryParquetDataset(path)
+    sampler = DPSPBatchSampler(len(dataset), batch_size, 1, 0, seed)
+
+    def iterate():
+        while True:
+            for batch_indices in sampler:
+                items = [dataset[i] for i in batch_indices]
+                yield (np.stack([it[0] for it in items]),
+                       np.stack([it[1] for it in items]),
+                       np.stack([it[2] for it in items]))
+
+    return iterate()
 
 
 class DPSPBatchSampler:

@@ -134,6 +134,19 @@ def _add_preprocess(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--num-frames", type=int, default=None)
     p.add_argument("--samples-per-file", type=int, default=64)
     p.add_argument("--fps", type=float, default=16.0)
+    p.add_argument("--workload", choices=("t2v", "i2v", "ode"),
+                   default="t2v",
+                   help="t2v: video+caption records; i2v: + first-frame "
+                        "CLIP feature and VAE latent; ode: teacher "
+                        "denoising trajectories from text-only captions "
+                        "(reference preprocess_pipeline_{i2v,ode_"
+                        "trajectory}.py)")
+    p.add_argument("--ode-steps", type=int, default=48,
+                   help="teacher solver steps recorded per trajectory")
+    p.add_argument("--ode-guidance-scale", type=float, default=6.0)
+    p.add_argument("--ode-height", type=int, default=480)
+    p.add_argument("--ode-width", type=int, default=832)
+    p.add_argument("--ode-num-frames", type=int, default=81)
     p.set_defaults(func=_cmd_preprocess)
 
 
@@ -169,13 +182,27 @@ def _iter_preprocess_samples(data_path: str):
                "caption": caption}
 
 
+def _iter_text_samples(data_path: str):
+    """Text-only records for ODE-trajectory collection: prompts.txt (one
+    caption per line) or the captions of a videos.jsonl dataset."""
+    import os
+
+    txt = os.path.join(data_path, "prompts.txt")
+    if os.path.exists(txt):
+        with open(txt) as fh:
+            for i, line in enumerate(fh):
+                if line.strip():
+                    yield {"id": f"prompt{i}", "caption": line.strip()}
+        return
+    for sample in _iter_preprocess_samples(data_path):
+        yield {"id": sample["id"], "caption": sample.get("caption", "")}
+
+
 def _cmd_preprocess(args: argparse.Namespace) -> int:
     import os
 
     from fastvideo_tpu.models.loader.component_loader import (
         PipelineComponentLoader, load_tokenizer)
-    from fastvideo_tpu.pipelines.preprocess.preprocess_pipeline import (
-        PreprocessPipeline)
     from fastvideo_tpu.registry import get_pipeline_config_cls_for_name
 
     config_cls = get_pipeline_config_cls_for_name(args.model_path)
@@ -190,11 +217,50 @@ def _cmd_preprocess(args: argparse.Namespace) -> int:
         "text_encoder", os.path.join(args.model_path, "text_encoder"),
         pipeline_config)
     tokenizer = load_tokenizer(os.path.join(args.model_path, "tokenizer"))
-    pipeline = PreprocessPipeline(vae, text_encoder, tokenizer,
-                                  samples_per_file=args.samples_per_file)
-    n = pipeline.run(_iter_preprocess_samples(args.data_path),
-                     args.output_dir, fps=args.fps)
-    logger.info("Wrote %d samples to %s", n, args.output_dir)
+
+    workload = getattr(args, "workload", "t2v")
+    if workload == "i2v":
+        from fastvideo_tpu.pipelines.preprocess.preprocess_pipeline_i2v \
+            import PreprocessPipelineI2V
+
+        image_encoder = None
+        ie_dir = os.path.join(args.model_path, "image_encoder")
+        if os.path.isdir(ie_dir):
+            image_encoder = PipelineComponentLoader.load_module(
+                "image_encoder", ie_dir, pipeline_config)
+        pipeline = PreprocessPipelineI2V(
+            vae, text_encoder, tokenizer, image_encoder=image_encoder,
+            samples_per_file=args.samples_per_file)
+        samples = _iter_preprocess_samples(args.data_path)
+    elif workload == "ode":
+        from fastvideo_tpu.pipelines.preprocess.preprocess_pipeline_ode \
+            import PreprocessPipelineODE
+
+        transformer = PipelineComponentLoader.load_module(
+            "transformer", os.path.join(args.model_path, "transformer"),
+            pipeline_config)
+        arch = getattr(vae, "config", None)
+        sf_t = getattr(arch, "scale_factor_temporal", 4)
+        sf_s = getattr(arch, "scale_factor_spatial", 8)
+        z_dim = getattr(arch, "z_dim", 16)
+        latent_shape = (z_dim, (args.ode_num_frames - 1) // sf_t + 1,
+                        args.ode_height // sf_s, args.ode_width // sf_s)
+        pipeline = PreprocessPipelineODE(
+            vae, text_encoder, tokenizer, transformer,
+            num_inference_steps=args.ode_steps,
+            guidance_scale=args.ode_guidance_scale,
+            latent_shape=latent_shape,
+            samples_per_file=args.samples_per_file)
+        samples = _iter_text_samples(args.data_path)
+    else:
+        from fastvideo_tpu.pipelines.preprocess.preprocess_pipeline import (
+            PreprocessPipeline)
+
+        pipeline = PreprocessPipeline(vae, text_encoder, tokenizer,
+                                      samples_per_file=args.samples_per_file)
+        samples = _iter_preprocess_samples(args.data_path)
+    n = pipeline.run(samples, args.output_dir, fps=args.fps)
+    logger.info("Wrote %d %s samples to %s", n, workload, args.output_dir)
     return 0
 
 
