@@ -316,25 +316,62 @@ class DPSPBatchSampler:
         self.seed = state["seed"]
 
 
+class _AccumSampler:
+    """Groups ``accum`` micro-batch index lists into one train-step item,
+    delegating epoch/state to the underlying DPSPBatchSampler."""
+
+    def __init__(self, base: DPSPBatchSampler, accum: int):
+        self.base = base
+        self.accum = max(1, int(accum))
+
+    def __iter__(self):
+        group: list[list[int]] = []
+        for indices in self.base:
+            group.append(indices)
+            if len(group) == self.accum:
+                yield group
+                group = []
+
+    @property
+    def epoch(self) -> int:
+        return self.base.epoch
+
+    @epoch.setter
+    def epoch(self, value: int) -> None:
+        self.base.epoch = int(value)
+
+    def state_dict(self) -> dict:
+        return self.base.state_dict()
+
+    def load_state_dict(self, state: dict) -> None:
+        self.base.load_state_dict(state)
+
+
 def build_parquet_dataloader(path: str, batch_size: int,
                              num_dp_groups: int = 1,
                              accum: int = 1, text_drop_rate: float = 0.0,
-                             seed: int = 42):
-    """Yields ([accum, B, ...] latents, [accum, B, L, D] embeds) numpy pairs."""
+                             seed: int = 42, prefetch: int = 2):
+    """Yields ([accum, B, ...] latents, [accum, B, L, D] embeds) numpy pairs.
+
+    Batches are decoded by a background prefetch thread (``prefetch`` deep)
+    so host parquet IO overlaps the device step — the reference gets this
+    from torchdata's StatefulDataLoader (parquet_dataset_map_style.py:417);
+    here :class:`fastvideo_tpu.dataset.loader.PrefetchingLoader` carries the
+    same resume semantics (state_dict/load_state_dict)."""
+    from fastvideo_tpu.dataset.loader import PrefetchingLoader
+
     dataset = LatentsParquetMapStyleDataset(path, text_drop_rate, seed)
-    sampler = DPSPBatchSampler(len(dataset), batch_size * num_dp_groups,
-                               1, 0, seed)
+    sampler = _AccumSampler(
+        DPSPBatchSampler(len(dataset), batch_size * num_dp_groups, 1, 0,
+                         seed), accum)
 
-    def iterate():
-        micro: list[tuple[np.ndarray, np.ndarray]] = []
-        while True:
-            for batch_indices in sampler:
-                lat = np.stack([dataset[i][0] for i in batch_indices])
-                txt = np.stack([dataset[i][1] for i in batch_indices])
-                micro.append((lat, txt))
-                if len(micro) == accum:
-                    yield (np.stack([m[0] for m in micro]),
-                           np.stack([m[1] for m in micro]))
-                    micro = []
+    def make_batch(groups: list[list[int]]):
+        micros = []
+        for batch_indices in groups:
+            lat = np.stack([dataset[i][0] for i in batch_indices])
+            txt = np.stack([dataset[i][1] for i in batch_indices])
+            micros.append((lat, txt))
+        return (np.stack([m[0] for m in micros]),
+                np.stack([m[1] for m in micros]))
 
-    return iterate()
+    return PrefetchingLoader(sampler, make_batch, prefetch=prefetch)
