@@ -192,6 +192,63 @@ def _probe_backend(timeout_s: float = 600.0) -> None:
     print(f"# devices: {devices}", file=sys.stderr)
 
 
+def _run_causal_streaming() -> None:
+    """Per-block latency + steady-state FPS through StreamingVideoGenerator
+    on a CausalWan-1.3B (same geometry as the headline DiT, 3 latent frames
+    per block, 21-frame sliding KV window) + full Wan VAE streaming decode
+    at 480x832, 3 denoise steps per block."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.dits.wan import WanArchConfig
+    from fastvideo_tpu.configs.models.vaes.wan import WanVAEArchConfig
+    from fastvideo_tpu.entrypoints.streaming_generator import (
+        StreamingVideoGenerator)
+    from fastvideo_tpu.eval.perf import (run_streaming_benchmark,
+                                         validate_benchmark_config)
+    from fastvideo_tpu.models.dits.causal_wan import (
+        CausalWanTransformer3DModel)
+    from fastvideo_tpu.models.schedulers.flow_match_euler import (
+        FlowMatchEulerDiscreteScheduler)
+    from fastvideo_tpu.models.vaes.wan import AutoencoderKLWan
+
+    spec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "causal_streaming.json")
+    with open(spec_path) as fh:
+        cfg = json.load(fh)
+    validate_benchmark_config(cfg, spec_path)
+
+    def tup(d):
+        return {k: tuple(v) if isinstance(v, list) else v
+                for k, v in d.items()}
+
+    t0 = time.perf_counter()
+    dit = CausalWanTransformer3DModel(
+        WanArchConfig(**tup(DIT_CFG), num_frames_per_block=3),
+        param_dtype=jnp.bfloat16, rngs=nnx.Rngs(0))
+    vae = AutoencoderKLWan(WanVAEArchConfig(**tup(VAE_CFG)),
+                           load_encoder=False, param_dtype=jnp.bfloat16,
+                           rngs=nnx.Rngs(1))
+    sched = FlowMatchEulerDiscreteScheduler(shift=5.0)
+    sgen = StreamingVideoGenerator(dit, vae, scheduler=sched,
+                                   num_inference_steps=3, height=480,
+                                   width=832, seed=1024)
+    print(f"# causal: model build {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr)
+    r = run_streaming_benchmark(sgen, cfg)
+    print(f"# causal streaming ({r['id']}): first block (compile+run) "
+          f"{r['first_block_s']:.1f}s; steady block "
+          f"{r['steady_block_s']:.2f}s (min {r['steady_block_min_s']:.2f}); "
+          f"steady {r['steady_fps']:.2f} fps (per-block wall incl. the "
+          f"tunnel D2H frame fetch, ~0.5s/block on this rig)",
+          file=sys.stderr)
+    print(f"# causal block latencies: {r['block_latencies_s']}, frames: "
+          f"{r['frames_per_block']}", file=sys.stderr)
+    if r["violations"]:
+        print(f"# causal streaming VIOLATIONS: {r['violations']}",
+              file=sys.stderr)
+
+
 def main() -> None:
     _probe_backend()
     from fastvideo_tpu.utils import enable_compilation_cache
@@ -225,21 +282,47 @@ def main() -> None:
           f"first-run is measured in a fresh process below)",
           file=sys.stderr)
 
-    runs = []
-    for _ in range(3):
-        r = gen.generate_video(**kwargs)
-        runs.append(r)
-    best = min(runs, key=lambda r: sum(r["stage_times"].values()))
-    stage_times = best["stage_times"]
-    e2e = sum(stage_times.values())
-    fetch = best["generation_time"] - e2e
-    split = ", ".join(f"{k} {v*1000:.0f}ms" for k, v in stage_times.items())
-    print(f"# stage split: {split}", file=sys.stderr)
-    print(f"# host frame fetch (tunnel artifact, ~30MB/s D2H; <0.05s on a "
-          f"real TPU host): {fetch:.2f}s", file=sys.stderr)
-    print(f"# e2e(all runs): "
-          f"{[round(sum(r['stage_times'].values()), 3) for r in runs]}",
-          file=sys.stderr)
+    def measure(g, label):
+        rs = []
+        for _ in range(3):
+            rs.append(g.generate_video(**kwargs))
+        b = min(rs, key=lambda r: sum(r["stage_times"].values()))
+        st = b["stage_times"]
+        e2e_ = sum(st.values())
+        split = ", ".join(f"{k} {v*1000:.0f}ms" for k, v in st.items())
+        print(f"# [{label}] stage split: {split}", file=sys.stderr)
+        print(f"# [{label}] host frame fetch (tunnel artifact, ~30MB/s "
+              f"D2H; <0.05s on a real TPU host): "
+              f"{b['generation_time'] - e2e_:.2f}s", file=sys.stderr)
+        print(f"# [{label}] e2e(all runs): "
+              f"{[round(sum(r['stage_times'].values()), 3) for r in rs]}",
+              file=sys.stderr)
+        return e2e_, st
+
+    e2e, stage_times = measure(gen, "bf16")
+
+    # Quantized serving (the FastWan-QAD analog — the reference's 1.8 s
+    # headline is its quantized path, README.md:12). W8A8 int8 on the
+    # ffn/out-projection linears via the product load path; accuracy is
+    # gated in tests/pipelines/test_quantized_inference.py (SSIM vs bf16).
+    quant_used = False
+    if os.getenv("FASTVIDEO_BENCH_INT8", "1") == "1":
+        try:
+            gen = None  # release the bf16 DiT before reloading quantized
+            t0 = time.perf_counter()
+            gen = VideoGenerator.from_pretrained(ckpt, num_gpus=1,
+                                                 VSA_sparsity=VSA_SPARSITY,
+                                                 transformer_quant="int8")
+            print(f"# int8 reload: {time.perf_counter() - t0:.0f}s",
+                  file=sys.stderr)
+            gen.generate_video(**kwargs)  # compile + warmup
+            e2e_q, stage_q = measure(gen, "int8")
+            if e2e_q < e2e:
+                e2e, stage_times = e2e_q, stage_q
+                quant_used = True
+        except Exception as exc:  # keep the bf16 headline on any failure
+            print(f"# int8 bench FAILED (headline stays bf16): {exc!r}",
+                  file=sys.stderr)
 
     # feed the performance dashboard's local record store
     try:
@@ -293,10 +376,23 @@ def main() -> None:
         except Exception as exc:  # never fail the bench on the probe
             print(f"# warm-session probe skipped: {exc}", file=sys.stderr)
 
+    # Causal/realtime streaming benchmark (reference realtime headline:
+    # README.md:14, 5s@1080p in 4.5s via causal self-forcing). Reported as
+    # stderr lines beside the headline; spec + thresholds live in
+    # benchmarks/causal_streaming.json. FASTVIDEO_BENCH_CAUSAL=0 skips.
+    if os.getenv("FASTVIDEO_BENCH_CAUSAL", "1") == "1":
+        try:
+            gen = None  # free DiT/VAE/encoder buffers first
+            _run_causal_streaming()
+        except Exception as exc:  # never fail the headline on the rider
+            print(f"# causal streaming bench FAILED: {exc!r}",
+                  file=sys.stderr)
+
     baseline = 5.0  # seconds, v6e-8 target from BASELINE.json
     print(json.dumps({
         "metric": "wan2.1-1.3b 5s 480p clip E2E via VideoGenerator "
-                  "(3-step DMD + VSA-0.8, 1 chip)",
+                  "(3-step DMD + VSA-0.8"
+                  f"{' + int8-W8A8' if quant_used else ''}, 1 chip)",
         "value": round(e2e, 3),
         "unit": "s",
         "vs_baseline": round(baseline / e2e, 3),

@@ -22,8 +22,14 @@ logger = init_logger(__name__)
 REQUIRED_FIELDS = ("id", "generation", "runs", "thresholds")
 
 
+STREAMING_REQUIRED_FIELDS = ("id", "stream", "thresholds")
+
+
 def validate_benchmark_config(cfg: dict[str, Any],
                               path: str = "<memory>") -> None:
+    if cfg.get("mode") == "streaming":
+        _validate_streaming_config(cfg, path)
+        return
     for field in REQUIRED_FIELDS:
         if field not in cfg:
             raise ValueError(f"{path}: missing required field {field!r}")
@@ -43,6 +49,72 @@ def validate_benchmark_config(cfg: dict[str, Any],
         if not isinstance(val, (int, float)) or val < 0:
             raise ValueError(f"{path}: threshold {key!r} must be a "
                              "non-negative number")
+
+
+def _validate_streaming_config(cfg: dict[str, Any], path: str) -> None:
+    for field in STREAMING_REQUIRED_FIELDS:
+        if field not in cfg:
+            raise ValueError(f"{path}: missing required field {field!r}")
+    st = cfg["stream"]
+    if not isinstance(st.get("num_blocks"), int) or st["num_blocks"] < 2:
+        raise ValueError(f"{path}: stream.num_blocks must be an int >= 2 "
+                         "(block 0 is the cold block; steady state needs "
+                         "at least one more)")
+    th = cfg["thresholds"]
+    known = {"first_block_s", "steady_block_s", "steady_fps"}
+    if not (known & set(th)):
+        raise ValueError(f"{path}: thresholds need one of {sorted(known)}")
+    for key, val in th.items():
+        if not isinstance(val, (int, float)) or val < 0:
+            raise ValueError(f"{path}: threshold {key!r} must be a "
+                             "non-negative number")
+
+
+def run_streaming_benchmark(gen, cfg: dict[str, Any]) -> dict[str, Any]:
+    """Per-block latency + steady-state FPS through a streaming generator.
+
+    ``gen`` follows the StreamingVideoGenerator reset/step/finalize
+    contract (the reference's realtime causal serving loop). Block 0 pays
+    compile + cache warmup; steady state is blocks 1..N-1.
+    """
+    import time
+
+    st = cfg["stream"]
+    gen.reset(st.get("prompt", "benchmark prompt"))
+    latencies: list[float] = []
+    frames_per_block: list[int] = []
+    for _ in range(st["num_blocks"]):
+        t0 = time.perf_counter()
+        frames = gen.step()
+        latencies.append(time.perf_counter() - t0)
+        frames_per_block.append(int(frames.shape[0]))
+    gen.finalize()
+    steady_lat = latencies[1:]
+    steady_frames = frames_per_block[1:]
+    steady_block_s = statistics.mean(steady_lat)
+    steady_fps = sum(steady_frames) / sum(steady_lat)
+    result = {
+        "id": cfg["id"],
+        "first_block_s": latencies[0],
+        "steady_block_s": steady_block_s,
+        "steady_block_min_s": min(steady_lat),
+        "steady_fps": steady_fps,
+        "best_fps": max(
+            f / t for f, t in zip(steady_frames, steady_lat, strict=True)),
+        "block_latencies_s": [round(t, 4) for t in latencies],
+        "frames_per_block": frames_per_block,
+    }
+    th = cfg["thresholds"]
+    violations = []
+    for key in ("first_block_s", "steady_block_s"):
+        if key in th and result[key] > th[key]:
+            violations.append(
+                f"{key} {result[key]:.3f}s > threshold {th[key]:.3f}s")
+    if "steady_fps" in th and result["steady_fps"] < th["steady_fps"]:
+        violations.append(f"steady_fps {result['steady_fps']:.2f} < "
+                          f"threshold {th['steady_fps']:.2f}")
+    result["violations"] = violations
+    return result
 
 
 def discover_benchmarks(config_dir: str) -> list[dict[str, Any]]:
@@ -102,6 +174,11 @@ def run_suite(generator_factory, config_dir: str) -> list[dict[str, Any]]:
     """Run every benchmark in a directory; attach violations per result."""
     results = []
     for cfg in discover_benchmarks(config_dir):
+        if cfg.get("mode") == "streaming":
+            # streaming specs need a reset/step/finalize generator; they
+            # are driven by run_streaming_benchmark (see bench.py)
+            logger.info("perf %s: skipped (streaming mode)", cfg["id"])
+            continue
         generator = generator_factory(cfg)
         result = run_benchmark(generator, cfg)
         result["violations"] = check_thresholds(result, cfg)

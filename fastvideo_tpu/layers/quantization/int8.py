@@ -25,6 +25,21 @@ class QuantizationConfig:
     method: str = "int8_w8a8"  # or "int8_weight_only"
     # modules whose names contain any of these fragments are skipped
     exclude: tuple[str, ...] = ("embedder", "norm", "proj_out")
+    # W8A8 only: skip linears whose OUTPUT feeds an attention kernel
+    # (q/k/v and the VSA gate). Measured on-chip (Wan-1.3B VSA step,
+    # scripts/exp_int8_local.py): quantizing them is a net LOSS — the
+    # dequant epilogue blocks XLA from fusing the projection into the
+    # kernel's [b,s,n,d]->[b,n,s,d] relayout, adding a full extra HBM
+    # pass per tensor (step 1108 ms bf16 -> 1165 ms int8-attn-only vs
+    # 1002 ms with ffn+out-projections only). Weight-only keeps the bf16
+    # matmul/epilogue shape, so it is exempt.
+    exclude_kernel_feeders: bool = True
+
+
+# linear names (across model families) whose outputs enter flash/VSA
+# Pallas kernels directly
+KERNEL_FEEDER_FRAGMENTS = ("to_q", "to_k", "to_v", "q_proj", "k_proj",
+                           "v_proj", "qkv", "compress")
 
 
 def quantize_weight_int8(w: Array) -> tuple[Array, Array]:
@@ -33,6 +48,23 @@ def quantize_weight_int8(w: Array) -> tuple[Array, Array]:
     scale = jnp.maximum(amax / 127.0, 1e-8)
     wq = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127,
                   127).astype(jnp.int8)
+    return wq, scale
+
+
+def host_quantize_weight_int8(
+        w: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+    """numpy mirror of ``quantize_weight_int8``: quantize BEFORE upload.
+
+    Used by the load path for large quantized-at-load components (the
+    UMT5-XXL text encoder): the int8 kernel + fp32 scale cross host->HBM
+    instead of the bf16 weights, halving both the transfer and the peak
+    HBM during load."""
+    import numpy as np
+
+    wf = np.asarray(w, np.float32)
+    amax = np.max(np.abs(wf), axis=0)
+    scale = np.maximum(amax / 127.0, 1e-8).astype(np.float32)
+    wq = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
     return wq, scale
 
 
@@ -62,11 +94,22 @@ class Int8Linear(nnx.Module):
                      if bias else None)
 
     @classmethod
-    def from_linear(cls, linear: Linear,
-                    weight_only: bool = False) -> "Int8Linear":
+    def from_linear(cls, linear: Linear, weight_only: bool = False,
+                    init_only: bool = False) -> "Int8Linear":
+        """``init_only``: swap the module WITHOUT quantizing the current
+        (e.g. random-init) weights — the checkpoint loader assigns
+        host-quantized values afterwards (weight_utils.assign_param)."""
         new = cls(linear.in_features, linear.out_features,
                   bias=linear.bias is not None, weight_only=weight_only,
                   param_dtype=linear.kernel.value.dtype, rngs=nnx.Rngs(0))
+        if init_only:
+            if linear.bias is not None:
+                new.bias = linear.bias
+            tp_axes = getattr(linear.kernel, "tp_axes", None)
+            if tp_axes is not None:
+                new.kernel_q = nnx.Param(new.kernel_q.value, tp_axes=tp_axes)
+                new.scale = nnx.Param(new.scale.value, tp_axes=(tp_axes[1],))
+            return new
         wq, scale = quantize_weight_int8(linear.kernel.value)
         # carry the source layer's TP shard metadata: the int8 kernel
         # shards like the bf16 kernel, and the per-output-channel scale
@@ -122,22 +165,32 @@ def resolve_quant_method(spec: str) -> str:
 
 
 def quantize_model_linears(model: nnx.Module,
-                           config: QuantizationConfig | None = None) -> int:
-    """Swap eligible Linear submodules for Int8Linear in place."""
+                           config: QuantizationConfig | None = None,
+                           init_only: bool = False) -> int:
+    """Swap eligible Linear submodules for Int8Linear in place.
+
+    ``init_only`` swaps module types without quantizing the live values
+    (for quantize-at-load: construct -> swap -> stream host-quantized
+    checkpoint tensors in)."""
     from fastvideo_tpu.logger import init_logger
     config = config or QuantizationConfig()
     log = init_logger(__name__)
     count = 0
+
+    fragments = tuple(config.exclude)
+    if config.method == "int8_w8a8" and config.exclude_kernel_feeders:
+        fragments = fragments + KERNEL_FEEDER_FRAGMENTS
 
     def excluded(full: str) -> bool:
         # match each exclude fragment against whole underscore-delimited
         # words of the dotted-path components ("embedder" excludes
         # "time_embedder", "norm" excludes "norm_out") — not raw
         # substrings, so e.g. a future "denorm" attribute is not
-        # silently skipped by "norm"
+        # silently skipped by "norm". Multi-word fragments ("to_q")
+        # match a whole component.
         for comp in full.split("."):
             words = comp.split("_")
-            for frag in config.exclude:
+            for frag in fragments:
                 if frag == comp or frag in words:
                     return True
         return False
@@ -149,7 +202,8 @@ def quantize_model_linears(model: nnx.Module,
             return None
         count += 1
         return Int8Linear.from_linear(
-            child, weight_only=config.method == "int8_weight_only")
+            child, weight_only=config.method == "int8_weight_only",
+            init_only=init_only)
 
     def walk(mod, path=""):
         for name, child in list(vars(mod).items()):

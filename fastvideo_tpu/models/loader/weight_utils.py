@@ -25,6 +25,14 @@ from flax import nnx
 
 from fastvideo_tpu.layers.linear import Linear
 from fastvideo_tpu.logger import init_logger
+
+
+def _is_int8_linear(owner) -> bool:
+    # local import: quantization pulls in the logger/env stack, and most
+    # loads never touch it
+    from fastvideo_tpu.layers.quantization.int8 import Int8Linear
+
+    return isinstance(owner, Int8Linear)
 from fastvideo_tpu.models.vaes.autoencoder_kl import Conv2d
 from fastvideo_tpu.models.vaes.hunyuan import Conv1x1, HYCausalConv3d
 from fastvideo_tpu.models.vaes.ltx2 import LTXCausalConv3d, LTXConv1x1
@@ -101,6 +109,28 @@ def assign_param(model: nnx.Module, target_name: str, value: np.ndarray,
         else:
             raise ValueError(
                 f"Unexpected conv weight rank {value.ndim} for {target_name}")
+    elif _is_int8_linear(owner) and leaf == "weight":
+        # quantize-at-load slot: quantize ON HOST, upload int8 + scale
+        # (halves the H2D transfer and HBM never holds the bf16 weights)
+        from fastvideo_tpu.layers.quantization.int8 import (
+            host_quantize_weight_int8)
+
+        if value.ndim == 2:
+            value = value.T
+        else:
+            raise ValueError(
+                f"Unexpected int8-linear weight rank {value.ndim} for "
+                f"{target_name}")
+        wq, scale = host_quantize_weight_int8(value)
+        if tuple(owner.kernel_q.value.shape) != tuple(wq.shape):
+            raise ValueError(
+                f"Shape mismatch for {target_name}: checkpoint {wq.shape} "
+                f"vs model {tuple(owner.kernel_q.value.shape)}")
+        owner.kernel_q.value = jnp.asarray(wq, jnp.int8)
+        owner.scale.value = jnp.asarray(scale, jnp.float32)
+        return True
+    elif _is_int8_linear(owner) and leaf == "bias":
+        param = owner.bias
     elif isinstance(owner, Linear) and leaf == "weight":
         param = owner.kernel
         if value.ndim in (4, 5):

@@ -77,3 +77,56 @@ def test_run_benchmark_and_suite(tmp_path):
     results = run_suite(lambda cfg: _FakeGenerator(0.5), str(tmp_path))
     assert len(results) == 1
     assert results[0]["violations"], "0.5s run must violate 0.1s budget"
+
+
+class _FakeStreamingGenerator:
+    """reset/step/finalize contract with a first-block compile penalty."""
+
+    def __init__(self, block_s=0.001, frames=4):
+        self.block_s = block_s
+        self.frames = frames
+        self.steps = 0
+
+    def reset(self, prompt, output_path=None):
+        self.steps = 0
+
+    def step(self):
+        import time
+
+        import numpy as np
+
+        time.sleep(self.block_s * (5 if self.steps == 0 else 1))
+        self.steps += 1
+        n = self.frames - 1 if self.steps == 1 else self.frames
+        return np.zeros((n, 8, 8, 3), np.uint8)
+
+    def finalize(self):
+        return self.steps * self.frames - 1
+
+
+def test_streaming_benchmark_mode():
+    from fastvideo_tpu.eval.perf import (run_streaming_benchmark,
+                                         validate_benchmark_config)
+
+    cfg = {
+        "id": "stream-x",
+        "mode": "streaming",
+        "stream": {"prompt": "p", "num_blocks": 4},
+        "thresholds": {"steady_block_s": 10.0, "steady_fps": 0.1},
+    }
+    validate_benchmark_config(cfg)
+    r = run_streaming_benchmark(_FakeStreamingGenerator(), cfg)
+    assert r["violations"] == []
+    assert len(r["block_latencies_s"]) == 4
+    assert r["frames_per_block"] == [3, 4, 4, 4]
+    assert r["first_block_s"] > r["steady_block_s"]
+    # fps threshold is a floor: impossible fps must violate
+    cfg_bad = {**cfg, "thresholds": {"steady_fps": 1e9}}
+    r2 = run_streaming_benchmark(_FakeStreamingGenerator(), cfg_bad)
+    assert r2["violations"]
+    # validation rejects num_blocks < 2 and empty thresholds
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        validate_benchmark_config({**cfg, "stream": {"num_blocks": 1}})
+    with _pytest.raises(ValueError):
+        validate_benchmark_config({**cfg, "thresholds": {"e2e_s": 1.0}})

@@ -74,6 +74,14 @@ def test_int8_generate_matches_bf16(ckpt, tmp_path, monkeypatch):
     # track the bf16 path closely on a tiny model
     err = np.abs(frames.astype(np.int32) - f_base).mean()
     assert err < 16.0, f"int8 path diverged from bf16: mean|d|={err}"
+    # pinned SSIM bar vs the bf16 output (the accuracy gate behind the
+    # quantized serving headline; reference gates its QAD checkpoints on
+    # output quality the same way)
+    from fastvideo_tpu.eval.metrics import ssim
+
+    s = ssim(frames.astype(np.float32) / 255.0,
+             f_base.astype(np.float32) / 255.0)
+    assert s >= 0.95, f"int8 SSIM vs bf16 below bar: {s:.4f}"
     # determinism of the quantized path
     r2 = gen.generate_video(prompt="w1 w2 w3", height=32, width=32,
                             num_frames=5, seed=3, save_video=False)
