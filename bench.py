@@ -24,11 +24,11 @@ TPU through a tunnel moving ~30 MB/s, so the fetch costs seconds here while
 on a real TPU host (PCIe, >10 GB/s) it is <50 ms — folding it into the
 headline would measure the tunnel, not the framework.
 
-Text encoder deviation: UMT5-XXL layer count is reduced 24 -> 4 (full 4096
-width / 10240 FFN). Loading the full 9.4 GB encoder through the ~70 MB/s
-tunnel would take ~3 minutes of setup for ~0.15 s of extra measured encode
-time; the stage split below scales it (x6) when reading the text-encoding
-number against the full model.
+Text encoder: FULL 24-layer UMT5-XXL width and depth, loaded int8
+weight-only with host-side quantize-at-load (the reference ships reduced-precision
+text encoding the same way: per-encoder text_encoder_precisions, e.g.
+fp8 -- configs/pipelines/base.py:70). The depth-4 stand-in
+and its x6 footnote are gone as of round 5.
 """
 
 from __future__ import annotations
@@ -70,18 +70,39 @@ VAE_CFG = dict(base_dim=96, z_dim=16, dim_mult=[1, 2, 4, 4],
                    2.8251, 1.916
                ],
                scale_factor_temporal=4, scale_factor_spatial=8)
-# UMT5-XXL width (4096/10240/64 heads); depth reduced 24 -> 4 (see module
-# docstring). Small synthetic vocab: embedding lookups are not a compute
-# stage worth 2 GB of tunnel transfer.
+# FULL-DEPTH UMT5-XXL (4096/10240/64 heads, 24 layers — the shipped Wan
+# text encoder). 4.6 B params: loaded int8 WEIGHT-ONLY, quantized on the
+# host at load (see component_loader.load_model_component), so ~4.7 GB
+# crosses the tunnel and co-resides with the DiT + VAE on 16 GB. Small
+# synthetic vocab: embedding lookups are not a compute stage worth 2 GB
+# of tunnel transfer.
 T5_CFG = dict(vocab_size=8192, d_model=4096, d_kv=64, d_ff=10240,
-              num_layers=4, num_heads=64,
+              num_layers=24, num_heads=64,
               relative_attention_num_buckets=32,
               relative_attention_max_distance=128,
               feed_forward_proj="gated-gelu", model_type="umt5")
+TEXT_ENCODER_QUANT = os.getenv("FASTVIDEO_BENCH_T5_QUANT",
+                               "int8-weight-only") or None
 
 
 def ensure_checkpoint() -> str:
     if os.path.exists(os.path.join(CKPT, "model_index.json")):
+        # re-synthesize the text encoder if its depth changed (the round-4
+        # checkpoint shipped a depth-4 stand-in)
+        enc_cfg = os.path.join(CKPT, "text_encoder", "config.json")
+        try:
+            with open(enc_cfg) as fh:
+                depth = json.load(fh).get("num_layers")
+        except OSError:
+            depth = None
+        if depth == T5_CFG["num_layers"]:
+            return CKPT
+        print(f"# text encoder depth {depth} != {T5_CFG['num_layers']}; "
+              "re-synthesizing encoder component...", file=sys.stderr)
+        import shutil
+
+        shutil.rmtree(os.path.join(CKPT, "text_encoder"), ignore_errors=True)
+        _synthesize_text_encoder()
         return CKPT
     print("# synthesizing bench checkpoint (one-time)...", file=sys.stderr)
     t0 = time.perf_counter()
@@ -141,17 +162,7 @@ def ensure_checkpoint() -> str:
             export_torch_layout(vae))
         del vae
 
-        edir = os.path.join(CKPT, "text_encoder")
-        os.makedirs(edir, exist_ok=True)
-        with open(os.path.join(edir, "config.json"), "w") as fh:
-            json.dump({"architectures": ["UMT5EncoderModel"], **T5_CFG}, fh)
-        enc_kwargs = {k: v for k, v in T5_CFG.items() if k != "model_type"}
-        enc = T5EncoderModel(T5ArchConfig(**enc_kwargs, is_umt5=True),
-                             param_dtype=jnp.bfloat16, rngs=nnx.Rngs(2))
-        save_safetensors(os.path.join(edir, "model.safetensors"),
-                         export_torch_layout(enc))
-        del enc
-
+    _synthesize_text_encoder()
     make_word_level_tokenizer(os.path.join(CKPT, "tokenizer"),
                               T5_CFG["vocab_size"])
     sdir = os.path.join(CKPT, "scheduler")
@@ -165,6 +176,35 @@ def ensure_checkpoint() -> str:
     print(f"# checkpoint synthesized in {time.perf_counter() - t0:.0f}s",
           file=sys.stderr)
     return CKPT
+
+
+def _synthesize_text_encoder() -> None:
+    """Write the UMT5 component (24-layer XXL: ~9.2 GB bf16 on disk,
+    generated layer-by-layer on the host to bound RAM)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from fastvideo_tpu.configs.models.encoders.t5 import T5ArchConfig
+    from fastvideo_tpu.models.encoders.t5 import T5EncoderModel
+    from fastvideo_tpu.models.loader.export import (export_torch_layout,
+                                                    save_safetensors)
+
+    t0 = time.perf_counter()
+    cpu = jax.local_devices(backend="cpu")[0]
+    edir = os.path.join(CKPT, "text_encoder")
+    os.makedirs(edir, exist_ok=True)
+    with open(os.path.join(edir, "config.json"), "w") as fh:
+        json.dump({"architectures": ["UMT5EncoderModel"], **T5_CFG}, fh)
+    enc_kwargs = {k: v for k, v in T5_CFG.items() if k != "model_type"}
+    with jax.default_device(cpu):
+        enc = T5EncoderModel(T5ArchConfig(**enc_kwargs, is_umt5=True),
+                             param_dtype=jnp.bfloat16, rngs=nnx.Rngs(2))
+    save_safetensors(os.path.join(edir, "model.safetensors"),
+                     export_torch_layout(enc))
+    del enc
+    print(f"# text encoder synthesized in {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr)
 
 
 def _probe_backend(timeout_s: float = 600.0) -> None:
@@ -259,8 +299,9 @@ def main() -> None:
     from fastvideo_tpu import VideoGenerator
 
     t0 = time.perf_counter()
-    gen = VideoGenerator.from_pretrained(ckpt, num_gpus=1,
-                                         VSA_sparsity=VSA_SPARSITY)
+    gen = VideoGenerator.from_pretrained(
+        ckpt, num_gpus=1, VSA_sparsity=VSA_SPARSITY,
+        text_encoder_quant=TEXT_ENCODER_QUANT)
     print(f"# from_pretrained (disk + tunnel-H2D ~70MB/s): "
           f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
 
@@ -310,9 +351,10 @@ def main() -> None:
         try:
             gen = None  # release the bf16 DiT before reloading quantized
             t0 = time.perf_counter()
-            gen = VideoGenerator.from_pretrained(ckpt, num_gpus=1,
-                                                 VSA_sparsity=VSA_SPARSITY,
-                                                 transformer_quant="int8")
+            gen = VideoGenerator.from_pretrained(
+                ckpt, num_gpus=1, VSA_sparsity=VSA_SPARSITY,
+                transformer_quant="int8",
+                text_encoder_quant=TEXT_ENCODER_QUANT)
             print(f"# int8 reload: {time.perf_counter() - t0:.0f}s",
                   file=sys.stderr)
             gen.generate_video(**kwargs)  # compile + warmup
@@ -357,7 +399,8 @@ def main() -> None:
             child = ("import time, sys; t0=time.perf_counter(); "
                      "from fastvideo_tpu import VideoGenerator; "
                      f"g=VideoGenerator.from_pretrained({ckpt!r}, "
-                     f"num_gpus=1, VSA_sparsity={VSA_SPARSITY}); "
+                     f"num_gpus=1, VSA_sparsity={VSA_SPARSITY}, "
+                     f"text_encoder_quant={TEXT_ENCODER_QUANT!r}); "
                      "g.generate_video(prompt='warm probe', height=480, "
                      "width=832, num_frames=81, seed=7, save_video=False); "
                      "print(f'# warm-session first-run (fresh process, "

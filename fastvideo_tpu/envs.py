@@ -63,6 +63,13 @@ environment_flags: dict[str, Callable[[], Any]] = {
     # api EngineConfig.quantization.transformer_quant.
     "FASTVIDEO_TRANSFORMER_QUANT":
     lambda: os.getenv("FASTVIDEO_TRANSFORMER_QUANT", "") or None,
+    # Text-encoder quantization override; "" disables. int8 weight-only is
+    # the intended setting (analog of the reference's
+    # --text-encoder-precision fp8): UMT5-XXL is 9+ GB bf16 and load-time
+    # host quantization halves both the upload and resident HBM. Same
+    # effect as FastVideoArgs.text_encoder_quant.
+    "FASTVIDEO_TEXT_ENCODER_QUANT":
+    lambda: os.getenv("FASTVIDEO_TEXT_ENCODER_QUANT", "") or None,
     # Watchdog timeout (seconds) for one engine iteration.
     "FASTVIDEO_ENGINE_ITERATION_TIMEOUT_S":
     lambda: int(os.getenv("FASTVIDEO_ENGINE_ITERATION_TIMEOUT_S", "600")),

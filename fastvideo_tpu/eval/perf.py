@@ -30,6 +30,13 @@ def validate_benchmark_config(cfg: dict[str, Any],
     if cfg.get("mode") == "streaming":
         _validate_streaming_config(cfg, path)
         return
+    if cfg.get("mode") == "training":
+        for field in ("id", "train", "thresholds"):
+            if field not in cfg:
+                raise ValueError(f"{path}: missing required field {field!r}")
+        if not isinstance(cfg["thresholds"].get("step_s"), (int, float)):
+            raise ValueError(f"{path}: training thresholds need step_s")
+        return
     for field in REQUIRED_FIELDS:
         if field not in cfg:
             raise ValueError(f"{path}: missing required field {field!r}")
@@ -174,10 +181,12 @@ def run_suite(generator_factory, config_dir: str) -> list[dict[str, Any]]:
     """Run every benchmark in a directory; attach violations per result."""
     results = []
     for cfg in discover_benchmarks(config_dir):
-        if cfg.get("mode") == "streaming":
-            # streaming specs need a reset/step/finalize generator; they
-            # are driven by run_streaming_benchmark (see bench.py)
-            logger.info("perf %s: skipped (streaming mode)", cfg["id"])
+        if cfg.get("mode") in ("streaming", "training"):
+            # streaming specs need a reset/step/finalize generator
+            # (run_streaming_benchmark, see bench.py); training specs are
+            # driven by scripts/bench_train_step.py
+            logger.info("perf %s: skipped (%s mode)", cfg["id"],
+                        cfg["mode"])
             continue
         generator = generator_factory(cfg)
         result = run_benchmark(generator, cfg)

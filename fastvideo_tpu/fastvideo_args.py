@@ -44,6 +44,13 @@ class FastVideoArgs:
     # None = bf16. Also settable via FASTVIDEO_TRANSFORMER_QUANT.
     transformer_quant: str | None = None
 
+    # text-encoder quantization; "int8-weight-only" halves UMT5-XXL's
+    # upload + resident HBM with host-side quantize-at-load (analog of the
+    # reference's per-encoder text_encoder_precisions, e.g. fp8 --
+    # configs/pipelines/base.py:70). Also settable via
+    # FASTVIDEO_TEXT_ENCODER_QUANT.
+    text_encoder_quant: str | None = None
+
     # pipeline selection
     pipeline_type: str | None = None
 
@@ -128,6 +135,12 @@ class TrainingArgs(FastVideoArgs):
     weight_decay: float = 1e-4
     max_grad_norm: float = 1.0
     betas: tuple[float, float] = (0.9, 0.999)
+    # VSA sparsity ramp (reference training_pipeline.py:557-563): sparsity
+    # grows by VSA_decay_rate every VSA_decay_interval_steps up to the
+    # FastVideoArgs-level VSA_sparsity target. rate/interval <= 0 = jump
+    # straight to the target.
+    VSA_decay_rate: float = 0.0
+    VSA_decay_interval_steps: int = 0
     # timestep sampling
     weighting_scheme: str = "uniform"
     logit_mean: float = 0.0

@@ -381,6 +381,13 @@ class WanTransformer3DModel(nnx.Module):
         # analog of the reference's activation checkpointing,
         # training/activation_checkpoint.py:86)
         self.gradient_checkpointing = False
+        # remat policy when gradient_checkpointing is on: None = save
+        # nothing (recompute the whole block); a jax.checkpoint_policies
+        # policy (e.g. dots_with_no_batch_dims_saveable) keeps matmul
+        # outputs and recomputes only the cheap elementwise chains —
+        # trades HBM back for bwd FLOPs (trainer sets this from
+        # TrainingArgs.selective_checkpointing="ops")
+        self.gradient_checkpointing_policy = None
         # lax.scan over stacked block params: one compiled block instead of
         # num_layers inlined copies (TPU-idiomatic; cuts XLA compile time
         # roughly by the layer count — measured ~25 min -> minutes for the
@@ -400,7 +407,8 @@ class WanTransformer3DModel(nnx.Module):
             blk = _nnx.merge(graphdef, layer_state)
             fn = (jax.checkpoint(lambda x_: blk(
                 x_, encoder_hidden_states, timestep_proj, freqs_cis,
-                kv_valid, grid=grid, pre_tiled=pre_tiled))
+                kv_valid, grid=grid, pre_tiled=pre_tiled),
+                policy=self.gradient_checkpointing_policy)
                 if self.gradient_checkpointing else
                 (lambda x_: blk(x_, encoder_hidden_states, timestep_proj,
                                 freqs_cis, kv_valid, grid=grid,
@@ -502,8 +510,10 @@ class WanTransformer3DModel(nnx.Module):
                         return blk(x_, ehs_, tp_, freqs_cis, kv_valid,
                                    grid=(gt, gh, gw), pre_tiled=pre_tiled)
 
-                    x = jax.checkpoint(run_block)(x, encoder_hidden_states,
-                                                  timestep_proj)
+                    x = jax.checkpoint(
+                        run_block,
+                        policy=self.gradient_checkpointing_policy)(
+                            x, encoder_hidden_states, timestep_proj)
                 else:
                     x = block(x, encoder_hidden_states, timestep_proj,
                               freqs_cis, kv_valid, grid=(gt, gh, gw),

@@ -75,12 +75,21 @@ def load_model_component(component_dir: str, *,
                          model_config=None,
                          extra_init_kwargs: dict | None = None,
                          strict: bool = True,
-                         arch_overrides: dict[str, Any] | None = None):
+                         arch_overrides: dict[str, Any] | None = None,
+                         quantize_spec: str | None = None):
     """Generic diffusers-format component loader (transformer/vae/encoder).
 
     ``arch_overrides``: arch-config attributes forced after the HF config is
     applied (e.g. ``{"r_embedder": True}`` to grow the AnyFlow dual-timestep
     branch on a checkpoint that predates it).
+
+    ``quantize_spec``: quantize-AT-LOAD (int8 aliases, see
+    layers/quantization/int8.py). The module skeleton is built on the
+    HOST, its Linears swapped for Int8Linear BEFORE any weight lands, and
+    each checkpoint kernel is quantized in numpy so only int8 + scales
+    cross host->HBM — a 9 GB bf16 UMT5-XXL loads as ~4.7 GB and HBM never
+    holds the bf16 weights (vs _maybe_quantize_transformer, which
+    quantizes on-device after load and briefly doubles residency).
     """
     hf_config = load_json_config(os.path.join(component_dir, "config.json"))
     class_name = hf_config.get("_class_name") or hf_config.get(
@@ -99,6 +108,30 @@ def load_model_component(component_dir: str, *,
     dtype = PRECISION_TO_DTYPE[precision]
     if model_config is not None and param_names_mapping is None:
         param_names_mapping = model_config.param_names_mapping
+    if quantize_spec:
+        import jax
+
+        from fastvideo_tpu.layers.quantization import (QuantizationConfig,
+                                                       quantize_model_linears)
+        from fastvideo_tpu.layers.quantization.int8 import (
+            resolve_quant_method)
+
+        method = resolve_quant_method(quantize_spec)
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            # host-side skeleton: a big encoder's random bf16 init must
+            # never touch HBM
+            model = model_cls(arch, param_dtype=dtype, rngs=nnx.Rngs(0),
+                              **(extra_init_kwargs or {}))
+            count = quantize_model_linears(
+                model, QuantizationConfig(method=method), init_only=True)
+        n = load_weights(model, iterate_safetensors(component_dir),
+                         param_names_mapping, dtype=dtype, strict=strict)
+        _device_put_host_leaves(model)
+        logger.info(
+            "Loaded %d tensors for %s from %s (%d linears %s at load)", n,
+            class_name, component_dir, count, method)
+        return model
     model = model_cls(arch, param_dtype=dtype, rngs=nnx.Rngs(0),
                       **(extra_init_kwargs or {}))
     n = load_weights(model, iterate_safetensors(component_dir),
@@ -106,6 +139,30 @@ def load_model_component(component_dir: str, *,
     logger.info("Loaded %d tensors for %s from %s", n, class_name,
                 component_dir)
     return model
+
+
+def _device_put_host_leaves(model) -> None:
+    """Move any still-host-resident variables to the default device.
+
+    After a host-skeleton quantized load, every checkpoint tensor already
+    landed on device via ``jnp.asarray``; only variables ABSENT from the
+    checkpoint (none, for complete checkpoints) would remain on CPU and
+    silently re-transfer on every call."""
+    import jax
+
+    default = jax.devices()[0]
+    if default.platform == "cpu":
+        return
+    moved = 0
+    for _, var in nnx.iter_graph(model):
+        if isinstance(var, nnx.Variable):
+            val = var.value
+            if (hasattr(val, "devices")
+                    and any(d.platform == "cpu" for d in val.devices())):
+                var.value = jax.device_put(val, default)
+                moved += 1
+    if moved:
+        logger.info("Moved %d host-resident variables to %s", moved, default)
 
 
 def load_scheduler(component_dir: str, pipeline_config=None):
@@ -179,8 +236,14 @@ class PipelineComponentLoader:
             precision = (pipeline_config.text_encoder_precisions[idx]
                          if idx < len(pipeline_config.text_encoder_precisions)
                          else "fp32")
+            from fastvideo_tpu import envs
+
+            quant = envs.FASTVIDEO_TEXT_ENCODER_QUANT or (
+                getattr(fastvideo_args, "text_encoder_quant", None)
+                if fastvideo_args is not None else None)
             return load_model_component(component_dir, precision=precision,
-                                        model_config=cfg)
+                                        model_config=cfg,
+                                        quantize_spec=quant)
         if module_name.startswith("tokenizer"):
             return load_tokenizer(component_dir)
         if module_name == "scheduler":

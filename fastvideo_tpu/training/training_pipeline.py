@@ -83,6 +83,11 @@ class TrainingPipeline:
         self.scheduler = scheduler
         if training_args.selective_checkpointing in ("full", "ops"):
             transformer.gradient_checkpointing = True
+            if (training_args.selective_checkpointing == "ops"
+                    and hasattr(transformer, "gradient_checkpointing_policy")):
+                # keep matmul outputs, recompute elementwise chains
+                transformer.gradient_checkpointing_policy = (
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
         self._frozen = None  # set by _split_model overrides (LoRA)
         self.graphdef, params = self._split_model(transformer)
         self.tx = build_optimizer(training_args)
@@ -97,6 +102,12 @@ class TrainingPipeline:
         self.checkpoint_manager = CheckpointManager(
             training_args.output_dir) if training_args.output_dir else None
         self._train_step = self._build_train_step()
+        # per-sparsity compiled steps: the VSA top-k tile count is a
+        # STATIC shape, so each sparsity level in the training ramp is its
+        # own executable (reference ramps sparsity python-side per step,
+        # training_pipeline.py:557-563 — eager torch pays no recompile;
+        # here the ramp has sparsity/decay_rate + 1 distinct levels)
+        self._train_steps_by_sparsity: dict[float, Any] = {}
         # experiment tracking (reference training_pipeline.py:200-218)
         from fastvideo_tpu.training.trackers import initialize_trackers
 
@@ -162,10 +173,38 @@ class TrainingPipeline:
 
         return loss_fn
 
-    def _build_train_step(self):
+    def current_vsa_sparsity(self, step: int) -> float | None:
+        """Reference VSA sparsity ramp (training_pipeline.py:557-563):
+        sparsity grows by ``VSA_decay_rate`` every
+        ``VSA_decay_interval_steps`` until it reaches ``VSA_sparsity``.
+        None = no VSA metadata (dense attention / other backends)."""
+        target = float(getattr(self.args, "VSA_sparsity", 0.0) or 0.0)
+        if target <= 0.0:
+            return None
+        rate = float(getattr(self.args, "VSA_decay_rate", 0.0) or 0.0)
+        interval = int(
+            getattr(self.args, "VSA_decay_interval_steps", 0) or 0)
+        if rate <= 0.0 or interval <= 0:
+            return target
+        decay_times = min(step // interval, target // rate)
+        return round(decay_times * rate, 6)
+
+    def _build_train_step(self, vsa_sparsity: float | None = None):
         args = self.args
         tx = self.tx
         loss_fn = self._make_loss_fn()
+        if vsa_sparsity is not None:
+            from fastvideo_tpu.attention.backends.abstract import (
+                AttentionMetadata)
+            from fastvideo_tpu.forward_context import set_forward_context
+
+            base_loss_fn = loss_fn
+
+            def loss_fn(params, latents, embeds, key):  # noqa: F811
+                md = AttentionMetadata(
+                    extra={"VSA_sparsity": float(vsa_sparsity)})
+                with set_forward_context(attn_metadata=md):
+                    return base_loss_fn(params, latents, embeds, key)
 
         def train_step(params, opt_state, rng, latents, embeds):
             # latents/embeds: [accum, B, ...] microbatches
@@ -193,9 +232,21 @@ class TrainingPipeline:
 
     # -- public API --------------------------------------------------------
 
-    def train_one_step(self, latents: np.ndarray,
-                       embeds: np.ndarray) -> dict[str, float]:
-        """latents [accum, B, C, T, H, W]; embeds [accum, B, L, D]."""
+    def train_one_step(self, latents: np.ndarray, embeds: np.ndarray,
+                       vsa_sparsity: float | None = None
+                       ) -> dict[str, float]:
+        """latents [accum, B, C, T, H, W]; embeds [accum, B, L, D].
+
+        ``vsa_sparsity``: per-step VSA sparsity (the training ramp). Each
+        distinct value compiles once and is cached."""
+        if vsa_sparsity is None:
+            step_fn = self._train_step
+        else:
+            key = round(float(vsa_sparsity), 6)
+            step_fn = self._train_steps_by_sparsity.get(key)
+            if step_fn is None:
+                step_fn = self._build_train_step(vsa_sparsity=key)
+                self._train_steps_by_sparsity[key] = step_fn
         with mesh_context(self.mesh):
             data_sharding = NamedSharding(self.mesh, P(None, DP_AXIS))
             latents = jax.device_put(jnp.asarray(latents, jnp.float32),
@@ -203,12 +254,15 @@ class TrainingPipeline:
             embeds = jax.device_put(jnp.asarray(embeds, jnp.float32),
                                     data_sharding)
             (self.state.params, self.state.opt_state, self.state.rng, loss,
-             grad_norm) = self._train_step(self.state.params,
-                                           self.state.opt_state,
-                                           self.state.rng, latents, embeds)
+             grad_norm) = step_fn(self.state.params,
+                                  self.state.opt_state,
+                                  self.state.rng, latents, embeds)
         self.state.step += 1
-        return {"loss": float(loss), "grad_norm": float(grad_norm),
-                "step": self.state.step}
+        out = {"loss": float(loss), "grad_norm": float(grad_norm),
+               "step": self.state.step}
+        if vsa_sparsity is not None:
+            out["vsa_sparsity"] = float(vsa_sparsity)
+        return out
 
     def train(self, dataloader, max_steps: int | None = None,
               log_every: int = 10, validation_callback=None,
@@ -240,7 +294,9 @@ class TrainingPipeline:
             if callbacks is not None:
                 callbacks.dispatch("on_before_optimizer_step", self,
                                    self.state.step)
-            metrics = self.train_one_step(latents, embeds)
+            metrics = self.train_one_step(
+                latents, embeds,
+                vsa_sparsity=self.current_vsa_sparsity(self.state.step + 1))
             self.tracker.log(metrics, self.state.step)
             if callbacks is not None:
                 callbacks.dispatch("on_training_step_end", self, metrics,

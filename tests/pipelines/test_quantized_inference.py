@@ -128,3 +128,32 @@ def test_resolve_quant_method_rejects_unknown():
     assert resolve_quant_method("int8-weight-only") == "int8_weight_only"
     with pytest.raises(ValueError):
         resolve_quant_method("fp4")
+
+
+def test_text_encoder_quant_at_load(ckpt):
+    """int8 weight-only text encoder, quantized on the HOST at load (the
+    UMT5-XXL fit path; analog of the reference's per-encoder
+    text_encoder_precisions, e.g. fp8 -- configs/pipelines/base.py:70): Int8Linears replace the encoder's Linears before any weight
+    lands, and the output tracks the bf16 encoder closely."""
+    import fastvideo_tpu.parallel as par
+    from flax import nnx
+
+    from fastvideo_tpu import VideoGenerator
+    from fastvideo_tpu.layers.quantization import Int8Linear
+
+    kw = dict(prompt="w1 w2", height=32, width=32, num_frames=5,
+              num_inference_steps=2, guidance_scale=1.0, seed=3,
+              save_video=False)
+    par.destroy_mesh()
+    base = VideoGenerator.from_pretrained(ckpt, num_gpus=1)
+    a = base.generate_video(**kw)["frames"][0].astype(np.int32)
+    par.destroy_mesh()
+    gen = VideoGenerator.from_pretrained(
+        ckpt, num_gpus=1, text_encoder_quant="int8-weight-only")
+    enc = gen.executor.pipeline.get_module("text_encoder")
+    n8 = sum(1 for _, v in nnx.iter_graph(enc) if isinstance(v, Int8Linear))
+    assert n8 > 0, "no encoder linears were quantized at load"
+    b = gen.generate_video(**kw)["frames"][0].astype(np.int32)
+    par.destroy_mesh()
+    d = np.abs(a - b)
+    assert d.mean() < 8.0, f"quantized-encoder output diverged: {d.mean()}"
