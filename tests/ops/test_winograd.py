@@ -66,7 +66,16 @@ def test_winograd_bf16_deviation_budget():
 
 
 def test_supports():
-    assert supports((3, 3, 3), (1, 1, 1), (2, 1, 1), 96, 96, h_dim=480,
+    # 96-ch at full 480p resolution is the known libtpu compile failure
+    # (round-4 ladder: remote_compile 500) — supports() must reject it so
+    # FASTVIDEO_VAE_CONV3D=wino falls back instead of crashing mid-decode.
+    assert not supports((3, 3, 3), (1, 1, 1), (2, 1, 1), 96, 96, h_dim=480,
+                        w_dim=832)
+    # ...but the same channel count at half resolution still runs
+    assert supports((3, 3, 3), (1, 1, 1), (2, 1, 1), 96, 96, h_dim=240,
+                    w_dim=416)
+    # ...and wider stages at full resolution do too
+    assert supports((3, 3, 3), (1, 1, 1), (2, 1, 1), 384, 384, h_dim=480,
                     w_dim=832)
     assert not supports((3, 3, 3), (1, 1, 1), (2, 1, 1), 96, 96, h_dim=479,
                         w_dim=832)

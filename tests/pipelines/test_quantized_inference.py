@@ -89,6 +89,40 @@ def test_int8_generate_matches_bf16(ckpt, tmp_path, monkeypatch):
     par.destroy_mesh()
 
 
+def test_int8_in_place_quantize_matches_load_path(ckpt):
+    """bench.py quantizes the RESIDENT DiT in place (skipping a ~15-min
+    tunnel reload); this pins that sequence — quantize_model_linears on the
+    live pipeline module + dropping the denoising stage's compiled step —
+    to the exact output of the from_pretrained(transformer_quant=...) load
+    path."""
+    import fastvideo_tpu.parallel as par
+    from fastvideo_tpu import VideoGenerator
+    from fastvideo_tpu.layers.quantization import (QuantizationConfig,
+                                                   quantize_model_linears)
+
+    kwargs = dict(prompt="w1 w2 w3", height=32, width=32, num_frames=5,
+                  seed=3, save_video=False)
+
+    par.destroy_mesh()
+    loaded = VideoGenerator.from_pretrained(ckpt, num_gpus=1,
+                                            transformer_quant="int8")
+    f_loaded = loaded.generate_video(**kwargs)["frames"][0]
+    par.destroy_mesh()
+
+    gen = VideoGenerator.from_pretrained(ckpt, num_gpus=1)
+    gen.generate_video(**kwargs)  # compile + run the bf16 graph first
+    pipe = gen.executor.pipeline
+    n = quantize_model_linears(pipe.get_module("transformer"),
+                               QuantizationConfig())
+    assert n > 0
+    for stage in getattr(pipe, "stages", []):
+        if hasattr(stage, "_step_fns"):
+            stage._step_fns.clear()
+    f_inplace = gen.generate_video(**kwargs)["frames"][0]
+    np.testing.assert_array_equal(f_inplace, f_loaded)
+    par.destroy_mesh()
+
+
 def test_int8_weight_only_and_env(ckpt, monkeypatch):
     import fastvideo_tpu.parallel as par
     from fastvideo_tpu import VideoGenerator
