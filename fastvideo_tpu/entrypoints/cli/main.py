@@ -126,10 +126,20 @@ def _add_preprocess(sub: argparse._SubParsersAction) -> None:
              "(reference `fastvideo preprocess` / v1_preprocess)")
     p.add_argument("--model-path", required=True,
                    help="diffusers checkpoint providing vae + text encoder")
-    p.add_argument("--data-path", required=True,
+    p.add_argument("--data-path", default=None,
                    help="dataset dir with videos.jsonl "
                         "({'path','caption'} per line) or video files + "
                         "<name>.txt captions")
+    p.add_argument("--data-merge-path", default=None,
+                   help="<folder>,<annotations.json> merge file driving the "
+                        "staged VideoCaptionMergedDataset (validation + fps "
+                        "resample + transform + CFG caption dropout; "
+                        "reference preprocessing_datasets.py:363)")
+    p.add_argument("--train-fps", type=float, default=16.0)
+    p.add_argument("--max-height", type=int, default=480)
+    p.add_argument("--max-width", type=int, default=832)
+    p.add_argument("--training-cfg-rate", type=float, default=0.0)
+    p.add_argument("--drop-short-ratio", type=float, default=0.0)
     p.add_argument("--output-dir", required=True)
     p.add_argument("--num-frames", type=int, default=None)
     p.add_argument("--samples-per-file", type=int, default=64)
@@ -259,6 +269,20 @@ def _cmd_preprocess(args: argparse.Namespace) -> int:
         pipeline = PreprocessPipeline(vae, text_encoder, tokenizer,
                                       samples_per_file=args.samples_per_file)
         samples = _iter_preprocess_samples(args.data_path)
+    if getattr(args, "data_merge_path", None) and workload != "ode":
+        from fastvideo_tpu.dataset.preprocessing import (
+            PreprocessDatasetArgs, VideoCaptionMergedDataset)
+
+        ds_args = PreprocessDatasetArgs(
+            num_frames=args.num_frames or 81, train_fps=args.train_fps,
+            max_height=args.max_height, max_width=args.max_width,
+            training_cfg_rate=args.training_cfg_rate,
+            drop_short_ratio=args.drop_short_ratio)
+        samples = VideoCaptionMergedDataset(args.data_merge_path, ds_args,
+                                            tokenizer=tokenizer)
+    elif args.data_path is None:
+        raise SystemExit("preprocess: --data-path or --data-merge-path "
+                         "is required")
     n = pipeline.run(samples, args.output_dir, fps=args.fps)
     logger.info("Wrote %d %s samples to %s", n, workload, args.output_dir)
     return 0

@@ -217,11 +217,22 @@ class ValidationCallback(Callback):
     (reference validation.py; our TrainingPipeline.validation_sample)."""
 
     def __init__(self, *, every_n_steps: int = 500, prompt: str = "",
-                 num_inference_steps: int = 4, use_ema: bool = False):
+                 num_inference_steps: int = 4, use_ema: bool = False,
+                 dataset_path: str = "", max_samples: int = 4):
         self.every_n_steps = int(every_n_steps)
         self.prompt = prompt
         self.num_inference_steps = int(num_inference_steps)
         self.use_ema = bool(use_ema)
+        # a validation file (csv/json/parquet — dataset/validation.py,
+        # reference validation_dataset.py): its prompts are sampled in turn
+        # at each validation event, capped at max_samples per event
+        self.max_samples = int(max_samples)
+        self._val_prompts: list[str] = []
+        if dataset_path:
+            from fastvideo_tpu.dataset.validation import ValidationDataset
+
+            self._val_prompts = [s["prompt"]
+                                 for s in ValidationDataset(dataset_path)]
 
     def on_training_step_end(self, method, loss_dict, iteration=0) -> None:
         if self.every_n_steps <= 0 or iteration == 0 or \
@@ -265,8 +276,14 @@ class ValidationCallback(Callback):
                         "validation sampling", type(method).__name__,
                         missing)
                 return
+        prompt_sets: list[dict] = [kwargs]
+        if self._val_prompts and "prompt" in kwargs:
+            prompt_sets = [{**kwargs, "prompt": p}
+                           for p in self._val_prompts[:self.max_samples]]
         with ctx:
-            metrics = sample_fn(**kwargs)
+            metrics = None
+            for kw in prompt_sets:
+                metrics = sample_fn(**kw)
         tracker = getattr(method, "tracker", None)
         if tracker is not None and isinstance(metrics, dict):
             tracker.log({f"validation/{k}": v

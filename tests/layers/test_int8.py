@@ -45,7 +45,11 @@ def test_quantize_wan_model():
     t = jnp.asarray([500.0])
     ref = np.asarray(model(x, ctx, t))
     n = quantize_model_linears(model)
-    assert n > 5
+    # the measured W8A8 serving policy (QuantizationConfig docstring)
+    # quantizes patch_embedding.proj, both attention out-projections, and
+    # the two ffn linears of the single block; q/k/v + gate-compress are
+    # kernel feeders (excluded), norms/embedders/proj_out are excluded.
+    assert n == 5, n
     out = np.asarray(model(x, ctx, t))
     rel = np.abs(ref - out).max() / (np.abs(ref).max() + 1e-6)
     assert rel < 0.15, rel

@@ -106,3 +106,29 @@ def test_unknown_callback_without_target_skipped():
 
     cbs = CallbackDict({"mystery": {"foo": 1}})
     assert len(cbs) == 0
+
+
+def test_validation_callback_dataset_prompts(tmp_path):
+    """ValidationCallback(dataset_path=...) samples the ValidationDataset's
+    prompts (capped at max_samples) at each validation event."""
+    import json
+
+    from fastvideo_tpu.training.callbacks import ValidationCallback
+
+    val = tmp_path / "val.json"
+    val.write_text(json.dumps(
+        {"data": [{"caption": f"cap {i}"} for i in range(5)]}))
+
+    seen = []
+
+    class Method:
+        def validation_sample(self, prompt=None, num_inference_steps=4):
+            seen.append(prompt)
+            return {"loss": 0.0}
+
+    cb = ValidationCallback(every_n_steps=2, dataset_path=str(val),
+                            max_samples=3)
+    cb.on_training_step_end(Method(), {}, iteration=1)
+    assert seen == []  # not a validation step
+    cb.on_training_step_end(Method(), {}, iteration=2)
+    assert seen == ["cap 0", "cap 1", "cap 2"]
