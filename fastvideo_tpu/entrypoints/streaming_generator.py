@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +24,14 @@ from fastvideo_tpu.pipelines.stages.latent_preparation import (
     randn_like_reference)
 
 logger = init_logger(__name__)
+
+
+@jax.jit
+def _to_uint8_frames(pixels):
+    """[B, C, T, H, W] float -> [T, H, W, C] uint8, on device (batch 0)."""
+    f = jnp.clip(pixels[0], -1.0, 1.0)
+    f = jnp.round((f + 1.0) * 127.5).astype(jnp.uint8)
+    return f.transpose(1, 2, 3, 0)
 
 
 class IncrementalVideoWriter:
@@ -113,8 +122,25 @@ class StreamingVideoGenerator:
         if self._fwd is None:
             graphdef, state = nnx.split(self.transformer)
 
+            # Denoise steps READ the KV caches but must not pay for the
+            # cache update: returning only pred lets XLA dead-code-eliminate
+            # the 30-layer rolled cache writeback (a full extra cache-sized
+            # allocation per step — ~6 GB for 1.3B @480p — that made the
+            # stream OOM on 16 GB when it was materialized and discarded).
             @jax.jit
             def fwd(state, latents, ctx, t, caches, freqs, ca_caches):
+                m = nnx.merge(graphdef, state)
+                pred, _ = m.forward_block(latents, ctx, t, caches,
+                                          freqs_cis=freqs,
+                                          crossattn_caches=ca_caches)
+                return pred
+
+            # The once-per-block context update DONATES the old caches so
+            # XLA aliases them with the returned ones in place of holding
+            # old + new (2x cache HBM) across the call.
+            @partial(jax.jit, donate_argnums=(4,))
+            def fwd_update(state, latents, ctx, t, caches, freqs,
+                           ca_caches):
                 m = nnx.merge(graphdef, state)
                 return m.forward_block(latents, ctx, t, caches,
                                        freqs_cis=freqs,
@@ -125,7 +151,7 @@ class StreamingVideoGenerator:
                 m = nnx.merge(graphdef, state)
                 return m.precompute_crossattn_caches(ctx)
 
-            self._fwd = (fwd, precompute_ca, state)
+            self._fwd = (fwd, fwd_update, precompute_ca, state)
         return self._fwd
 
     def reset(self, prompt: str, output_path: str | None = None) -> None:
@@ -148,7 +174,7 @@ class StreamingVideoGenerator:
         else:
             self.ctx = jnp.zeros((1, 512, cfg.text_dim), self.dtype)
         # text K/V once per prompt — constant across blocks and steps
-        fwd, precompute_ca, state = self._get_fwd()
+        _, _, precompute_ca, state = self._get_fwd()
         self.ca_caches = precompute_ca(state, self.ctx)
         # close (flush) any writer from a previous stream before
         # replacing it — otherwise its file is never written
@@ -174,27 +200,36 @@ class StreamingVideoGenerator:
             (nfpb // pt, self.lat_h // cfg.patch_size[1],
              self.lat_w // cfg.patch_size[2]), cfg.attention_head_dim,
             cfg.rope_theta, start_frame=s)
-        fwd, _, state = self._get_fwd()
+        fwd, fwd_update, _, state = self._get_fwd()
         self.scheduler.set_timesteps(self.num_inference_steps)
         for t_cur in self.scheduler.timesteps:
             t_arr = jnp.full((b,), float(t_cur), jnp.float32)
-            pred, _ = fwd(state, cur.astype(self.dtype), self.ctx, t_arr,
-                          self.kv_caches, freqs, self.ca_caches)
+            pred = fwd(state, cur.astype(self.dtype), self.ctx, t_arr,
+                       self.kv_caches, freqs, self.ca_caches)
             cur = self.scheduler.step(pred.astype(jnp.float32), t_cur,
                                       cur.astype(jnp.float32)).prev_sample
         t_ctx = jnp.zeros((b,), jnp.float32)
-        _, self.kv_caches = fwd(state, cur.astype(self.dtype), self.ctx,
-                                t_ctx, self.kv_caches, freqs,
-                                self.ca_caches)
+        _, self.kv_caches = fwd_update(state, cur.astype(self.dtype),
+                                       self.ctx, t_ctx, self.kv_caches,
+                                       freqs, self.ca_caches)
 
         z = self.vae.denormalize_latents(cur)
-        pixels, self.vae_cache = self.vae.streaming_decode(
-            z.astype(jnp.bfloat16), self.vae_cache,
-            is_first_chunk=self.block_index == 0)
+        # Decode ONE latent frame at a time through the causal conv cache:
+        # bitwise-identical to whole-chunk decode (the cache carries the
+        # exact left context — pinned by test_streaming_decode_frame_split)
+        # but peak decoder activations drop ~3x, which is what lets the
+        # full 480p stream fit beside the 1.3B DiT + its ~6 GB rolling KV
+        # on one 16 GB chip. uint8 conversion happens ON DEVICE so the
+        # host fetch moves 1 byte/px instead of 4 (the tunnel D2H is the
+        # steady-state bottleneck on this rig).
+        chunks = []
+        for i in range(z.shape[2]):
+            pixels, self.vae_cache = self.vae.streaming_decode(
+                z[:, :, i:i + 1].astype(jnp.bfloat16), self.vae_cache,
+                is_first_chunk=self.block_index == 0 and i == 0)
+            chunks.append(np.asarray(_to_uint8_frames(pixels)))
         self.block_index += 1
-        frames = np.asarray(pixels[0])
-        frames = ((np.clip(frames, -1, 1) + 1) / 2 * 255).round().astype(
-            np.uint8).transpose(1, 2, 3, 0)
+        frames = np.concatenate(chunks, axis=0)
         self.frames_emitted += frames.shape[0]
         if self._writer is not None:
             self._writer.add_frames(frames)

@@ -36,8 +36,22 @@ class CausalDenoisingStage(PipelineStage):
         if self._fwd is None:
             graphdef, state = nnx.split(self.transformer)
 
+            # pred-only: XLA dead-code-eliminates the rolled KV writeback
+            # the denoise steps never consume (a cache-sized allocation per
+            # step otherwise — ~6 GB at 1.3B/480p, an OOM on 16 GB chips)
             @jax.jit
             def fwd(state, latents, ctx, t, caches, freqs, ca_caches):
+                m = nnx.merge(graphdef, state)
+                pred, _ = m.forward_block(latents, ctx, t, caches,
+                                          freqs_cis=freqs,
+                                          crossattn_caches=ca_caches)
+                return pred
+
+            # once-per-block commit: donate the old caches so XLA aliases
+            # them with the returned ones instead of holding 2x cache HBM
+            @functools.partial(jax.jit, donate_argnums=(4,))
+            def fwd_update(state, latents, ctx, t, caches, freqs,
+                           ca_caches):
                 m = nnx.merge(graphdef, state)
                 return m.forward_block(latents, ctx, t, caches,
                                        freqs_cis=freqs,
@@ -48,7 +62,7 @@ class CausalDenoisingStage(PipelineStage):
                 m = nnx.merge(graphdef, state)
                 return m.precompute_crossattn_caches(ctx)
 
-            self._fwd = (fwd, precompute_ca, state)
+            self._fwd = (fwd, fwd_update, precompute_ca, state)
         return self._fwd
 
     def forward(self, batch: ForwardBatch,
@@ -68,7 +82,7 @@ class CausalDenoisingStage(PipelineStage):
         ctx = batch.prompt_embeds[0].astype(target_dtype)
 
         caches = self.transformer.init_caches(b, frame_seqlen, target_dtype)
-        fwd, precompute_ca, state = self._get_fwd()
+        fwd, fwd_update, precompute_ca, state = self._get_fwd()
         # text K/V once per prompt instead of per block per step
         ca_caches = precompute_ca(state, ctx)
 
@@ -85,9 +99,9 @@ class CausalDenoisingStage(PipelineStage):
                 t_arr = jnp.full((b,), float(t_cur), jnp.float32)
                 with set_forward_context(current_timestep=i,
                                          forward_batch=batch):
-                    # cache writes discarded during denoising
-                    pred, _ = fwd(state, cur.astype(target_dtype), ctx,
-                                  t_arr, caches, freqs, ca_caches)
+                    # cache writes DCE'd during denoising (pred-only jit)
+                    pred = fwd(state, cur.astype(target_dtype), ctx,
+                               t_arr, caches, freqs, ca_caches)
                 cur = self.scheduler.step(pred.astype(jnp.float32), t_cur,
                                           cur).prev_sample
             out_blocks.append(cur)
@@ -95,8 +109,9 @@ class CausalDenoisingStage(PipelineStage):
             t_ctx = jnp.zeros((b,), jnp.float32)
             with set_forward_context(current_timestep=0,
                                      forward_batch=batch):
-                _, caches = fwd(state, cur.astype(target_dtype), ctx, t_ctx,
-                                caches, freqs, ca_caches)
+                _, caches = fwd_update(state, cur.astype(target_dtype),
+                                       ctx, t_ctx, caches, freqs,
+                                       ca_caches)
 
         batch.latents = jnp.concatenate(out_blocks, axis=2)
         batch.extra["kv_caches"] = caches
