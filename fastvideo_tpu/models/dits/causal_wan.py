@@ -110,10 +110,21 @@ def cached_self_attention(q: Array, k: Array, v: Array, cache: dict,
     else:
         keys, vals, ok = new_k, new_v, win_ok
 
-    bias = jnp.where(ok, 0.0, NEG_INF)[None, None, None, :]
-    out = jax.nn.dot_product_attention(q, keys.astype(q.dtype),
-                                       vals.astype(q.dtype), bias=bias,
-                                       scale=scale)
+    if keys.shape[1] >= 1024 and q.shape[-1] % 128 == 0:
+        # Flash with a dynamic per-key validity mask: the dense bias path
+        # materializes the [B, H, n, S_kv] score matrix — ~8 GB fp32 per
+        # layer at 1.3B/480p streaming scale (n=4680, S_kv=37k), an instant
+        # OOM on a 16 GB chip and pure HBM traffic even when it fits. The
+        # mask VALUES are traced (cache-fill counters) but its shape is
+        # static, so block steps never recompile.
+        from fastvideo_tpu.ops.flash_attention import flash_attention_kv_mask
+        out = flash_attention_kv_mask(q, keys.astype(q.dtype),
+                                      vals.astype(q.dtype), ok, scale=scale)
+    else:
+        bias = jnp.where(ok, 0.0, NEG_INF)[None, None, None, :]
+        out = jax.nn.dot_product_attention(q, keys.astype(q.dtype),
+                                           vals.astype(q.dtype), bias=bias,
+                                           scale=scale)
     new_cache = dict(cache)
     new_cache.update(k=new_k, v=new_v, valid=valid, global_end=global_end,
                      sink_k=sink_k, sink_v=sink_v)

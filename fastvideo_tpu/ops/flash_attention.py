@@ -90,11 +90,18 @@ def _tile_reachable(qi, kj, block_q: int, block_kv: int, causal: bool,
     return None
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
-                acc_ref, *,
+def _fwd_kernel(q_ref, k_ref, v_ref, *rest,
                 scale: float, causal: bool, q_valid: int, kv_valid: int,
                 block_q: int, block_kv: int, num_kv_blocks: int,
-                chunk_tokens: int = 0, tf_clean_len: int = 0):
+                chunk_tokens: int = 0, tf_clean_len: int = 0,
+                has_kv_mask: bool = False):
+    if has_kv_mask:
+        # dynamic per-key validity: shape-static [1, skv] int32 whose VALUES
+        # are traced (KV-cache fill counters) — the static _mask_tile
+        # machinery cannot express it without a recompile per stream block
+        kv_mask_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, lse_ref, m_ref, l_ref, acc_ref = rest
     qi = pl.program_id(2)
     kj = pl.program_id(3)
 
@@ -114,12 +121,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
         # Tail / causal / structural masking.
         need_kv_mask = kv_valid % block_kv != 0 or kv_valid != pl.num_programs(
             3) * block_kv
-        if causal or chunk_tokens or tf_clean_len or need_kv_mask:
+        if causal or chunk_tokens or tf_clean_len or need_kv_mask \
+                or has_kv_mask:
             col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv),
                                            1) + kj * block_kv
             mask = col < kv_valid
             mask = _mask_tile(mask, qi, kj, block_q, block_kv, causal,
                               chunk_tokens, tf_clean_len)
+            if has_kv_mask:
+                mask = mask & (kv_mask_ref[0] != 0)[None, :]
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_ref[...]  # [block_q, 128]
@@ -170,7 +180,8 @@ def _pad_to(x: Array, size: int, axis: int) -> Array:
     jax.jit,
     static_argnames=("scale", "causal", "block_q", "block_kv", "kv_valid",
                      "chunk_tokens", "tf_clean_len"))
-def _flash_attention_fwd_bhsd(q: Array, k: Array, v: Array, *, scale: float,
+def _flash_attention_fwd_bhsd(q: Array, k: Array, v: Array,
+                              kv_mask: Array | None = None, *, scale: float,
                               causal: bool, block_q: int, block_kv: int,
                               kv_valid: int, chunk_tokens: int = 0,
                               tf_clean_len: int = 0) -> Array:
@@ -195,7 +206,19 @@ def _flash_attention_fwd_bhsd(q: Array, k: Array, v: Array, *, scale: float,
         num_kv_blocks=num_kv_blocks,
         chunk_tokens=chunk_tokens,
         tf_clean_len=tf_clean_len,
+        has_kv_mask=kv_mask is not None,
     )
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_kv, d), lambda b, h, i, j: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, block_kv, d), lambda b, h, i, j: (b, h, j, 0)),
+    ]
+    operands = [qp, kp, vp]
+    if kv_mask is not None:
+        in_specs.append(pl.BlockSpec((1, block_kv),
+                                     lambda b, h, i, j: (0, j)))
+        operands.append(_pad_to(
+            kv_mask.reshape(1, -1).astype(jnp.int32), kv_pad, 1))
     out, lse = pl.pallas_call(
         kernel,
         interpret=_use_interpret(),
@@ -203,11 +226,7 @@ def _flash_attention_fwd_bhsd(q: Array, k: Array, v: Array, *, scale: float,
                    jax.ShapeDtypeStruct((b, h, q_pad, _MIN_LANE),
                                         jnp.float32)),
         grid=(b, h, num_q_blocks, num_kv_blocks),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_kv, d), lambda b, h, i, j: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, block_kv, d), lambda b, h, i, j: (b, h, j, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=(pl.BlockSpec((1, 1, block_q, d),
                                 lambda b, h, i, j: (b, h, i, 0)),
                    pl.BlockSpec((1, 1, block_q, _MIN_LANE),
@@ -225,7 +244,7 @@ def _flash_attention_fwd_bhsd(q: Array, k: Array, v: Array, *, scale: float,
             bytes_accessed=2 * b * h * (sq + 2 * skv) * d,
             transcendentals=b * h * sq * skv,
         ),
-    )(qp, kp, vp)
+    )(*operands)
     return out[:, :, :sq, :], lse[:, :, :, 0]
 
 
@@ -514,4 +533,40 @@ def flash_attention(
     out = _flash_attention_bhsd(qt, kt, vt, float(scale), causal, block_q,
                                 block_kv, int(kv_valid), int(chunk_tokens),
                                 int(tf_clean_len))
+    return out.transpose(0, 2, 1, 3)
+
+
+def flash_attention_kv_mask(
+    q: Array,
+    k: Array,
+    v: Array,
+    kv_mask: Array,
+    *,
+    scale: float | None = None,
+    block_q: int = 512,
+    block_kv: int = 1024,
+) -> Array:
+    """Forward-only flash attention with a DYNAMIC per-key validity mask.
+
+    ``q``/``k``/``v`` are ``[B, S, H, D]``; ``kv_mask`` is ``[S_kv]`` bool
+    (or 0/1 int) whose VALUES may be traced — only its shape is static.
+    Built for the causal streaming KV-cache attention
+    (models/dits/causal_wan.py ``cached_self_attention``), where key
+    validity depends on traced cache-fill counters: a dense
+    ``dot_product_attention`` with a bias materializes the full
+    ``[B, H, Sq, Skv]`` score matrix (~8 GB fp32 per layer at 1.3B/480p
+    streaming scale — an instant OOM on a 16 GB chip), while the
+    structural-mask `flash_attention` path would recompile per stream
+    block. No VJP: inference only (the training path uses the structural
+    masks, which skip unreachable tiles and have a Pallas backward).
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    sq, skv = q.shape[1], k.shape[1]
+    block_q = min(block_q, max(_MIN_LANE, 1 << (sq - 1).bit_length()))
+    block_kv = min(block_kv, max(_MIN_LANE, 1 << (skv - 1).bit_length()))
+    out, _ = _flash_attention_fwd_bhsd(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), kv_mask, scale=float(scale), causal=False,
+        block_q=block_q, block_kv=block_kv, kv_valid=skv)
     return out.transpose(0, 2, 1, 3)
