@@ -361,11 +361,14 @@ def main() -> None:
             pipe = gen.executor.pipeline
             n = quantize_model_linears(pipe.get_module("transformer"),
                                        QuantizationConfig())
+            stage = None
             for stage in getattr(pipe, "stages", []):
                 if hasattr(stage, "_step_fns"):
                     stage._step_fns.clear()
+            del stage  # no stage alias may outlive gen (causal rider frees)
             print(f"# int8 in-place quantize ({n} linears): "
                   f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
+            del pipe  # keep no pipeline alias: the causal rider frees gen
             gen.generate_video(**kwargs)  # compile + warmup
             e2e_q, stage_q = measure(gen, "int8")
             if e2e_q < e2e:
@@ -434,7 +437,27 @@ def main() -> None:
     # benchmarks/causal_streaming.json. FASTVIDEO_BENCH_CAUSAL=0 skips.
     if os.getenv("FASTVIDEO_BENCH_CAUSAL", "1") == "1":
         try:
-            gen = None  # free DiT/VAE/encoder buffers first
+            # Free the resident pipeline for real: dropping the reference
+            # alone leaves ~10 GB live — nnx modules are reference cycles
+            # (collected only by gc), and the stages' jitted closures bake
+            # the weights into executables held by jit caches. Measured on
+            # this chip: without the collect+clear_caches the causal run
+            # dies with RESOURCE_EXHAUSTED.
+            import gc
+
+            import jax
+
+            gen = None
+            gc.collect()
+            jax.clear_caches()
+            gc.collect()
+            try:
+                stats = jax.local_devices()[0].memory_stats() or {}
+                print("# causal: HBM in use after freeing the pipeline: "
+                      f"{stats.get('bytes_in_use', 0) / 1e9:.2f} GB",
+                      file=sys.stderr)
+            except Exception:
+                pass  # memory_stats is best-effort on this backend
             _run_causal_streaming()
         except Exception as exc:  # never fail the headline on the rider
             print(f"# causal streaming bench FAILED: {exc!r}",

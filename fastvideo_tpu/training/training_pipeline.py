@@ -212,17 +212,25 @@ class TrainingPipeline:
             rngs = jax.random.split(rng, accum + 1)
             step_rng, micro_rngs = rngs[0], rngs[1:]
 
-            def micro(i, acc):
-                grads_acc, loss_acc = acc
+            if accum == 1:
+                # no-accumulation fast path: the fori_loop below carries a
+                # full extra grads buffer (2.6 GB at 1.3B) as loop state —
+                # at accum=1 that buffer is pure HBM waste and pushes a
+                # 33k-token 1.3B step over a 16 GB chip at compile time
                 loss, grads = jax.value_and_grad(loss_fn)(
-                    params, latents[i], embeds[i], micro_rngs[i])
-                grads_acc = jax.tree.map(lambda a, g: a + g / accum,
-                                         grads_acc, grads)
-                return grads_acc, loss_acc + loss / accum
+                    params, latents[0], embeds[0], micro_rngs[0])
+            else:
+                def micro(i, acc):
+                    grads_acc, loss_acc = acc
+                    loss, grads = jax.value_and_grad(loss_fn)(
+                        params, latents[i], embeds[i], micro_rngs[i])
+                    grads_acc = jax.tree.map(lambda a, g: a + g / accum,
+                                             grads_acc, grads)
+                    return grads_acc, loss_acc + loss / accum
 
-            zero_grads = jax.tree.map(jnp.zeros_like, params)
-            grads, loss = jax.lax.fori_loop(0, accum, micro,
-                                            (zero_grads, 0.0))
+                zero_grads = jax.tree.map(jnp.zeros_like, params)
+                grads, loss = jax.lax.fori_loop(0, accum, micro,
+                                                (zero_grads, 0.0))
             grads, grad_norm = clip_grad_norm(grads, args.max_grad_norm)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)

@@ -83,7 +83,14 @@ def measure(remat: str, vsa: float, spec, steps: int = 3):
         m = pipe.train_one_step(lat, emb, vsa_sparsity=s)
         times.append(time.perf_counter() - t0)
     loader.shutdown()
+    # free for real between cells: nnx modules are reference cycles and
+    # the jitted step bakes weights into cached executables — without the
+    # collect+clear_caches the next cell OOMs on this cell's leftovers
     del pipe
+    import gc
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
     label = f"{'vsa' + str(vsa) if vsa else 'dense'}/remat={remat}"
     best = min(times)
     print(f"train step {label}: {best:.2f}s (all: "

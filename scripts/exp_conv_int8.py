@@ -19,7 +19,10 @@ from fastvideo_tpu.ops.conv3d import _conv3d_pallas_thcw
 from fastvideo_tpu.utils import enable_compilation_cache
 
 enable_compilation_cache()
-Element = pltpu.Element if hasattr(pltpu, "Element") else None
+try:
+    from jax.experimental.pallas import Element
+except ImportError:  # older jax
+    from jax._src.pallas.core import Element
 
 
 def _kf_int8_kernel(x_ref, w_ref, b_ref, sw_ref, o_ref, *, kt, bh, w_out,
@@ -47,14 +50,12 @@ def kf_int8(x, w, b, sw, *, kt, bh, sx):
     co = w.shape[1]
     grid = (t_out, h // bh)
 
-    from jax.experimental.pallas.tpu import Element as El
-
     return pl.pallas_call(
         functools.partial(_kf_int8_kernel, kt=kt, bh=bh, w_out=w_out,
                           sx=sx),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((El(kt), El(bh + 2), El(c), El(wp)),
+            pl.BlockSpec((Element(kt), Element(bh + 2), Element(c), Element(wp)),
                          lambda t, i: (t, i * bh, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -73,17 +74,30 @@ def kf_int8(x, w, b, sw, *, kt, bh, sx):
     )(x, w, b.reshape(co, 1), sw.reshape(co, 1))
 
 
-def sync(x):
-    return float(jnp.sum(x.astype(jnp.float32)))
+def timeit(fn, x, *rest, n=4):
+    """In-jit rate: loop the kernel with an anti-CSE barrier so dispatch
+    overhead amortizes (matches the exp_conv_strategies methodology that
+    produced the documented 105-112 TF/s bf16 kf numbers)."""
 
+    @jax.jit
+    def run(x, *a):
+        def body(i, acc):
+            x0 = (x + jax.lax.optimization_barrier(acc).astype(jnp.float32)
+                  .astype(x.dtype))
+            o = fn(x0, *a)
+            return jnp.max(o[..., :1].astype(jnp.float32)) * 1e-30
 
-def timeit(fn, n=3):
-    sync(fn())
+        o = fn(x, *a)
+        return o, jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+    o, z = run(x, *rest)
+    float(jnp.sum(z.astype(jnp.float32)))
     ts = []
-    for _ in range(n):
+    for _ in range(3):
         t0 = time.perf_counter()
-        sync(fn())
-        ts.append(time.perf_counter() - t0)
+        o, z = run(x, *rest)
+        float(jnp.sum(z.astype(jnp.float32)))
+        ts.append((time.perf_counter() - t0) / (n + 1))
     return min(ts)
 
 
@@ -100,9 +114,11 @@ def main():
         wb = jax.random.normal(key, (3, co, kt * 3 * c), jnp.bfloat16) * 0.05
         bb = jnp.zeros((co,), jnp.bfloat16)
         flops = 2 * t_in * h * w_o * c * co * kt * 9
-        t_bf = timeit(lambda: _conv3d_pallas_thcw(xb, wb, bb, kt=kt,
-                                                  out_dtype=jnp.bfloat16,
-                                                  bh_override=bh, fold=True))
+        t_bf = timeit(
+            lambda x, w, b: _conv3d_pallas_thcw(x, w, b, kt=kt,
+                                                out_dtype=jnp.bfloat16,
+                                                bh_override=bh, fold=True),
+            xb, wb, bb)
         print(f"{name}: bf16 kf {t_bf*1000:.1f} ms "
               f"({flops/t_bf/1e12:.0f} TF/s)", flush=True)
         xq = jax.random.randint(key, (tp, hp, c, wp), -127, 128, jnp.int8)
@@ -110,8 +126,10 @@ def main():
                                 jnp.int8)
         sw = jnp.full((co,), 1e-2, jnp.float32)
         try:
-            t_i8 = timeit(lambda: kf_int8(xq, wq, bb, sw, kt=kt, bh=bh,
-                                          sx=1e-2))
+            t_i8 = timeit(
+                lambda x, w, b, s: kf_int8(x, w, b, s, kt=kt, bh=bh,
+                                           sx=1e-2),
+                xq, wq, bb, sw)
             print(f"{name}: int8 kf {t_i8*1000:.1f} ms "
                   f"({flops/t_i8/1e12:.0f} TOPS eff) "
                   f"speedup x{t_bf/t_i8:.2f}", flush=True)
