@@ -366,6 +366,17 @@ def main() -> None:
                 if hasattr(stage, "_step_fns"):
                     stage._step_fns.clear()
             del stage  # no stage alias may outlive gen (causal rider frees)
+            # int8 W8A8 decode convs ride the same arm (measured 3.63 ->
+            # 3.00 s for the 81f/480p decode, scripts/exp_decode_int8.py;
+            # accuracy gated by the SSIM bar in
+            # tests/models/test_vae_conv3d_flag.py). The conv mode is baked
+            # into decode_dispatched's cached chunk jits at trace time, so
+            # drop that cache or the bf16 executables silently keep running.
+            os.environ["FASTVIDEO_VAE_CONV3D"] = "auto_int8"
+            vae_mod = pipe.get_module("vae")
+            if hasattr(vae_mod, "_disp"):
+                del vae_mod._disp
+            del vae_mod
             print(f"# int8 in-place quantize ({n} linears): "
                   f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
             del pipe  # keep no pipeline alias: the causal rider frees gen

@@ -211,6 +211,83 @@ def _conv_kernel_thcw_kf(x_ref, w_ref, b_ref, o_ref, *, kt: int, bh: int,
         o_ref[0, h] = acc.astype(o_ref.dtype)
 
 
+def _conv_kernel_thcw_kf_int8(x_ref, w_ref, b_ref, s_ref, o_ref, *, kt: int,
+                              bh: int, w_out: int):
+    """W8A8 variant of the kf kernel: int8 x/w, int32 MXU accumulation,
+    fp32 dequant epilogue (per-Co scale = weight_scale * activation_scale).
+
+    The MXU runs int8 at 2x the bf16 rate; the bf16 kf kernel is geometry-
+    bound at ~55% of peak, and the int8 form keeps a measured 1.44-1.54x of
+    it at the decoder's hot shapes (scripts/exp_conv_int8.py, in-jit
+    anti-CSE repeats: 131/127 TOPS eff @96/192 ch vs bf16 kf's 85/88 TF/s).
+
+    w_ref: int8 [3(dw), Co, kt*3*C]; b_ref/s_ref: fp32 [Co, 1];
+    x_ref: int8 [kt, bh+2, C, wp]; o_ref: [1, bh, Co, w_out].
+    """
+    c = x_ref.shape[2]
+    co = o_ref.shape[2]
+    x = x_ref[...]
+    for h in range(bh):
+        xc = x[:, h:h + 3].reshape(kt * 3 * c, x_ref.shape[-1])
+        acc = jnp.zeros((co, w_out), jnp.int32)
+        for dw in range(3):
+            acc = acc + jax.lax.dot_general(
+                w_ref[dw], xc[:, dw:dw + w_out],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * s_ref[...] + b_ref[...]
+        o_ref[0, h] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kt", "out_dtype",
+                                             "bh_override"))
+def _conv3d_pallas_thcw_int8(xq: Array, wq: Array, b: Array, scale: Array, *,
+                             kt: int, out_dtype,
+                             bh_override: int | None = None) -> Array:
+    """int8 K-folded transposed conv. xq: int8 [T_out+kt-1, H+2, C, W_out+2]
+    pre-padded; wq: int8 [3, Co, kt*3*C]; b/scale: fp32 [Co]."""
+    tp, hp, c, wp = xq.shape
+    t_out, h, w_out = tp - kt + 1, hp - 2, wp - 2
+    co = wq.shape[1]
+    bh = bh_override or _pick_bh(h, w_out, c, kt, "kf", co, itemsize=1)
+    grid = (t_out, h // bh)
+
+    flops = 2 * t_out * h * w_out * c * co * kt * 9
+    return pl.pallas_call(
+        functools.partial(_conv_kernel_thcw_kf_int8, kt=kt, bh=bh,
+                          w_out=w_out),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (Element(kt), Element(bh + 2), Element(c), Element(wp)),
+                lambda t, i: (t, i * bh, 0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bh, co, w_out),
+                               lambda t, i: (t, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_out, h, co, w_out), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=xq.size * 2, transcendentals=0),
+        interpret=_use_interpret(),
+    )(xq, wq, b.astype(jnp.float32).reshape(co, 1),
+      scale.astype(jnp.float32).reshape(co, 1))
+
+
+def _quantize_int8(x: Array, axes) -> tuple[Array, Array]:
+    """Symmetric per-slice int8: returns (q, scale) with x ~= q * scale."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axes, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127,
+                 127).astype(jnp.int8)
+    return q, s
+
+
 def _conv_kernel_thcw(x_ref, w_ref, b_ref, o_ref, *, kt: int, bh: int,
                       w_out: int):
     """Transposed-orientation taps: out^T[Co, W] = W[Co, C] @ x^T[C, W].
@@ -688,6 +765,39 @@ def conv3d_ndhwc(x: Array, w: Array, b: Array, *, time_pad: int,
             # this libtpu (round-4 ladder); fall through to the direct path
             # rather than crash mid-decode
             mode = "auto"
+    if mode in ("auto_int8", "kf_int8"):
+        # W8A8 decode convs: per-tensor activation scale + per-Co weight
+        # scale through the int8 kf kernel (kernel probe 1.44-1.54x over
+        # bf16 kf; full 81f/480p decode 3.63 -> 3.00 s, exp_decode_int8.py
+        # — and the int8 TRANSPOSE+PAD also halves, it moves 1 byte/elem).
+        # int8 sublane tiling needs C and Co to be 32-multiples in the
+        # transposed layout; everything else (conv_in C=16, conv_out Co=3,
+        # narrow frames) keeps the bf16 policy — a small FLOP slice.
+        cin, cout = x.shape[-1], w.shape[-1]
+        int8_ok = (cin % 32 == 0 and cout % 32 == 0
+                   and (mode == "kf_int8"
+                        or (cin >= 64 and x.shape[3] >= 256)))
+        if int8_ok:
+            if gamma is not None:
+                sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                             keepdims=True)
+                inv = ((cin**0.5) *
+                       jax.lax.rsqrt(jnp.maximum(sq, 1e-24))).astype(x.dtype)
+                x = jax.nn.silu(x * inv * gamma.astype(x.dtype))
+            xq, sx = _quantize_int8(x, axes=None)
+            wq, sw = _quantize_int8(w, axes=(0, 1, 2, 3))  # [1,1,1,1,Co]
+            scale = (sw.reshape(-1) * sx.reshape(()))  # [Co] fp32
+            xt = jnp.pad(xq.transpose(0, 1, 2, 4, 3),
+                         ((0, 0), (time_pad, 0), (1, 1), (0, 0), (1, 1)))
+            wt = wq.transpose(2, 4, 0, 1, 3).reshape(3, cout, kt * 3 * cin)
+            outs = [
+                _conv3d_pallas_thcw_int8(xt[i], wt, b, scale, kt=kt,
+                                         out_dtype=x.dtype,
+                                         bh_override=bh_override)
+                for i in range(bsz)
+            ]
+            return jnp.stack(outs, axis=0).transpose(0, 1, 2, 4, 3)
+        mode = "auto" if mode == "auto_int8" else "kf"
     if mode == "auto":
         # Per-shape choice, measured on v5e (scripts/exp_conv_probe2.py +
         # exp_conv_kfold.py): the transposed orientation wins at every
@@ -769,5 +879,5 @@ def supports(kernel_size: tuple[int, int, int], stride: tuple[int, int, int],
         return False
     if cout % 8 == 0:
         return True
-    return (mode in ("thcw", "kf", "auto") and w_dim is not None
-            and w_dim >= 256 and cin >= 64)
+    return (mode in ("thcw", "kf", "auto", "auto_int8", "kf_int8")
+            and w_dim is not None and w_dim >= 256 and cin >= 64)
