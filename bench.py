@@ -347,6 +347,7 @@ def main() -> None:
     # ffn/out-projection linears via the product load path; accuracy is
     # gated in tests/pipelines/test_quantized_inference.py (SSIM vs bf16).
     quant_used = False
+    vae_conv_mode_before = os.environ.get("FASTVIDEO_VAE_CONV3D")
     if os.getenv("FASTVIDEO_BENCH_INT8", "1") == "1":
         try:
             # Quantize the RESIDENT DiT in place (identical module swap to
@@ -447,6 +448,14 @@ def main() -> None:
     # stderr lines beside the headline; spec + thresholds live in
     # benchmarks/causal_streaming.json. FASTVIDEO_BENCH_CAUSAL=0 skips.
     if os.getenv("FASTVIDEO_BENCH_CAUSAL", "1") == "1":
+        # The int8 arm switched the VAE conv mode for the headline; the
+        # streaming rider runs 1.3B/480p at the 16 GB edge (the "streaming
+        # HBM diet") and the int8 path's extra quantize temporaries tip it
+        # to RESOURCE_EXHAUSTED — restore the pre-arm mode here.
+        if vae_conv_mode_before is None:
+            os.environ.pop("FASTVIDEO_VAE_CONV3D", None)
+        else:
+            os.environ["FASTVIDEO_VAE_CONV3D"] = vae_conv_mode_before
         try:
             # Free the resident pipeline for real: dropping the reference
             # alone leaves ~10 GB live — nnx modules are reference cycles

@@ -159,11 +159,20 @@ def run_benchmark(generator, cfg: dict[str, Any]) -> dict[str, Any]:
     }
 
 
-def check_thresholds(result: dict[str, Any],
-                     cfg: dict[str, Any]) -> list[str]:
-    """Returns human-readable violations (empty = within budget)."""
+def check_thresholds(result: dict[str, Any], cfg: dict[str, Any],
+                     arm: str | None = None) -> list[str]:
+    """Returns human-readable violations (empty = within budget).
+
+    ``arm`` selects a nested per-arm threshold override (e.g. the
+    "int8" serving arm in benchmarks/fastwan_dmd_480p.json): the arm's
+    e2e_s/stages budgets replace the defaults where present.
+    """
     violations = []
     th = cfg["thresholds"]
+    if arm is not None and isinstance(th.get(arm), dict):
+        over = th[arm]
+        th = {**th, **{k: v for k, v in over.items() if k != "stages"},
+              "stages": {**th.get("stages", {}), **over.get("stages", {})}}
     if "e2e_s" in th and result["e2e_s"] > th["e2e_s"]:
         violations.append(
             f"e2e {result['e2e_s']:.3f}s > threshold {th['e2e_s']:.3f}s")

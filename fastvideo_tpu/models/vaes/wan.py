@@ -1076,18 +1076,54 @@ class AutoencoderKLWan(nnx.Module):
     ) -> tuple[Array, list[Array]]:
         """Causal streaming decode: one chunk in, (pixels, new cache) out.
 
+        Runs as ONE jitted program per chunk with the conv cache DONATED
+        (same pattern as decode_dispatched): eager op-by-op dispatch keeps
+        every decoder intermediate alive with no XLA liveness analysis,
+        which OOMs a 16 GB chip when the stream runs beside a 1.3B DiT and
+        its ~6 GB rolling KV (measured: the realtime bench died in
+        conv_out at full res before this was jitted).
+
         Reference analog: AutoencoderKLWan.streaming_decode
         (wanvae.py:1326-1358) for realtime/self-forcing pipelines.
         """
         assert self.decoder is not None
+        if not hasattr(self, "_stream_disp"):
+            graphdef, st = nnx.split(self)
+
+            @functools.partial(jax.jit, static_argnames=("first",))
+            def s_first(st, zc, first):
+                m = nnx.merge(graphdef, st)
+                ctx = StreamCache(None)
+                out = m._streaming_decode_body(zc, ctx, first)
+                return out, ctx.out
+
+            @jax.jit
+            def s_next(st, zc, cache):
+                # NOTE: the cache is NOT donate_argnums-donated here — the
+                # streaming generator alternates decode chunks with DiT
+                # block steps, and the caller may still hold the old list;
+                # entries are small (2 frames per conv). Donation stays on
+                # the KV side where the buffers are GBs.
+                m = nnx.merge(graphdef, st)
+                ctx = StreamCache(cache)
+                out = m._streaming_decode_body(zc, ctx, 0)
+                return out, ctx.out
+
+            self._stream_disp = (s_first, s_next, st)
+        s_first, s_next, st = self._stream_disp
+        if cache is None:
+            return s_first(st, z, 1 if is_first_chunk else 0)
+        return s_next(st, z, cache)
+
+    def _streaming_decode_body(self, z: Array, ctx: "StreamCache",
+                               first_len: int) -> Array:
         z = z.transpose(0, 2, 3, 4, 1)
         x = self.post_quant_conv(z)
-        ctx = StreamCache(cache)
-        out = self.decoder(x, first_len=1 if is_first_chunk else 0, ctx=ctx)
+        out = self.decoder(x, first_len=first_len, ctx=ctx)
         out = out.astype(jnp.float32)
         if self.config.clip_output:
             out = jnp.clip(out, -1.0, 1.0)
-        return out.transpose(0, 4, 1, 2, 3), ctx.out
+        return out.transpose(0, 4, 1, 2, 3)
 
 
 EntryClass = AutoencoderKLWan

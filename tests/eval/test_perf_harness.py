@@ -50,6 +50,22 @@ def test_discovery_and_thresholds(tmp_path):
     assert len(bad) == 3  # e2e over, stage over, stage missing
 
 
+def test_check_thresholds_arm_overlay():
+    """Per-arm nested thresholds (the int8 serving arm in
+    benchmarks/fastwan_dmd_480p.json) overlay the defaults."""
+    from fastvideo_tpu.eval.perf import check_thresholds
+
+    cfg = _valid_cfg(thresholds={
+        "e2e_s": 8.0, "stages": {"DenoisingStage": 4.0},
+        "int8": {"e2e_s": 2.5, "stages": {"DenoisingStage": 1.0}},
+    })
+    result = {"e2e_s": 3.0, "stages": {"DenoisingStage": 1.5}}
+    assert check_thresholds(result, cfg) == []  # within the default budget
+    bad = check_thresholds(result, cfg, arm="int8")
+    assert len(bad) == 2  # both tighter int8 budgets violated
+    assert check_thresholds(result, cfg, arm="missing_arm") == []
+
+
 class _FakeGenerator:
     def __init__(self, e2e=0.5):
         self.e2e = e2e
