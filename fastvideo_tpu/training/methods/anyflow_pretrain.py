@@ -71,7 +71,8 @@ class AnyFlowPretrainPipeline(TrainingPipeline):
         weight_type = self.weight_type
         d_ratio, c_ratio = self.diffusion_ratio, self.consistency_ratio
 
-        def loss_fn(params, latents, embeds, key):
+        def loss_fn(params, frozen, latents, embeds, key):
+            del frozen  # no frozen remainder in this method
             # latents [B, C, T, H, W] fp32
             t_key, noise_key = jax.random.split(key)
             b = latents.shape[0]

@@ -104,7 +104,8 @@ class DiffusionForcingPipeline(TrainingPipeline):
         precondition = self.precondition_outputs
         teacher_forcing = self.teacher_forcing
 
-        def loss_fn(params, latents, embeds, key):
+        def loss_fn(params, frozen, latents, embeds, key):
+            del frozen  # no frozen remainder in this method
             # latents [B, C, T, H, W]
             noise_key, t_key = jax.random.split(key)
             b, _, t, _, _ = latents.shape

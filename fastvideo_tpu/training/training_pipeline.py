@@ -127,16 +127,22 @@ class TrainingPipeline:
         ``self._frozen`` (LoRA trains adapters with the base frozen)."""
         return nnx.split(transformer)
 
-    def _merge_model(self, params):
+    def _merge_model(self, params, frozen=None):
         """Rebuild the model from trainable params (+ frozen remainder).
-        Pure — safe to call under jit."""
-        if self._frozen is not None:
-            return nnx.merge(self.graphdef, params, self._frozen)
+        Pure — safe to call under jit. ``frozen`` MUST be threaded in as a
+        jit argument, never read off ``self`` inside a traced function:
+        closure-captured device arrays are baked into the lowered module
+        as literal constants (a 1.3B frozen base = ~3 GB of MLIR, which
+        the compiler round-trip cannot absorb)."""
+        if frozen is not None:
+            return nnx.merge(self.graphdef, params, frozen)
         return nnx.merge(self.graphdef, params)
 
     def _make_loss_fn(self):
-        """Return ``loss_fn(params, latents, embeds, key) -> scalar``.
+        """Return ``loss_fn(params, frozen, latents, embeds, key) -> scalar``.
 
+        ``frozen`` is the non-trainable remainder (``self._frozen``,
+        None for full finetuning) passed through the jit boundary.
         Subclasses override this to change the training objective while
         reusing the jitted accumulate/clip/update scaffold."""
         args = self.args
@@ -155,7 +161,7 @@ class TrainingPipeline:
             sigmas = sched_sigmas[indices]
             return timesteps.astype(jnp.float32), sigmas
 
-        def loss_fn(params, latents, embeds, key):
+        def loss_fn(params, frozen, latents, embeds, key):
             noise_key, t_key = jax.random.split(key)
             b = latents.shape[0]
             timesteps, sigmas = sample_sigmas(t_key, b)
@@ -163,7 +169,7 @@ class TrainingPipeline:
             noise = jax.random.normal(noise_key, latents.shape,
                                       latents.dtype)
             noisy = (1.0 - sig) * latents + sig * noise
-            model = merge(params)
+            model = merge(params, frozen)
             pred = model(noisy.astype(jnp.bfloat16),
                          embeds.astype(jnp.bfloat16), timesteps)
             target = noise - latents  # velocity (training_pipeline.py:413)
@@ -200,13 +206,14 @@ class TrainingPipeline:
 
             base_loss_fn = loss_fn
 
-            def loss_fn(params, latents, embeds, key):  # noqa: F811
+            def loss_fn(params, frozen, latents, embeds, key):  # noqa: F811
                 md = AttentionMetadata(
                     extra={"VSA_sparsity": float(vsa_sparsity)})
                 with set_forward_context(attn_metadata=md):
-                    return base_loss_fn(params, latents, embeds, key)
+                    return base_loss_fn(params, frozen, latents, embeds,
+                                        key)
 
-        def train_step(params, opt_state, rng, latents, embeds):
+        def train_step(params, frozen, opt_state, rng, latents, embeds):
             # latents/embeds: [accum, B, ...] microbatches
             accum = latents.shape[0]
             rngs = jax.random.split(rng, accum + 1)
@@ -218,12 +225,13 @@ class TrainingPipeline:
                 # at accum=1 that buffer is pure HBM waste and pushes a
                 # 33k-token 1.3B step over a 16 GB chip at compile time
                 loss, grads = jax.value_and_grad(loss_fn)(
-                    params, latents[0], embeds[0], micro_rngs[0])
+                    params, frozen, latents[0], embeds[0], micro_rngs[0])
             else:
                 def micro(i, acc):
                     grads_acc, loss_acc = acc
                     loss, grads = jax.value_and_grad(loss_fn)(
-                        params, latents[i], embeds[i], micro_rngs[i])
+                        params, frozen, latents[i], embeds[i],
+                        micro_rngs[i])
                     grads_acc = jax.tree.map(lambda a, g: a + g / accum,
                                              grads_acc, grads)
                     return grads_acc, loss_acc + loss / accum
@@ -236,7 +244,7 @@ class TrainingPipeline:
             params = optax.apply_updates(params, updates)
             return params, opt_state, step_rng, loss, grad_norm
 
-        return jax.jit(train_step, donate_argnums=(0, 1))
+        return jax.jit(train_step, donate_argnums=(0, 2))
 
     # -- public API --------------------------------------------------------
 
@@ -262,7 +270,7 @@ class TrainingPipeline:
             embeds = jax.device_put(jnp.asarray(embeds, jnp.float32),
                                     data_sharding)
             (self.state.params, self.state.opt_state, self.state.rng, loss,
-             grad_norm) = step_fn(self.state.params,
+             grad_norm) = step_fn(self.state.params, self._frozen,
                                   self.state.opt_state,
                                   self.state.rng, latents, embeds)
         self.state.step += 1
